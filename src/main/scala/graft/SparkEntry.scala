@@ -1,12 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.model.Doc
+import graft.operators.Pipeline
+import graft.sources.FixtureDocs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Session tuning the pipeline expects (AQE + skew join on; modest shuffle
+    * parallelism for local[32]). Safe to call on an existing session. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  /** The interleaved-span docs table synthesized from the reference's golden
+    * corpus (FIXTURES.md §2). */
+  def goldenDocs(spark: SparkSession): org.apache.spark.sql.Dataset[Doc] = {
+    import spark.implicits._
+    spark.createDataset(FixtureDocs.docs())
+  }
+
+  /** Flagship: the four-stage KG-construction pipeline over the golden corpus;
+    * returns the final triples table. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = tune(spark)
+    Pipeline.run(goldenDocs(spark), FixtureDocs.BaseURI).triples
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_triples" -> ((s, _) => entry(s))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map()

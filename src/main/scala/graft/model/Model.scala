@@ -1,0 +1,100 @@
+package graft.model
+
+/** Core row types of the pipeline. All are Catalyst-encodable case classes
+  * (fixed-depth nesting; Catalyst has no recursive types, and observed IFC-SPF
+  * nesting is bounded at three list levels — deeper input is flagged, matching
+  * the reference's *ERROR 19* behavior, RDFWriter.java:478).
+  */
+
+/** One interleaved span of a document (BASELINE.json input_hint). */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** Input row: a whole interleaved document. */
+final case class Doc(doc_id: String, spans: Seq[Span])
+
+/** Token kinds:
+  *  "S" — string/scalar token (verbatim, as the reference's parser produces it:
+  *        leading quote kept, closing quote dropped, '' collapsed to ',
+  *        trimmed; IfcSpfParser.java:96-137)
+  *  "R" — entity reference `#n` (resolvable at depths 0..2 only, mirroring
+  *        IfcSpfParser.mapEntries which rewrites exactly three levels,
+  *        IfcSpfParser.java:167-259)
+  *  "L" — nested list
+  *  "X" — over-deep list (depth > 3), contents dropped
+  */
+final case class Tok3(k: String, v: String)
+final case class Tok2(k: String, v: String, sub: Seq[Tok3])
+final case class Tok1(k: String, v: String, sub: Seq[Tok2])
+final case class Tok0(k: String, v: String, sub: Seq[Tok1])
+
+/** One parsed `#id = KEYWORD(...)` statement.
+  * seq is the parse ordinal within the doc (used to replicate the reference's
+  * last-write-wins linemap semantics for duplicated line numbers,
+  * IfcSpfParser.java:143). body is everything after '=', the dedup key
+  * (fullLineAfterNum, IfcSpfParser.java:62). refs collects all R-token ids.
+  */
+final case class Stmt(
+    doc_id: String,
+    schema: String,
+    seq: Long,
+    line_id: Long,
+    keyword: String,
+    body: String,
+    args: Seq[Tok0],
+    refs: Seq[Long])
+
+/** Resolved reference target (Stage B join output). */
+final case class RefTarget(ref: Long, line: Long, keyword: String)
+
+/** Stmt + resolved intra-document references. */
+final case class LinkedStmt(
+    doc_id: String,
+    schema: String,
+    line_id: Long,
+    keyword: String,
+    body: String,
+    args: Seq[Tok0],
+    targets: Seq[RefTarget])
+
+/** One emitted RDF triple (or candidate; Stage D filters/dedups).
+  * obj_kind: "iri" | "literal". obj_datatype: full XSD IRI ("" for IRIs;
+  * xsd:string for plain strings — matching the reference's typed-literal
+  * emission, RDFWriter.java:674-704).
+  * wkey: literal-wrapper dedup key (doc-scoped) for rows minted by the E6
+  * wrapper path (RDFWriter.java:807-819); "" otherwise. wsel: true for the
+  * per-use candidate rdf:type row of a wrapper, of which Stage D keeps the
+  * first per (doc_id, subj) in (src_line, slot) order.
+  */
+final case class TripleRow(
+    doc_id: String,
+    subj: String,
+    pred: String,
+    obj: String,
+    obj_kind: String,
+    obj_datatype: String,
+    src_line: Long,
+    slot: Int,
+    wkey: String,
+    wsel: Boolean)
+
+/** Final output row of the pipeline (Stage D), lineage columns included. */
+final case class FinalTriple(
+    doc_id: String,
+    subj: String,
+    pred: String,
+    obj: String,
+    obj_kind: String,
+    obj_datatype: String,
+    src_line: Long,
+    slot: Int)
+
+/** Non-triple outcomes: per-doc aborts, per-line truncations, skipped slots.
+  * kind ∈ {"dangling_ref", "unknown_entity", "enum_miss", "attr_overflow",
+  *         "unsupported_schema", "warn"} — mirroring the reference's
+  * ERROR 6/7/8 (doc abort), ERROR 2 (truncate), ERROR 9, ERROR 4.
+  */
+final case class Marker(doc_id: String, kind: String, line_id: Long, detail: String)
+
+/** Per-partition lineage/metrics row (north rule). */
+final case class LineageRow(stage: String, partition_id: Int, rows_in: Long,
+    rows_out: Long, errors: Long, wall_ms: Long)

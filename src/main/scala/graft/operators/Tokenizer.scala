@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Stage A — spans → statements → token trees (SURVEY.md §2 S2/S5/P1).
+  *
+  * A whole document arrives as one input row (interleaved `spans`), so
+  * statement re-assembly and tokenization are a narrow, shuffle-free typed
+  * `flatMap` over `Dataset[Doc]` — each document is independent, which is what
+  * makes Stage A embarrassingly parallel at 10^12-document scale. The span
+  * sequence itself is never modified (per-row invariant).
+  *
+  * Semantics reproduced from the reference (fresh implementation):
+  *  - schema sniff: first FILE_SCHEMA line, ordered substring matches
+  *    (IfcSpfReader.getExpressSchema, IfcSpfReader.java:186-223);
+  *  - statement assembly: lines starting with '#', physical lines concatenated
+  *    (trimmed) until one contains ';' (IfcSpfParser.readModel,
+  *    IfcSpfParser.java:24-58);
+  *  - char-level state machine with paren stack and quote state; tokens are
+  *    trimmed; the opening quote of a string is kept and the closing quote
+  *    dropped ('' collapses to ') so that the writer-side filterExtras
+  *    reproduces the reference lexical forms exactly
+  *    (IfcSpfParser.parseIfcLineStatement, IfcSpfParser.java:60-145);
+  *  - unparseable line numbers map to Long.MinValue (IfcSpfParser.java:261-267);
+  *  - '#' tokens are reference tokens only at nesting depths 0..2 — deeper
+  *    ones stay strings (IfcSpfParser.mapEntries resolves exactly three
+  *    levels, IfcSpfParser.java:167-259).
+  */
+object Tokenizer {
+
+  def stmts(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[Stmt] = {
+    import spark.implicits._
+    docs.flatMap(tokenizeDoc _)
+  }
+
+  /** Reference: IfcSpfReader.getExpressSchema substring-match chain. */
+  def sniffSchema(text: String): String = {
+    text.linesIterator.foreach { line =>
+      if (line.startsWith("FILE_SCHEMA")) {
+        if (line.contains("IFC2X3")) return "IFC2X3_TC1"
+        if (line.contains("IFC4x3")) return "IFC4x3_RC1"
+        if (line.contains("IFC4X3")) return "IFC4x3_RC1"
+        if (line.contains("IFC4X1")) return "IFC4x1"
+        if (line.contains("IFC4x1")) return "IFC4x1"
+        if (line.contains("IFC4")) return "IFC4_ADD2_TC1"
+        return ""
+      }
+    }
+    ""
+  }
+
+  /** Ordered concatenation of the text spans; media spans are skipped but
+    * never disturb text order (offset-ordered). */
+  def assembleText(doc: Doc): String = {
+    val sb = new StringBuilder
+    doc.spans.sortBy(_.offset).foreach(s => if (s.kind == "text") sb.append(s.text))
+    sb.toString
+  }
+
+  def tokenizeDoc(doc: Doc): Iterator[Stmt] = {
+    val text = assembleText(doc)
+    val schema = sniffSchema(text)
+    val lines = text.split("\n", -1)
+    val out = ArrayBuffer[Stmt]()
+    var i = 0
+    var seq = 0L
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.nonEmpty && line.charAt(0) == '#') {
+        val sb = new StringBuilder(line.trim)
+        var last = line
+        while (!last.contains(";") && i + 1 < lines.length) {
+          i += 1
+          last = lines(i)
+          sb.append(last.trim)
+        }
+        out += parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1))
+        seq += 1L
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  private def toLong(s: String): Long =
+    try s.toLong catch { case _: NumberFormatException => Long.MinValue }
+
+  // mutable parse tree
+  private sealed trait Node
+  private final case class SNode(v: String) extends Node
+  private final case class RNode(id: Long, raw: String) extends Node
+  private final class LNode(val children: ArrayBuffer[Node] = ArrayBuffer()) extends Node
+
+  def parseStatement(docId: String, schema: String, seq: Long, line: String): Stmt = {
+    val body = line.substring(line.indexOf('=') + 1)
+    var lineNum = Long.MinValue
+    var keyword = ""
+    val root = new LNode()
+    var current = root
+    val stack = ArrayBuffer[LNode]()
+    var state = 0
+    val sb = new StringBuilder
+
+    def depth: Int = stack.length
+
+    def flush(): Unit = {
+      val t = sb.toString.trim
+      if (t.nonEmpty) {
+        // refs resolve at depths 0..2 (top-level, list, list-of-list) only
+        if (t.charAt(0) == '#' && depth <= 2)
+          current.children += RNode(toLong(t.substring(1)), t)
+        else current.children += SNode(t)
+      }
+      sb.setLength(0)
+    }
+
+    var i = 0
+    var end = false
+    while (i < line.length && !end) {
+      val ch = line.charAt(i)
+      state match {
+        case 0 =>
+          if (ch == '=') {
+            lineNum = toLong(sb.toString); sb.setLength(0); state = 1
+          } else if (ch.isDigit) sb.append(ch)
+        case 1 =>
+          if (ch == '(') { keyword = sb.toString; sb.setLength(0); state = 2 }
+          else if (ch == ';') { keyword = sb.toString; sb.setLength(0); end = true }
+          else if (!ch.isWhitespace) sb.append(ch)
+        case 2 =>
+          if (ch == '\'') { sb.append(ch); state = 3 }
+          else if (ch == '(') {
+            flush()
+            val tmp = new LNode()
+            current.children += tmp
+            stack += current
+            current = tmp
+          } else if (ch == ')') {
+            flush()
+            if (stack.isEmpty) end = true
+            else { current = stack.remove(stack.length - 1) }
+          } else if (ch == ',') flush()
+          else sb.append(ch)
+        case 3 =>
+          if (ch == '\'') state = 2
+          else sb.append(ch)
+        case _ => end = true
+      }
+      i += 1
+    }
+
+    // convert: root.children are the top-level objectList elements (depth 0)
+    def leaf3(n: Node): Tok3 = n match {
+      case SNode(v) => Tok3("S", v)
+      case RNode(_, raw) => Tok3("S", raw) // depth-3 refs stay strings
+      case _: LNode => Tok3("X", "")       // over-deep list: flagged
+    }
+    def tok2(n: Node): Tok2 = n match {
+      case SNode(v) => Tok2("S", v, Nil)
+      case RNode(id, _) => Tok2("R", id.toString, Nil)
+      case l: LNode => Tok2("L", "", l.children.map(leaf3).toSeq)
+    }
+    def tok1(n: Node): Tok1 = n match {
+      case SNode(v) => Tok1("S", v, Nil)
+      case RNode(id, _) => Tok1("R", id.toString, Nil)
+      case l: LNode => Tok1("L", "", l.children.map(tok2).toSeq)
+    }
+    def tok0(n: Node): Tok0 = n match {
+      case SNode(v) => Tok0("S", v, Nil)
+      case RNode(id, _) => Tok0("R", id.toString, Nil)
+      case l: LNode => Tok0("L", "", l.children.map(tok1).toSeq)
+    }
+    val args = root.children.map(tok0).toSeq
+
+    val refs = ArrayBuffer[Long]()
+    args.foreach {
+      case Tok0("R", v, _) => refs += v.toLong
+      case Tok0("L", _, sub) => sub.foreach {
+        case Tok1("R", v, _) => refs += v.toLong
+        case Tok1("L", _, sub2) => sub2.foreach {
+          case Tok2("R", v, _) => refs += v.toLong
+          case _ => ()
+        }
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    Stmt(docId, schema, seq, lineNum, keyword, body, args, refs.distinct.toSeq)
+  }
+}
