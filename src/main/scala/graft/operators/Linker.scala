@@ -52,11 +52,16 @@ object Linker {
 
     // explode refs
     val refs0 = stmts.select($"doc_id", $"line_id", explode($"refs").as("ref"))
+    // rref = the line actually joined against (canonical line for refs that
+    // point at a removed duplicate); `ref` stays the original token id — the
+    // emitter keys its per-line target map on it
     val refs = aliasDF match {
       case Some(alias) =>
-        refs0.join(alias, refs0("doc_id") === alias("doc_id") && refs0("ref") === alias("dup_id"), "left")
-          .select(refs0("doc_id"), refs0("line_id"), coalesce($"canon", $"ref").as("ref"))
-      case None => refs0
+        refs0.alias("r").join(alias.alias("a"),
+            col("r.doc_id") === col("a.doc_id") && col("r.ref") === col("a.dup_id"), "left")
+          .select(col("r.doc_id").as("doc_id"), col("r.line_id").as("line_id"),
+            col("r.ref").as("ref"), coalesce(col("a.canon"), col("r.ref")).as("rref"))
+      case None => refs0.withColumn("rref", $"ref")
     }
 
     // D2: salted equi hash join on (doc_id, local_id). Build side (statement
@@ -70,7 +75,7 @@ object Linker {
     // explicit aliases: probes and targets share lineage (self-join)
     val joined = probes.alias("p").join(targets.alias("t"),
       col("p.doc_id") === col("t.doc_id") &&
-        col("p.ref") === col("t.tline") &&
+        col("p.rref") === col("t.tline") &&
         col("p.salt") === col("t.salt"),
       "left")
       .select(col("p.doc_id").as("doc_id"), col("p.line_id").as("line_id"),

@@ -1,0 +1,134 @@
+package graft
+
+import graft.model._
+import graft.operators.{Linker, Tokenizer}
+import graft.sources.FixtureDocs
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class TokenizerSpec extends SparkTestBase {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val header =
+    "ISO-10303-21;\nHEADER;\nFILE_SCHEMA(('IFC4'));\nENDSEC;\nDATA;\n"
+
+  private def docOf(body: String, id: String = "d1"): Doc =
+    Doc(id, Seq(Span("text", header + body + "\nENDSEC;\nEND-ISO-10303-21;", "", 0)))
+
+  test("schema sniff matches reference substring chain") {
+    assert(Tokenizer.sniffSchema("FILE_SCHEMA(('IFC4'));") == "IFC4_ADD2_TC1")
+    assert(Tokenizer.sniffSchema("FILE_SCHEMA(('IFC2X3'));") == "IFC2X3_TC1")
+    assert(Tokenizer.sniffSchema("FILE_SCHEMA(('IFC4X1'));") == "IFC4x1")
+    assert(Tokenizer.sniffSchema("FILE_SCHEMA(('IFC4X3_RC1'));") == "IFC4x3_RC1")
+    assert(Tokenizer.sniffSchema("FILE_SCHEMA(('NONSENSE'));") == "")
+    assert(Tokenizer.sniffSchema("no schema line at all") == "")
+  }
+
+  test("statement spanning physical lines is reassembled") {
+    val d = docOf("#1= IFCAPPLICATION(#2,\n   $,$,\n$);\n#2= IFCORGANIZATION($,$,$,$,$);")
+    val st = Tokenizer.tokenizeDoc(d).toVector
+    assert(st.map(_.line_id) == Vector(1L, 2L))
+    assert(st.head.args.length == 4)
+    assert(st.head.refs == Seq(2L))
+  }
+
+  test("quoted strings protect commas, parens and escaped quotes") {
+    val d = docOf("#2= IFCORGANIZATION($,'Ghent, Uni (BE)''s',$,$,$);")
+    val st = Tokenizer.tokenizeDoc(d).toVector.head
+    // reference keeps the opening quote, drops the closing one, and collapses
+    // '' to ' (IfcSpfParser.java:96-137)
+    assert(st.args(1) == Tok0("S", "'Ghent, Uni (BE)'s", Nil))
+  }
+
+  test("statements split mid-token across spans reassemble") {
+    val full = header + "#29= IFCMEASUREWITHUNIT(IFCLENGTHMEASURE(0.0254),$);\nENDSEC;\n"
+    val chunks = full.grouped(17).toSeq
+    val spans = chunks.zipWithIndex.map { case (c, i) => Span("text", c, "", i) }
+    val st = Tokenizer.tokenizeDoc(Doc("d", spans)).toVector.head
+    assert(st.keyword == "IFCMEASUREWITHUNIT")
+    assert(st.args == Seq(
+      Tok0("S", "IFCLENGTHMEASURE", Nil),
+      Tok0("L", "", Seq(Tok1("S", "0.0254", Nil))),
+      Tok0("S", "$", Nil)))
+  }
+
+  test("refs collected at depths 0..2 only; deeper '#' stays a string") {
+    val d = docOf("#1= IFCX(#2,(#3,(#4,(#5))),$);")
+    val st = Tokenizer.tokenizeDoc(d).toVector.head
+    assert(st.refs.sorted == Seq(2L, 3L, 4L))
+    val deep = st.args(1).sub(1).sub(1)
+    assert(deep == Tok2("L", "", Seq(Tok3("S", "#5"))))
+  }
+
+  test("span sequence is never perturbed (per-row invariant)") {
+    import spark.implicits._
+    val docs = spark.createDataset(FixtureDocs.docs())
+    val before = docs.collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))).toMap
+    // run the full tokenize stage, then re-read the same dataset
+    Tokenizer.stmts(docs).count()
+    val after = docs.collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))).toMap
+    assert(before == after)
+    // and assembled text round-trips the original file for line-packed fixtures
+    val d1 = FixtureDocs.doc(1)
+    val orig = java.nio.file.Files.readString(FixtureDocs.ifcPath(1))
+    assert(Tokenizer.assembleText(d1) == orig)
+  }
+
+  test("duplicate line number: last parse wins (linemap.put overwrite)") {
+    import spark.implicits._
+    val d = docOf("#2= IFCORGANIZATION($,'first',$,$,$);\n#2= IFCORGANIZATION($,'second',$,$,$);")
+    val stmts = spark.createDataset(Seq(d)).transform(ds => Tokenizer.stmts(ds))
+    val linked = Linker.link(stmts).linked.collect()
+    assert(linked.length == 1)
+    assert(linked.head.args(1).v == "'second")
+  }
+
+  test("D1 dedup removes duplicate bodies and re-aliases refs") {
+    import spark.implicits._
+    val d = docOf(
+      "#1= IFCAPPLICATION(#3,$,$,$);\n" +
+        "#2= IFCORGANIZATION($,$,$,$,$);\n" +
+        "#3= IFCORGANIZATION($,$,$,$,$);")
+    val stmts = Tokenizer.stmts(spark.createDataset(Seq(d)))
+    val r = Linker.link(stmts, removeDuplicates = true)
+    val linked = r.linked.collect().sortBy(_.line_id)
+    assert(linked.map(_.line_id).toSeq == Seq(1L, 2L)) // #3 removed as dup of #2
+    val t = linked.head.targets
+    assert(t.length == 1 && t.head.ref == 3L && t.head.line == 2L) // re-aliased
+    assert(r.markers.count() == 0)
+  }
+
+  test("dangling ref produces a doc-abort marker") {
+    import spark.implicits._
+    val d = docOf("#1= IFCAPPLICATION(#99,$,$,$);")
+    val stmts = Tokenizer.stmts(spark.createDataset(Seq(d)))
+    val r = Linker.link(stmts)
+    val ms = r.markers.collect()
+    assert(ms.length == 1 && ms.head.kind == "dangling_ref")
+  }
+
+  // property: parse(render(tree)) == tree for well-formed statements
+  private val leafGen: Gen[String] =
+    Gen.oneOf(Gen.choose(0, 999999).map(_.toString),
+      Gen.alphaNumStr.map(s => "'" + s.take(12) + "'"),
+      Gen.const("$"), Gen.const(".T."), Gen.const(".STEEL."))
+  private def listGen(depth: Int): Gen[Seq[String]] =
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, elemGen(depth)))
+  private def elemGen(depth: Int): Gen[String] =
+    if (depth >= 3) leafGen
+    else Gen.frequency(
+      4 -> leafGen,
+      2 -> Gen.choose(1, 99).map("#" + _),
+      1 -> listGen(depth + 1).map(_.mkString("(", ",", ")")))
+
+  test("property: tokenizer accepts arbitrary nested well-formed statements") {
+    check(Prop.forAll(listGen(1), Gen.choose(1L, 9999L)) { (els, id) =>
+      val stmt = s"$id= IFCWALL(${els.mkString(",")});"
+      val st = Tokenizer.parseStatement("d", "IFC4_ADD2_TC1", 0, stmt)
+      st.line_id == id && st.keyword == "IFCWALL" && st.args.length == els.length
+    })
+  }
+}
