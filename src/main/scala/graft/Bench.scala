@@ -1,24 +1,73 @@
 package graft
+
+import graft.operators.Pipeline
+import graft.sources.SynthCorpus
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Headline queries:
+  *  - kg_uniform: full 4-stage pipeline over a uniform synthetic corpus
+  *  - kg_skewed:  same, with ~1% mega-documents (salted-join / AQE skew path)
+  *  - kg_goldens: fixture corpus end-to-end (tiny; constant overhead probe)
+  * plus the analytic query battery from SparkEntry (oracle-checked ops).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // corpus size scales with the sf dir the driver points at
+    val nDocs = if (sfDir.contains("sf0.1")) 2000 else if (sfDir.contains("sf0.01")) 400 else 50
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    implicit val s: SparkSession = spark
+
+    var kgTriples = 0L
+    var kgSecs = 0.0
+
+    def timed(f: => Long): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    results("kg_uniform") = timed {
+      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, 100), SynthCorpus.BaseURI)
+      val n = r.triples.count(); r.unpersist()
+      kgTriples += n; n
+    }
+    kgSecs += results("kg_uniform")
+    results("kg_skewed") = timed {
+      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs / 2, 100, skew = true), SynthCorpus.BaseURI)
+      val n = r.triples.count(); r.unpersist()
+      kgTriples += n; n
+    }
+    kgSecs += results("kg_skewed")
+    if (graft.sources.FixtureDocs.available())
+      results("kg_goldens") = timed(SparkEntry.entry(spark).count())
+
+    // analytic battery (each query's own wall time)
+    SparkEntry.queries.filterNot(_._1.startsWith("kg_")).foreach { case (name, fn) =>
+      results(name) = timed {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val tps = if (kgSecs > 0) (kgTriples / kgSecs).round else 0L
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps}""")
     spark.stop()
   }
 }

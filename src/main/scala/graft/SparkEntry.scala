@@ -13,6 +13,7 @@ object SparkEntry {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark
   }
 
@@ -30,12 +31,21 @@ object SparkEntry {
     Pipeline.run(goldenDocs(spark), FixtureDocs.BaseURI).triples
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_triples" -> ((s, _) => entry(s))
-  )
+  /** One entry per implemented operator (SURVEY.md §2 and the training-data
+    * battery). kg_* queries run the KG pipeline itself (not expressible as
+    * SQL over the sf tables → rows-only check); the q* battery is
+    * oracle-checked against DuckDB. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.analytics.Battery.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "kg_triples" -> ((s, _) => entry(s)),
+      "kg_markers" -> ((s, _) => {
+        implicit val sp: SparkSession = tune(s)
+        Pipeline.run(goldenDocs(s), FixtureDocs.BaseURI).markersDF
+      })
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the kg_* pipeline entries (the
+    * driver then records a rows-only check). */
+  def oracleSql: Map[String, String] = graft.analytics.Battery.oracleSql
 }

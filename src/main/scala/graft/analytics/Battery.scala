@@ -1,0 +1,446 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked analytic query battery.
+  *
+  * Two roles: (1) exercises each Spark-primitive class the KG pipeline is
+  * built from (broadcast/shuffled joins, window dedup/chaining, groupBy
+  * dedup, explode, set ops, case dispatch) against the driver's DuckDB
+  * oracle; (2) the large-scale training-data operators (exact/MinHash-LSH/
+  * SimHash/Jaccard dedup, integer-exact ANN, language-ID, quality scoring,
+  * token counting, fingerprinting, multimodal stub) over the documents and
+  * embeddings tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double arithmetic only per-row (bit-identical IEEE in both engines);
+  *    anything aggregated is first floored into integers, so aggregation
+  *    order can never change a result;
+  *  - the portable token hash is h32(s) = int(md5(s)[0:8], 16) — available in
+  *    both engines (conv() in Spark, '0x'||…::BIGINT in DuckDB);
+  *  - top-k always carries a unique integer tiebreak.
+  */
+object Battery {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** portable 32-bit token hash (non-negative, fits a long) */
+  private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational operator battery ---
+    "q01_agg_pushdown" -> ((s, d) => {
+      // partial-agg + filter/column pushdown into the parquet scan
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("n"))
+    }),
+    "q02_join_broadcast" -> ((s, d) => {
+      // small-dim broadcast join (the dictionary-join pattern of Stage B/E1)
+      val nation = broadcast(t(s, d, "nation"))
+      t(s, d, "customer").join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_c"))
+    }),
+    "q03_join_shuffle" -> ((s, d) => {
+      // large-large shuffled hash join (the D2 ref-resolution pattern)
+      t(s, d, "orders").join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"),
+          count(lit(1)).as("n"))
+    }),
+    "q04_window_dedup" -> ((s, d) => {
+      // D1 duplicate-dedup pattern: keep first row per key via row_number
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_order"))
+    }),
+    "q05_window_chain" -> ((s, d) => {
+      // L2/L4 list-chaining pattern: lead() builds hasNext edges
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lead(col("l_linenumber"), 1).over(w).as("next_line"))
+    }),
+    "q06_group_dedup" -> ((s, d) => {
+      // E6/E9 wrapper-dedup pattern: distinct members per group
+      t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n_rows"))
+    }),
+    "q07_topk" -> ((s, d) => {
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("total_c"))
+        .orderBy(col("total_c").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+    "q08_setops" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("k"))
+      cust.intersect(withOrders).select(lit("with_orders").as("tag"), col("k"))
+        .union(cust.except(withOrders).select(lit("no_orders").as("tag"), col("k")))
+    }),
+    "q09_case_dispatch" -> ((s, d) => {
+      // E3/E8 literal-coercion pattern: when/otherwise dispatch
+      t(s, d, "orders")
+        .withColumn("status", when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open").otherwise("partial"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+    "q10_explode" -> ((s, d) => {
+      // posexplode pattern (list expansion)
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    }),
+    "q22_time_window" -> ((s, d) => {
+      // tumbling-window aggregation over the events stream table
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("val_m"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("val_m"))
+    }),
+
+    // --- training-data pipeline: deduplication ---
+    "q11_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents").groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n"))
+    }),
+    "q12_dedup_jaccard" -> ((s, d) => {
+      // word-3-gram shingle Jaccard near-dup pairs, all-integer
+      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val sh = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as("sh"))
+        .filter(col("sh") =!= "")
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+        // Jaccard >= 0.2  <=>  5*inter >= sa+sb-inter (integers only)
+        .filter(col("inter") * 5 >= col("sa") + col("sb") - col("inter"))
+        .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"))
+    }),
+    "q13_dedup_minhash" -> ((s, d) => {
+      // MinHash + banded LSH candidate pairs (k=8 hashes, 4 bands of 2)
+      import s.implicits._
+      val params = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toDF("i", "ha", "hb")
+      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val sh = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as("sh"))
+        .filter(col("sh") =!= "").distinct()
+        .select(col("doc_id"), h32(col("sh")).as("h"))
+      val sig = sh.crossJoin(broadcast(params))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("ha") * col("h") + col("hb")) % lit(4294967291L)).as("mh"))
+      val bands = sig.withColumn("band", (col("i") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
+            col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    }),
+    "q14_dedup_simhash" -> ((s, d) => {
+      // 16-bit SimHash over the distinct-token set
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok")).distinct()
+        .select(col("doc_id"), h32(col("tok")).as("h"))
+      val bits = tok.select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"), col("h"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(expr("(shiftright(h, CAST(j AS INT)) & 1)") === 1, 1)
+          .otherwise(-1)).as("w"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("w") > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
+          .as("simhash"))
+    }),
+
+    // --- training-data pipeline: similarity search ---
+    "q15_ann_dot_topk" -> ((s, d) => {
+      // brute-force integer-exact dot-product top-5 per query vector
+      val el = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("pos"), floor(col("e") * 1000).cast("long").as("ei"))
+      val q = el.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("pos"), col("ei").as("qe"))
+      val dots = q.join(el.select(col("vec_id").as("c"), col("pos"), col("ei").as("ce")), Seq("pos"))
+        .filter(col("q") =!= col("c"))
+        .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+      val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
+      dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q"), col("rank"), col("c"), col("dot"))
+    }),
+    "q16_ann_lsh_bucket" -> ((s, d) => {
+      // sign-LSH bucketing on the first 8 dimensions + in-bucket top-3
+      val emb = t(s, d, "embeddings")
+      val bucketed = emb.select(col("vec_id"),
+        expr("aggregate(sequence(0,7), 0L, (acc, j) -> acc + CASE WHEN embedding[j] >= 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)").as("bucket"),
+        col("embedding"))
+      val el = bucketed
+        .select(col("vec_id"), col("bucket"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("bucket"), col("pos"), floor(col("e") * 1000).cast("long").as("ei"))
+      val q = el.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q"), col("bucket"), col("pos"), col("ei").as("qe"))
+      val dots = q.join(el.select(col("vec_id").as("c"), col("bucket").as("cb"),
+          col("pos").as("cpos"), col("ei").as("ce")),
+          col("bucket") === col("cb") && col("q") =!= col("c") && col("pos") === col("cpos"))
+        .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+      val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
+      dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q"), col("rank"), col("c"))
+    }),
+
+    // --- training-data pipeline: text analysis ---
+    "q17_langid" -> ((s, d) => {
+      // marker-token scoring heuristic with deterministic argmax
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      val scores = tok.groupBy(col("doc_id")).agg(
+        sum(when(col("tok").isin("the", "a", "of", "and"), 1).otherwise(0)).as("s_en"),
+        sum(when(col("tok").isin("data", "table", "row"), 1).otherwise(0)).as("s_dat"),
+        sum(when(col("tok").isin("spark", "agg", "join", "query"), 1).otherwise(0)).as("s_sql"))
+      scores.withColumn("pred",
+        when(col("s_en") >= col("s_dat") && col("s_en") >= col("s_sql"), "en")
+          .when(col("s_dat") >= col("s_sql"), "dat").otherwise("sql"))
+    }),
+    "q18_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
+      docs.select(col("doc_id"), col("n_chars"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("tok_chars"))
+    }),
+    "q19_tokencount" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        floor((col("n_chars") + 3) / 4).cast("long").as("bpe_approx"))
+    }),
+    "q20_fingerprint" -> ((s, d) => {
+      // order-sensitive rolling document fingerprint (position-weighted hash)
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"))
+        .agg((sum((col("pos") + 1) * h32(col("tok"))) % lit(1000000007L)).as("fp"))
+    }),
+
+    // --- training-data pipeline: multimodal stub ---
+    "q21_media_stub" -> ((s, d) => {
+      // opaque-binary plumbing: decode step is a deterministic fake (this
+      // container has no image/audio codecs); schema + batching are real
+      val b = t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8"))
+      b.select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("head_hex"),
+        (h32(col("text")) % 256).as("fake_feature"))
+    })
+  )
+
+  /** k=8 MinHash parameter pairs (a, b) — shared literally with the oracle. */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (387143L, 552217L), (624831L, 109042L), (921763L, 771233L), (133999L, 414413L),
+    (777001L, 253529L), (591287L, 868211L), (245561L, 997003L), (469427L, 330817L))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val minhashValues =
+    MinhashParams.zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** DuckDB equivalents. h32: ('0x'||substr(md5(x),1,8))::BIGINT. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+         SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+         COUNT(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+         SUM(CAST(FLOOR(c_acctbal*100) AS BIGINT)) AS bal_c
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q03_join_shuffle" ->
+      """SELECT o_orderpriority,
+         SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_c,
+         COUNT(*) AS n
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    "q04_window_dedup" ->
+      """SELECT o_custkey, first_order FROM (
+           SELECT o_custkey, o_orderkey AS first_order,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q05_window_chain" ->
+      """SELECT l_orderkey, l_linenumber,
+         LEAD(l_linenumber, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_line
+         FROM lineitem""",
+    "q06_group_dedup" ->
+      """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_partkey""",
+    "q07_topk" ->
+      """SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS total_c
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_c DESC, o_custkey ASC LIMIT 10""",
+    "q08_setops" ->
+      """SELECT 'with_orders' AS tag, k FROM
+           (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+         UNION ALL
+         SELECT 'no_orders' AS tag, k FROM
+           (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)""",
+    "q09_case_dispatch" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                     WHEN o_orderstatus = 'O' THEN 'open' ELSE 'partial' END AS status,
+         COUNT(*) AS n FROM orders GROUP BY 1""",
+    "q10_explode" ->
+      """SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok FROM (
+           SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+                  generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+           FROM documents WHERE doc_id < 50)""",
+    "q22_time_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS val_m
+         FROM events GROUP BY 1, 2""",
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS canonical, COUNT(*) AS n
+         FROM documents GROUP BY 1""",
+    "q12_dedup_jaccard" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+              WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+       sh AS (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                FROM tk) WHERE sh <> ''),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b, inter, sa.sz AS sa, sb.sz AS sb
+       FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+                  JOIN sizes sb ON pairs.b = sb.doc_id
+       WHERE inter * 5 >= sa.sz + sb.sz - inter""",
+    "q13_dedup_minhash" ->
+      s"""WITH params(i, ha, hb) AS (VALUES $minhashValues),
+       tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+              WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+       sh AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+              FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                    FROM tk) WHERE sh <> ''),
+       sig AS (SELECT doc_id, i, MIN((ha * h + hb) % 4294967291) AS mh
+               FROM sh CROSS JOIN params GROUP BY 1, 2),
+       bands AS (SELECT doc_id, CAST(FLOOR(i / 2) AS INT) AS band,
+                        MIN(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+                        MIN(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+                 FROM sig GROUP BY 1, 2)
+       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       FROM bands x JOIN bands y
+         ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1 AND x.doc_id < y.doc_id""",
+    "q14_dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                FROM documents)),
+       th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       bits AS (SELECT doc_id, j,
+                       SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+                GROUP BY 1, 2)
+       SELECT doc_id, SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       FROM bits GROUP BY 1""",
+    "q15_ann_dot_topk" ->
+      """WITH el AS (SELECT vec_id, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       dots AS (SELECT q.vec_id AS q, c.vec_id AS c, SUM(q.ei * c.ei) AS dot
+                FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10 GROUP BY 1, 2)
+       SELECT q, rank, c, dot FROM (
+         SELECT q, c, dot, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
+         FROM dots) WHERE rank <= 5""",
+    "q16_ann_lsh_bucket" ->
+      """WITH b AS (SELECT vec_id, embedding,
+                list_sum(list_transform(generate_series(0, 7),
+                  j -> CASE WHEN embedding[j+1] >= 0 THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS bucket
+              FROM embeddings),
+       el AS (SELECT vec_id, bucket, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, bucket, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM b)),
+       dots AS (SELECT q.vec_id AS q, c.vec_id AS c, SUM(q.ei * c.ei) AS dot
+                FROM el q JOIN el c
+                  ON q.bucket = c.bucket AND q.pos = c.pos AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10 GROUP BY 1, 2)
+       SELECT q, rank, c FROM (
+         SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
+         FROM dots) WHERE rank <= 3""",
+    "q17_langid" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+              FROM documents),
+       scores AS (SELECT doc_id,
+                SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS s_en,
+                SUM(CASE WHEN tok IN ('data','table','row') THEN 1 ELSE 0 END) AS s_dat,
+                SUM(CASE WHEN tok IN ('spark','agg','join','query') THEN 1 ELSE 0 END) AS s_sql
+              FROM tok GROUP BY 1)
+       SELECT doc_id, s_en, s_dat, s_sql,
+              CASE WHEN s_en >= s_dat AND s_en >= s_sql THEN 'en'
+                   WHEN s_dat >= s_sql THEN 'dat' ELSE 'sql' END AS pred
+       FROM scores""",
+    "q18_quality" ->
+      """SELECT doc_id, n_chars,
+         len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS tok_chars
+         FROM (SELECT doc_id, n_chars, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS tk
+               FROM documents)""",
+    "q19_tokencount" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+         CAST(FLOOR((n_chars + 3) / 4) AS BIGINT) AS bpe_approx
+         FROM documents""",
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+         SUM(pos * (('0x' || substr(md5(tok), 1, 8))::BIGINT)) % 1000000007 AS fp
+         FROM (SELECT doc_id,
+                      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+                      generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+               FROM documents)
+         GROUP BY doc_id""",
+    "q21_media_stub" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT % 256 AS fake_feature
+         FROM documents"""
+  )
+}

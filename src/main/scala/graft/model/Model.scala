@@ -60,10 +60,9 @@ final case class LinkedStmt(
   * obj_kind: "iri" | "literal". obj_datatype: full XSD IRI ("" for IRIs;
   * xsd:string for plain strings — matching the reference's typed-literal
   * emission, RDFWriter.java:674-704).
-  * wkey: literal-wrapper dedup key (doc-scoped) for rows minted by the E6
-  * wrapper path (RDFWriter.java:807-819); "" otherwise. wsel: true for the
-  * per-use candidate rdf:type row of a wrapper, of which Stage D keeps the
-  * first per (doc_id, subj) in (src_line, slot) order.
+  * wsel: true for the per-use candidate rdf:type row of a literal wrapper
+  * (E6, RDFWriter.java:807-819); Stage D keeps the first per (doc_id, subj)
+  * in (src_line, slot, obj) order.
   */
 final case class TripleRow(
     doc_id: String,
@@ -74,7 +73,6 @@ final case class TripleRow(
     obj_datatype: String,
     src_line: Long,
     slot: Int,
-    wkey: String,
     wsel: Boolean)
 
 /** Final output row of the pipeline (Stage D), lineage columns included. */

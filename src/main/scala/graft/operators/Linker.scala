@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,49 +12,43 @@ import org.apache.spark.sql.functions._
   * run under AQE so runtime skew splitting also applies.
   *
   * Reference semantics reproduced:
-  *  - duplicated line numbers: last parse wins (linemap.put overwrite,
-  *    IfcSpfParser.java:143) → row_number window on parse ordinal;
   *  - optional duplicate-line dedup keyed on the full text after '='
   *    (resolveDuplicates, IfcSpfParser.java:147-165); the canonical survivor
   *    here is min(line_id) (the reference keeps the first in HashMap iteration
   *    order, which for its small Long keys is ascending — and its own test
   *    compares by graph isomorphism, so survivor identity is not contractual);
-  *    dangling-alias rewrite: refs to removed duplicates resolve to the
-  *    canonical line (IfcSpfParser.java:184-187);
-  *  - dangling reference → whole-document abort (*ERROR 6/7/8*,
+  *    refs to removed duplicates resolve to the canonical line
+  *    (IfcSpfParser.java:184-187);
+  *  - dangling references surface as targets with a null keyword; Stage C
+  *    turns them into whole-document abort markers (*ERROR 6/7/8*,
   *    IfcSpfParser.java:189-247).
+  *
+  * (Duplicate line numbers are resolved last-write-wins locally in Stage A —
+  * a whole document is one input row, so no shuffle is needed for that.)
   */
 object Linker {
 
-  final case class LinkResult(linked: Dataset[LinkedStmt], markers: Dataset[Marker])
-
-  def link(stmtsIn: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
-          (implicit spark: SparkSession): LinkResult = {
+  def link(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
+          (implicit spark: SparkSession): Dataset[LinkedStmt] = {
     import spark.implicits._
 
-    // last-write-wins per (doc, line): IfcSpfParser linemap.put overwrite
-    val wLine = Window.partitionBy($"doc_id", $"line_id").orderBy($"seq".desc)
-    val latest = stmtsIn.toDF
-      .withColumn("rn", row_number().over(wLine))
-      .filter($"rn" === 1).drop("rn")
-
     // D1 (opt-in, CLI default off — IfcSpfReader.java:152): canonical line per body
-    val (stmts, aliasDF) =
-      if (!removeDuplicates) (latest, None)
+    val (deduped, aliasDF) =
+      if (!removeDuplicates) (stmts.toDF, None)
       else {
         val wBody = Window.partitionBy($"doc_id", $"body")
-        val withCanon = latest.withColumn("canon", min($"line_id").over(wBody))
+        val withCanon = stmts.toDF.withColumn("canon",
+          when($"line_id" >= 0, min($"line_id").over(wBody)).otherwise($"line_id"))
         val kept = withCanon.filter($"line_id" === $"canon").drop("canon")
         val alias = withCanon.filter($"line_id" =!= $"canon")
           .select($"doc_id", $"line_id".as("dup_id"), $"canon")
         (kept, Some(alias))
       }
 
-    // explode refs
-    val refs0 = stmts.select($"doc_id", $"line_id", explode($"refs").as("ref"))
-    // rref = the line actually joined against (canonical line for refs that
-    // point at a removed duplicate); `ref` stays the original token id — the
-    // emitter keys its per-line target map on it
+    // explode refs; rref = the line actually joined against (canonical line
+    // for refs pointing at a removed duplicate); `ref` stays the original
+    // token id — the emitter keys its per-line target map on it
+    val refs0 = deduped.select($"doc_id", $"line_id", explode($"refs").as("ref"))
     val refs = aliasDF match {
       case Some(alias) =>
         refs0.alias("r").join(alias.alias("a"),
@@ -67,7 +61,8 @@ object Linker {
     // D2: salted equi hash join on (doc_id, local_id). Build side (statement
     // keys) is replicated `salt` ways; each probe row picks one deterministic
     // salt bucket, splitting hot (doc_id, ref) keys across `salt` reducers.
-    val targets = stmts
+    val targets = deduped
+      .filter($"line_id" >= 0)
       .select($"doc_id", $"line_id".as("tline"), $"keyword".as("tkw"))
       .withColumn("salt", explode(typedlit((0 until salt).toArray)))
     val probes = refs.withColumn("salt", pmod(xxhash64($"line_id", $"ref"), lit(salt)).cast("int"))
@@ -81,20 +76,15 @@ object Linker {
       .select(col("p.doc_id").as("doc_id"), col("p.line_id").as("line_id"),
         col("p.ref").as("ref"), col("t.tline").as("tline"), col("t.tkw").as("tkw"))
 
-    // dangling refs → per-document abort (ERROR 6/7/8)
-    val markers = joined.filter($"tkw".isNull)
-      .select($"doc_id", lit("dangling_ref").as("kind"), $"line_id", concat(lit("#"), $"ref").as("detail"))
-      .as[Marker]
-
-    val refMaps = joined.filter($"tkw".isNotNull)
+    // per-line target maps; dangling refs keep a null keyword
+    val refMaps = joined
       .groupBy($"doc_id", $"line_id")
-      .agg(collect_list(struct($"ref".as("ref"), $"tline".as("line"), $"tkw".as("keyword"))).as("targets"))
+      .agg(collect_list(struct($"ref".as("ref"),
+        coalesce($"tline", lit(-1L)).as("line"), $"tkw".as("keyword"))).as("targets"))
 
-    val linked = stmts
+    deduped
       .join(refMaps, Seq("doc_id", "line_id"), "left")
       .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"args", $"targets")
       .as[LinkedStmt]
-
-    LinkResult(linked, markers)
   }
 }

@@ -8,109 +8,136 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** End-to-end four-stage KG-construction job (SURVEY.md §3.4):
-  * Stage A tokenize (narrow flatMap) → Stage B link (the one wide join) →
-  * Stage C canonicalize+materialize candidates (narrow flatMap) → Stage D
-  * relational finishing: per-document aborts, *ERROR 2* truncation,
-  * literal-wrapper canonical typing (E6), global rdf:type dedup (E9), header
-  * triples, and the final dropDuplicates.
+  * Stage A tokenize (narrow flatMap over whole-doc rows) → Stage B link (the
+  * salted (doc_id, local_id) hash join — the one unavoidable wide stage) →
+  * Stage C canonicalize + materialize candidates (narrow flatMap; markers
+  * ride in-band as sentinel rows) → Stage D relational finishing.
+  *
+  * Shuffle/pass budget (deliberate):
+  *  - `stmts` is consumed three times by the D2 join (probe refs, build keys,
+  *    final re-attach); it is either persisted (default; statements are small
+  *    relative to emitted triples) or checkpointed to a parquet stage table
+  *    (resumable production mode) so tokenization runs once.
+  *  - Stage C output is materialized once (cache or parquet checkpoint); the
+  *    per-document abort/truncation flags are tiny aggregates over the marker
+  *    rows of that materialization (column-pruned + predicate-pushed in
+  *    checkpoint mode) joined back by AQE-broadcast — no windows, no sorts.
+  *  - The E6 canonical-wrapper selection and the E9 triple-set dedup fuse
+  *    into one hash aggregate (single exchange over the data rows).
   */
 object Pipeline {
 
-  /** Stage C emission wrapper row (a union of triple and marker). */
-  final case class Emitted(t: Option[TripleRow], m: Option[Marker])
+  final case class Result(triples: DataFrame, markers: Dataset[Marker],
+                          private val cached: Seq[Dataset[_]]) {
+    def markersDF: DataFrame = markers.toDF
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
-  final case class Result(triples: DataFrame, markers: Dataset[Marker])
+  /** in-band marker encoding (Stage C → Stage D) */
+  private val MARKER_PRED = "urn:graft:marker"
 
-  val OWL_ONTOLOGY: String = Emitter.OWL_NS + "Ontology"
-  val OWL_IMPORTS: String = Emitter.OWL_NS + "imports"
+  final case class Options(
+      removeDuplicates: Boolean = false,
+      salt: Int = 8,
+      /** when set, stage outputs are written/read as parquet tables under this
+        * directory (checkpoint/resume mode); otherwise stmts are persisted */
+      checkpointDir: Option[String] = None)
 
   def run(docs: Dataset[Doc], baseURI: String, removeDuplicates: Boolean = false,
-          salt: Int = 8)(implicit spark: SparkSession): Result = {
+          salt: Int = 8)(implicit spark: SparkSession): Result =
+    run(docs, baseURI, Options(removeDuplicates, salt))
+
+  def run(docs: Dataset[Doc], baseURI: String, opts: Options)
+         (implicit spark: SparkSession): Result = {
     import spark.implicits._
 
     // ---- Stage A ----
-    val stmts = Tokenizer.stmts(docs)
+    val stmts0 = Tokenizer.stmts(docs)
+    val (stmts, cached) = opts.checkpointDir match {
+      case Some(dir) =>
+        val p = graft.sources.TableIO.checkpoint(stmts0.toDF, s"$dir/stage_a_stmts")
+        (p.as[Stmt], Nil)
+      case None =>
+        val c = stmts0.persist(StorageLevel.MEMORY_AND_DISK)
+        (c, Seq(c))
+    }
 
     // ---- Stage B ----
-    val Linker.LinkResult(linked, linkMarkers) = Linker.link(stmts, removeDuplicates, salt)
+    val linked = Linker.link(stmts, opts.removeDuplicates, opts.salt)
 
     // ---- Stage C ---- narrow; dictionaries load from the executor classpath
     val base = baseURI
-    val emitted: Dataset[Emitted] = linked.mapPartitions { it =>
+    val emitted0: Dataset[TripleRow] = linked.mapPartitions { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       it.flatMap { ls0 =>
         val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
-        if (ls.schema.isEmpty || !SchemaDict.available(ls.schema)) {
-          Iterator.single(Emitted(None, Some(Marker(ls.doc_id, "unsupported_schema", ls.line_id, ls.schema))))
+        if (ls.schema.isEmpty) Iterator.empty // reference produces no output at all
+        else if (!SchemaDict.available(ls.schema)) {
+          if (ls.keyword == Tokenizer.DocSentinel)
+            Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED,
+              ls.schema, "marker", "", ls.line_id, -1, wsel = false))
+          else Iterator.empty
         } else {
           val em = emitters.getOrElseUpdate(ls.schema, new Emitter(SchemaDict.load(ls.schema), base))
           val (ts, ms) = em.emit(ls)
-          ts.iterator.map(t => Emitted(Some(t), None)) ++ ms.iterator.map(m => Emitted(None, Some(m)))
+          ts.iterator ++ ms.iterator.map(m =>
+            TripleRow(m.doc_id, m.kind, MARKER_PRED, m.detail, "marker", "", m.line_id, -1, wsel = false))
         }
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-
-    val tripleRows = emitted.flatMap(_.t)
-    val markers = emitted.flatMap(_.m).union(linkMarkers).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // Stage C output is materialized exactly once: as a parquet stage table in
+    // checkpoint mode (resumable; the marker scan below is column-pruned +
+    // predicate-pushed into the parquet read), or as a cached dataset
+    // otherwise. Without this, the marker aggregates would recompute the whole
+    // tokenize→link→emit subtree (filters get pushed below a bare repartition,
+    // so exchange reuse can never kick in).
+    val (emitted, allCached) = opts.checkpointDir match {
+      case Some(dir) => (graft.sources.TableIO.checkpoint(emitted0.toDF, s"$dir/stage_c_emitted"), cached)
+      case None =>
+        val c = emitted0.toDF.persist(StorageLevel.MEMORY_AND_DISK)
+        (c, cached :+ c)
+    }
 
     // ---- Stage D ----
-    // per-document aborts: dangling refs (ERROR 6/7/8 — the file sink flushes
-    // nothing, goldens test6/test15 are empty) and reference-crash paths
-    val aborts = markers
-      .filter(m => m.kind == "dangling_ref" || m.kind == "crash" || m.kind == "unsupported_schema")
-      .toDF.select($"doc_id").distinct()
+    val isMarker = $"obj_kind" === "marker"
+    val markerRows = emitted.filter(isMarker)
+    // per-document aborts: dangling refs / reference-crash paths / unsupported
+    // schema (*ERROR 6/7/8*; goldens test6/test15 are empty)
+    val aborts = markerRows
+      .filter($"subj".isin("dangling_ref", "crash", "unsupported_schema"))
+      .select($"doc_id").distinct()
+    // ERROR 2 truncation: statements at/after the first unknown keyword (in
+    // ascending line order — SURVEY.md §7.4.4) emit nothing; header triples
+    // (src_line = -1) survive, matching the reference's flush behavior
+    val err2 = markerRows.filter($"subj" === "unknown_entity")
+      .groupBy($"doc_id").agg(min($"src_line").as("bad_line"))
 
-    // ERROR 2 truncation: all statements at/after the first unknown keyword
-    // (in ascending line order — see SURVEY.md §7.4.4) emit nothing
-    val err2 = markers.filter(_.kind == "unknown_entity").toDF
-      .groupBy($"doc_id").agg(min($"line_id").as("bad_line"))
-
-    // header triples (RDFWriter.java:121-122): emitted before parsing, so they
-    // survive ERROR 2 but not the file-sink abort
-    val docSchemas = docs.map(d => (d.doc_id, Tokenizer.sniffSchema(Tokenizer.assembleText(d))))
-      .toDF("doc_id", "schema")
-      .filter($"schema" =!= "")
-    val headers = docSchemas
-      .withColumn("ontns", schemaOntNsCol($"schema"))
-      .filter($"ontns".isNotNull)
-      .select($"doc_id", $"ontns")
-      .flatMap { r =>
-        val doc = r.getString(0); val ontns = r.getString(1)
-        Seq(
-          TripleRow(doc, base, Emitter.RDF_TYPE, OWL_ONTOLOGY, "iri", "", -1L, -1, "", wsel = false),
-          TripleRow(doc, base, OWL_IMPORTS, ontns, "iri", "", -1L, -1, "", wsel = false))
-      }.toDF
-
-    val all = tripleRows.toDF.unionByName(headers)
-      .join(aborts.withColumnRenamed("doc_id", "abort_doc"),
+    val data = emitted.filter(!isMarker)
+      .join(broadcast(aborts.withColumnRenamed("doc_id", "abort_doc")),
         $"doc_id" === $"abort_doc", "left_anti")
-      .join(err2, Seq("doc_id"), "left")
+      .join(broadcast(err2), Seq("doc_id"), "left")
       .filter($"bad_line".isNull || $"src_line" < $"bad_line")
       .drop("bad_line")
 
-    // E6 canonical wrapper typing: of the per-use candidate rdf:type rows of a
-    // shared literal wrapper, keep the first in document order (the
-    // reference's propertyResourceMap keeps the first-minted resource,
-    // RDFWriter.java:807-819)
-    val wWrap = Window.partitionBy($"doc_id", $"subj", $"wsel").orderBy($"src_line", $"slot", $"obj")
-    val canonical = all
-      .withColumn("wrn", when($"wsel", row_number().over(wWrap)).otherwise(lit(1)))
-      .filter($"wrn" === 1)
-      .drop("wrn", "wkey", "wsel")
+    // E6 canonical wrapper typing + E9 global dedup in ONE hash aggregate
+    // (no sort): the per-use candidate rdf:type rows of a shared literal
+    // wrapper (wsel) collapse into a single group — the lexicographic-min
+    // (src_line, slot, obj) struct picks the first-in-document-order class,
+    // reproducing the reference's propertyResourceMap first-mint behavior
+    // (RDFWriter.java:807-819); for all other rows the group key includes the
+    // object, i.e. plain triple-set dedup (rdf graphs are sets;
+    // resourceMap/getResource, RDFWriter.java:1092-1105).
+    val finalTriples = data
+      .groupBy($"doc_id", $"subj", $"pred",
+        when($"wsel", lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
+      .agg(min(struct($"src_line", $"slot", $"obj")).as("m"))
+      .select($"doc_id", $"subj", $"pred", $"m.obj".as("obj"), $"obj_kind",
+        $"obj_datatype", $"m.src_line".as("src_line"), $"m.slot".as("slot"))
 
-    // E9 global dedup (resourceMap/type triples; RDF graphs are triple sets)
-    val finalTriples = canonical
-      .dropDuplicates("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype")
+    val markers = markerRows
+      .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail"))
+      .as[Marker]
 
-    Result(finalTriples, markers)
-  }
-
-  /** schema version → ontology namespace (with '#'), as a Column expression. */
-  private def schemaOntNsCol(schema: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import graft.schema.DictGen.ontAlt
-    val pairs = ontAlt.toSeq
-    pairs.foldLeft(lit(null).cast("string")) { case (acc, (ver, alt)) =>
-      when(schema === ver, lit("http://standards.buildingsmart.org/IFC/DEV/" + alt + "OWL#")).otherwise(acc)
-    }
+    Result(finalTriples, markers, allCached)
   }
 }

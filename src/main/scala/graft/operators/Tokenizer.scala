@@ -60,11 +60,19 @@ object Tokenizer {
     sb.toString
   }
 
+  /** Sentinel statement emitted once per document (line_id = -1): carries the
+    * sniffed schema so Stage C can emit the per-document ontology header
+    * triples (RDFWriter.java:121-122) without a second scan of the input. */
+  val DocSentinel = "<DOC>"
+
   def tokenizeDoc(doc: Doc): Iterator[Stmt] = {
     val text = assembleText(doc)
     val schema = sniffSchema(text)
     val lines = text.split("\n", -1)
-    val out = ArrayBuffer[Stmt]()
+    // last-write-wins per line number, locally per doc — the whole document
+    // is one input row, so the reference's linemap.put overwrite semantics
+    // (IfcSpfParser.java:143) need no shuffle
+    val linemap = scala.collection.mutable.LinkedHashMap[Long, Stmt]()
     var i = 0
     var seq = 0L
     while (i < lines.length) {
@@ -77,12 +85,14 @@ object Tokenizer {
           last = lines(i)
           sb.append(last.trim)
         }
-        out += parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1))
+        val st = parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1))
+        linemap(st.line_id) = st
         seq += 1L
       }
       i += 1
     }
-    out.iterator
+    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, "", Nil, Nil)) ++
+      linemap.valuesIterator
   }
 
   private def toLong(s: String): Long =

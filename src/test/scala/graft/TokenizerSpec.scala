@@ -29,7 +29,7 @@ class TokenizerSpec extends SparkTestBase {
 
   test("statement spanning physical lines is reassembled") {
     val d = docOf("#1= IFCAPPLICATION(#2,\n   $,$,\n$);\n#2= IFCORGANIZATION($,$,$,$,$);")
-    val st = Tokenizer.tokenizeDoc(d).toVector
+    val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0)
     assert(st.map(_.line_id) == Vector(1L, 2L))
     assert(st.head.args.length == 4)
     assert(st.head.refs == Seq(2L))
@@ -37,7 +37,7 @@ class TokenizerSpec extends SparkTestBase {
 
   test("quoted strings protect commas, parens and escaped quotes") {
     val d = docOf("#2= IFCORGANIZATION($,'Ghent, Uni (BE)''s',$,$,$);")
-    val st = Tokenizer.tokenizeDoc(d).toVector.head
+    val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0).head
     // reference keeps the opening quote, drops the closing one, and collapses
     // '' to ' (IfcSpfParser.java:96-137)
     assert(st.args(1) == Tok0("S", "'Ghent, Uni (BE)'s", Nil))
@@ -47,7 +47,7 @@ class TokenizerSpec extends SparkTestBase {
     val full = header + "#29= IFCMEASUREWITHUNIT(IFCLENGTHMEASURE(0.0254),$);\nENDSEC;\n"
     val chunks = full.grouped(17).toSeq
     val spans = chunks.zipWithIndex.map { case (c, i) => Span("text", c, "", i) }
-    val st = Tokenizer.tokenizeDoc(Doc("d", spans)).toVector.head
+    val st = Tokenizer.tokenizeDoc(Doc("d", spans)).toVector.filter(_.line_id >= 0).head
     assert(st.keyword == "IFCMEASUREWITHUNIT")
     assert(st.args == Seq(
       Tok0("S", "IFCLENGTHMEASURE", Nil),
@@ -57,7 +57,7 @@ class TokenizerSpec extends SparkTestBase {
 
   test("refs collected at depths 0..2 only; deeper '#' stays a string") {
     val d = docOf("#1= IFCX(#2,(#3,(#4,(#5))),$);")
-    val st = Tokenizer.tokenizeDoc(d).toVector.head
+    val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0).head
     assert(st.refs.sorted == Seq(2L, 3L, 4L))
     val deep = st.args(1).sub(1).sub(1)
     assert(deep == Tok2("L", "", Seq(Tok3("S", "#5"))))
@@ -81,7 +81,7 @@ class TokenizerSpec extends SparkTestBase {
     import spark.implicits._
     val d = docOf("#2= IFCORGANIZATION($,'first',$,$,$);\n#2= IFCORGANIZATION($,'second',$,$,$);")
     val stmts = spark.createDataset(Seq(d)).transform(ds => Tokenizer.stmts(ds))
-    val linked = Linker.link(stmts).linked.collect()
+    val linked = Linker.link(stmts).collect().filter(_.line_id >= 0)
     assert(linked.length == 1)
     assert(linked.head.args(1).v == "'second")
   }
@@ -93,21 +93,21 @@ class TokenizerSpec extends SparkTestBase {
         "#2= IFCORGANIZATION($,$,$,$,$);\n" +
         "#3= IFCORGANIZATION($,$,$,$,$);")
     val stmts = Tokenizer.stmts(spark.createDataset(Seq(d)))
-    val r = Linker.link(stmts, removeDuplicates = true)
-    val linked = r.linked.collect().sortBy(_.line_id)
+    val linked = Linker.link(stmts, removeDuplicates = true).collect()
+      .filter(_.line_id >= 0).sortBy(_.line_id)
     assert(linked.map(_.line_id).toSeq == Seq(1L, 2L)) // #3 removed as dup of #2
     val t = linked.head.targets
     assert(t.length == 1 && t.head.ref == 3L && t.head.line == 2L) // re-aliased
-    assert(r.markers.count() == 0)
+    assert(t.forall(_.keyword != null))
   }
 
   test("dangling ref produces a doc-abort marker") {
     import spark.implicits._
     val d = docOf("#1= IFCAPPLICATION(#99,$,$,$);")
-    val stmts = Tokenizer.stmts(spark.createDataset(Seq(d)))
-    val r = Linker.link(stmts)
+    val r = graft.operators.Pipeline.run(spark.createDataset(Seq(d)), "http://b/")
+    assert(r.triples.count() == 0) // whole doc aborted, headers included
     val ms = r.markers.collect()
-    assert(ms.length == 1 && ms.head.kind == "dangling_ref")
+    assert(ms.exists(_.kind == "dangling_ref"))
   }
 
   // property: parse(render(tree)) == tree for well-formed statements
