@@ -13,7 +13,6 @@ object SparkEntry {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark
   }
 

@@ -28,8 +28,52 @@ import org.apache.spark.sql.functions._
   */
 object Linker {
 
+  /** Per-document dangling-ref abort list (*ERROR 6/7/8*). Derived from the
+    * same salted join as [[link]] but over args-pruned projections of the
+    * (persisted/checkpointed) statements — the fat token trees never enter
+    * this plan, so recomputing it is cheap. */
+  def danglingDocs(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
+                  (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    joinedRefs(stmts, removeDuplicates, salt)
+      .filter($"tkw".isNull)
+      .select($"doc_id").distinct()
+  }
+
   def link(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
           (implicit spark: SparkSession): Dataset[LinkedStmt] = {
+    import spark.implicits._
+    val joined = joinedRefs(stmts, removeDuplicates, salt)
+
+    // per-line target maps; dangling refs keep a null keyword
+    val refMaps = joined
+      .groupBy($"doc_id", $"line_id")
+      .agg(collect_list(struct($"ref".as("ref"),
+        coalesce($"tline", lit(-1L)).as("line"), $"tkw".as("keyword"))).as("targets"))
+
+    // shuffled-hash hint: refMaps (per-line target structs) is the small
+    // build side; sorting the fat token-tree rows for a sort-merge join is
+    // the thing to avoid here
+    dedupedStmts(stmts, removeDuplicates)
+      .join(refMaps.hint("shuffle_hash"), Seq("doc_id", "line_id"), "left")
+      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"args", $"targets")
+      .as[LinkedStmt]
+  }
+
+  private def dedupedStmts(stmts: Dataset[Stmt], removeDuplicates: Boolean)
+                          (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (!removeDuplicates) stmts.toDF
+    else {
+      val wBody = Window.partitionBy($"doc_id", $"body")
+      stmts.toDF.withColumn("canon",
+          when($"line_id" >= 0, min($"line_id").over(wBody)).otherwise($"line_id"))
+        .filter($"line_id" === $"canon").drop("canon")
+    }
+  }
+
+  private def joinedRefs(stmts: Dataset[Stmt], removeDuplicates: Boolean, salt: Int)
+                        (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
 
     // D1 (opt-in, CLI default off — IfcSpfReader.java:152): canonical line per body
@@ -75,16 +119,6 @@ object Linker {
       "left")
       .select(col("p.doc_id").as("doc_id"), col("p.line_id").as("line_id"),
         col("p.ref").as("ref"), col("t.tline").as("tline"), col("t.tkw").as("tkw"))
-
-    // per-line target maps; dangling refs keep a null keyword
-    val refMaps = joined
-      .groupBy($"doc_id", $"line_id")
-      .agg(collect_list(struct($"ref".as("ref"),
-        coalesce($"tline", lit(-1L)).as("line"), $"tkw".as("keyword"))).as("targets"))
-
-    deduped
-      .join(refMaps, Seq("doc_id", "line_id"), "left")
-      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"args", $"targets")
-      .as[LinkedStmt]
+    joined
   }
 }

@@ -85,33 +85,45 @@ object Pipeline {
         }
       }
     }
-    // Stage C output is materialized exactly once: as a parquet stage table in
-    // checkpoint mode (resumable; the marker scan below is column-pruned +
-    // predicate-pushed into the parquet read), or as a cached dataset
-    // otherwise. Without this, the marker aggregates would recompute the whole
-    // tokenize→link→emit subtree (filters get pushed below a bare repartition,
-    // so exchange reuse can never kick in).
-    val (emitted, allCached) = opts.checkpointDir match {
-      case Some(dir) => (graft.sources.TableIO.checkpoint(emitted0.toDF, s"$dir/stage_c_emitted"), cached)
-      case None =>
-        val c = emitted0.toDF.persist(StorageLevel.MEMORY_AND_DISK)
-        (c, cached :+ c)
+    // In checkpoint mode Stage C is additionally persisted as a stage table
+    // (resume point); the hot path below never needs a second pass over it.
+    val emitted = opts.checkpointDir match {
+      case Some(dir) => graft.sources.TableIO.checkpoint(emitted0.toDF, s"$dir/stage_c_emitted")
+      case None => emitted0.toDF
     }
 
     // ---- Stage D ----
-    val isMarker = $"obj_kind" === "marker"
-    val markerRows = emitted.filter(isMarker)
-    // per-document aborts: dangling refs / reference-crash paths / unsupported
-    // schema (*ERROR 6/7/8*; goldens test6/test15 are empty)
-    val aborts = markerRows
-      .filter($"subj".isin("dangling_ref", "crash", "unsupported_schema"))
-      .select($"doc_id").distinct()
-    // ERROR 2 truncation: statements at/after the first unknown keyword (in
-    // ascending line order — SURVEY.md §7.4.4) emit nothing; header triples
-    // (src_line = -1) survive, matching the reference's flush behavior
-    val err2 = markerRows.filter($"subj" === "unknown_entity")
-      .groupBy($"doc_id").agg(min($"src_line").as("bad_line"))
+    // The per-document abort/truncation flags derive from the (persisted,
+    // args-pruned) STATEMENTS, not from the emitted triples — the flag plans
+    // are tiny, so the fat emit stream is consumed exactly once with no
+    // materialization:
+    //  - dangling refs (*ERROR 6/7/8*): the salted join's unmatched probes;
+    //  - unknown keywords (*ERROR 2*): anti-join against the broadcast
+    //    dictionary key set, min line per doc (ascending-line truncation,
+    //    SURVEY.md §7.4.4; header triples at src_line = -1 survive);
+    //  - unsupported schema versions: sentinel rows whose version has no
+    //    compiled dictionary.
+    val versions = graft.schema.DictGen.ontAlt.keys.filter(SchemaDict.available).toSeq
+    val dictKeys = versions.flatMap { v =>
+      val dct = SchemaDict.load(v)
+      (dct.entities.keysIterator ++ dct.types.keysIterator).map(k => (v, k))
+    }.toDF("k_schema", "k_kw")
 
+    val real = stmts.toDF.filter($"line_id" >= 0)
+    val err2 = real
+      .filter($"schema".isin(versions: _*))
+      .join(broadcast(dictKeys),
+        $"schema" === $"k_schema" && upper(trim($"keyword")) === $"k_kw", "left_anti")
+      .groupBy($"doc_id").agg(min($"line_id").as("bad_line"))
+
+    val unsupported = stmts.toDF
+      .filter($"keyword" === Tokenizer.DocSentinel && $"schema" =!= "" &&
+        !$"schema".isin(versions: _*))
+      .select($"doc_id")
+    val aborts = Linker.danglingDocs(stmts, opts.removeDuplicates, opts.salt)
+      .union(unsupported).distinct()
+
+    val isMarker = $"obj_kind" === "marker"
     val data = emitted.filter(!isMarker)
       .join(broadcast(aborts.withColumnRenamed("doc_id", "abort_doc")),
         $"doc_id" === $"abort_doc", "left_anti")
@@ -134,10 +146,18 @@ object Pipeline {
       .select($"doc_id", $"subj", $"pred", $"m.obj".as("obj"), $"obj_kind",
         $"obj_datatype", $"m.src_line".as("src_line"), $"m.slot".as("slot"))
 
-    val markers = markerRows
-      .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail"))
+    // markers: relational flags + the emitter's in-band diagnostics (the
+    // latter re-run the emit subtree when consumed — fine for tests/ops
+    // introspection; the triples path never touches them)
+    val markers = aborts.select($"doc_id", lit("dangling_ref").as("kind"),
+        lit(-1L).as("line_id"), lit("").as("detail"))
+      .union(err2.select($"doc_id", lit("unknown_entity").as("kind"),
+        $"bad_line".as("line_id"), lit("").as("detail")))
+      .union(emitted.filter(isMarker)
+        .filter(!$"subj".isin("dangling_ref", "unknown_entity", "unsupported_schema"))
+        .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail")))
       .as[Marker]
 
-    Result(finalTriples, markers, allCached)
+    Result(finalTriples, markers, cached)
   }
 }
