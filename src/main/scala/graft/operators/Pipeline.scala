@@ -14,23 +14,63 @@ import org.apache.spark.storage.StorageLevel
   * ride in-band as sentinel rows) → Stage D relational finishing.
   *
   * Shuffle/pass budget (deliberate):
-  *  - `stmts` is consumed three times by the D2 join (probe refs, build keys,
-  *    final re-attach); it is either persisted (default; statements are small
-  *    relative to emitted triples) or checkpointed to a parquet stage table
-  *    (resumable production mode) so tokenization runs once.
-  *  - Stage C output is materialized once (cache or parquet checkpoint); the
-  *    per-document abort/truncation flags are tiny aggregates over the marker
-  *    rows of that materialization (column-pruned + predicate-pushed in
-  *    checkpoint mode) joined back by AQE-broadcast — no windows, no sorts.
-  *  - The E6 canonical-wrapper selection and the E9 triple-set dedup fuse
-  *    into one hash aggregate (single exchange over the data rows).
+  *  - `stmts` is materialized once (persisted by default; parquet stage table
+  *    in checkpoint/resume mode) and consumed by the D2 join's three sides
+  *    plus the abort/truncation flag plans — all of which are args-pruned, so
+  *    only the final re-attach ever moves the fat token trees;
+  *  - the per-document abort/truncation flags (dangling refs, unknown
+  *    keywords, unsupported schemas) come from those pruned statement plans
+  *    and join back as AQE broadcasts — the emitted triple stream is consumed
+  *    exactly once, unmaterialized (except in checkpoint mode, where Stage C
+  *    is also a resumable stage table);
+  *  - the E6 canonical-wrapper selection and the E9 triple-set dedup fuse
+  *    into one hash aggregate (single exchange over the triple rows, no
+  *    sorts anywhere in Stage D).
+  * Per-partition lineage rows (stage, partition, rows in/out, errors,
+  * wall_ms) are collected by accumulator from Stages A and C.
   */
 object Pipeline {
 
   final case class Result(triples: DataFrame, markers: Dataset[Marker],
-                          private val cached: Seq[Dataset[_]]) {
+                          private val cached: Seq[Dataset[_]],
+                          private val lineageAcc: org.apache.spark.util.CollectionAccumulator[LineageRow]) {
     def markersDF: DataFrame = markers.toDF
+    /** per-partition lineage/metrics observed so far (populate by running an
+      * action on `triples` first); retried tasks deduped per (stage, partition) */
+    def lineage(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      spark.createDataset(lineageAcc.value.asScala.toSeq).toDF
+        .groupBy($"stage", $"partition_id")
+        .agg(max($"rows_in").as("rows_in"), max($"rows_out").as("rows_out"),
+          max($"errors").as("errors"), max($"wall_ms").as("wall_ms"))
+    }
     def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Wrap a partition function with lineage counting. */
+  private def instrumented[T, U](stage: String,
+      acc: org.apache.spark.util.CollectionAccumulator[LineageRow],
+      isError: U => Boolean)(f: Iterator[T] => Iterator[U]): Iterator[T] => Iterator[U] = { it =>
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val t0 = System.currentTimeMillis()
+    var nIn = 0L
+    var nOut = 0L
+    var nErr = 0L
+    var reported = false
+    val out = f(it.map { x => nIn += 1; x })
+      .map { u => nOut += 1; if (isError(u)) nErr += 1; u }
+    new Iterator[U] {
+      def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h && !reported) {
+          reported = true
+          acc.add(LineageRow(stage, pid, nIn, nOut, nErr, System.currentTimeMillis() - t0))
+        }
+        h
+      }
+      def next(): U = out.next()
+    }
   }
 
   /** in-band marker encoding (Stage C → Stage D) */
@@ -51,8 +91,12 @@ object Pipeline {
          (implicit spark: SparkSession): Result = {
     import spark.implicits._
 
+    val lineageAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
+
     // ---- Stage A ----
-    val stmts0 = Tokenizer.stmts(docs)
+    val stmts0 = docs.mapPartitions(
+      instrumented[Doc, Stmt]("A_tokenize", lineageAcc, _ => false)(
+        _.flatMap(Tokenizer.tokenizeDoc)))
     val (stmts, cached) = opts.checkpointDir match {
       case Some(dir) =>
         val p = graft.sources.TableIO.checkpoint(stmts0.toDF, s"$dir/stage_a_stmts")
@@ -67,7 +111,8 @@ object Pipeline {
 
     // ---- Stage C ---- narrow; dictionaries load from the executor classpath
     val base = baseURI
-    val emitted0: Dataset[TripleRow] = linked.mapPartitions { it =>
+    val emitted0: Dataset[TripleRow] = linked.mapPartitions(
+      instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.obj_kind == "marker") { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       it.flatMap { ls0 =>
         val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
@@ -84,7 +129,7 @@ object Pipeline {
             TripleRow(m.doc_id, m.kind, MARKER_PRED, m.detail, "marker", "", m.line_id, -1, wsel = false))
         }
       }
-    }
+    })
     // In checkpoint mode Stage C is additionally persisted as a stage table
     // (resume point); the hot path below never needs a second pass over it.
     val emitted = opts.checkpointDir match {
@@ -158,6 +203,6 @@ object Pipeline {
         .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail")))
       .as[Marker]
 
-    Result(finalTriples, markers, cached)
+    Result(finalTriples, markers, cached, lineageAcc)
   }
 }

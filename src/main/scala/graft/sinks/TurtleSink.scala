@@ -1,0 +1,62 @@
+package graft.sinks
+
+import graft.model.FinalTriple
+
+/** Turtle serializer for per-document triple sets (SURVEY.md §2 S6).
+  *
+  * The reference streams Turtle through Jena's TURTLE_BLOCKS writer
+  * (RDFWriter.java:95-99) with a raw comment header (IfcSpfReader.java:312-315).
+  * Here Turtle is a presentation sink only — the system of record is the
+  * partitioned triples table — so this serializer is deliberately simple:
+  * prefixed names where possible, one triple per line, stable sort.
+  */
+object TurtleSink {
+
+  private val prefixes = Seq(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "list" -> "https://w3id.org/list#",
+    "express" -> "https://w3id.org/express#")
+
+  def serialize(triples: Seq[FinalTriple], baseURI: String, ontNS: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"# baseURI: $baseURI\r\n")
+    sb.append(s"# imports: ${ontNS.stripSuffix("#")}\r\n\r\n")
+    if (triples.isEmpty) return sb.toString
+    sb.append(s"@base <$baseURI> .\n")
+    sb.append(s"@prefix ifc: <$ontNS> .\n")
+    sb.append(s"@prefix inst: <$baseURI> .\n")
+    prefixes.foreach { case (p, ns) => sb.append(s"@prefix $p: <$ns> .\n") }
+    sb.append('\n')
+    val all = ("ifc" -> ontNS) +: ("inst" -> baseURI) +: prefixes
+
+    def term(iri: String): String =
+      all.collectFirst {
+        case (p, ns) if iri.startsWith(ns) && isLocal(iri.substring(ns.length)) =>
+          s"$p:${iri.substring(ns.length)}"
+      }.getOrElse(s"<$iri>")
+
+    def obj(t: FinalTriple): String =
+      if (t.obj_kind == "iri") term(t.obj)
+      else {
+        val lex = t.obj.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case c => c.toString
+        }
+        if (t.obj_datatype.isEmpty || t.obj_datatype.endsWith("#string")) s""""$lex""""
+        else s""""$lex"^^${term(t.obj_datatype)}"""
+      }
+
+    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach { t =>
+      sb.append(s"${term(t.subj)} ${term(t.pred)} ${obj(t)} .\n")
+    }
+    sb.toString
+  }
+
+  private def isLocal(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.golden.Golden
+import graft.model.{Doc, FinalTriple}
+import graft.operators.Pipeline
+import graft.sinks.TurtleSink
+import graft.sources.FixtureDocs
+import graft.streaming.StreamingPipeline
+
+import java.nio.file.Files
+
+class SinksSpec extends SparkTestBase {
+
+  assume(FixtureDocs.available())
+
+  private val ontNS = "http://standards.buildingsmart.org/IFC/DEV/IFC4/ADD2_TC1/OWL#"
+
+  test("TurtleSink output re-parses to the identical triple set") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(FixtureDocs.doc(12)))
+    val r = Pipeline.run(docs, FixtureDocs.BaseURI)
+    val rows = r.triples.as[FinalTriple].collect().toSeq
+    assert(rows.nonEmpty)
+    val ttl = TurtleSink.serialize(rows, FixtureDocs.BaseURI, ontNS)
+    val reparsed = Golden.fromTurtle(ttl)
+    val asT = Golden.fromTripleRows(rows)
+    assert(reparsed.toSet == asT.toSet)
+    r.unpersist()
+  }
+
+  test("streaming variant produces the same triples as batch") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val docs = spark.createDataset(FixtureDocs.docs())
+    docs.write.parquet(s"$tmp/docs")
+    val q = StreamingPipeline.start(spark, s"$tmp/docs", s"$tmp/triples", s"$tmp/ckpt",
+      FixtureDocs.BaseURI)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/triples")
+      .select("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype")
+      .collect().map(_.toSeq).toSet
+    val batch = Pipeline.run(docs, FixtureDocs.BaseURI)
+    val expected = batch.triples
+      .select("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    batch.unpersist()
+  }
+
+  test("lineage rows are collected per stage and partition") {
+    import spark.implicits._
+    val docs = spark.createDataset(FixtureDocs.docs())
+    val r = Pipeline.run(docs, FixtureDocs.BaseURI)
+    r.triples.count()
+    val rows = r.lineage.collect()
+    val stages = rows.map(_.getString(0)).toSet
+    assert(stages.contains("A_tokenize") && stages.contains("C_emit"))
+    val aIn = rows.filter(_.getString(0) == "A_tokenize").map(_.getLong(2)).sum
+    assert(aIn == 19L) // one row per fixture doc
+    r.unpersist()
+  }
+
+  test("resume: checkpointed stages are not recomputed") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ckpt").toString
+    val docs = spark.createDataset(FixtureDocs.docs())
+    val r1 = Pipeline.run(docs, FixtureDocs.BaseURI, Pipeline.Options(checkpointDir = Some(tmp)))
+    val n1 = r1.triples.count()
+    // second run resumes from the stage tables: lineage stays empty because
+    // stages A and C never execute
+    val r2 = Pipeline.run(docs, FixtureDocs.BaseURI, Pipeline.Options(checkpointDir = Some(tmp)))
+    val n2 = r2.triples.count()
+    assert(n1 == n2)
+    assert(r2.lineage.where("stage = 'C_emit'").count() == 0)
+  }
+}
