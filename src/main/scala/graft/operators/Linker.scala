@@ -56,7 +56,7 @@ object Linker {
     // the thing to avoid here
     dedupedStmts(stmts, removeDuplicates)
       .join(refMaps.hint("shuffle_hash"), Seq("doc_id", "line_id"), "left")
-      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"args", $"targets")
+      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"targets")
       .as[LinkedStmt]
   }
 

@@ -31,9 +31,24 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Tokenizer {
 
+  /** One parsed statement + its token tree. */
+  final case class Parsed(stmt: Stmt, args: Seq[Tok0])
+
   def stmts(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[Stmt] = {
     import spark.implicits._
     docs.flatMap(tokenizeDoc _)
+  }
+
+  /** Structured candidate-mention table (token trees included) — the
+    * judge-facing Stage A view; the hot path ships only the flat [[Stmt]]. */
+  def tokenTable(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[TokStmt] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      tokenizeDoc(d).filter(_.line_id >= 0).map { st =>
+        TokStmt(st.doc_id, st.schema, st.line_id, st.keyword,
+          parseStatement(st.doc_id, st.schema, st.seq, st.line_id.toString + "=" + st.body).args)
+      }
+    }
   }
 
   /** Reference: IfcSpfReader.getExpressSchema substring-match chain. */
@@ -85,13 +100,13 @@ object Tokenizer {
           last = lines(i)
           sb.append(last.trim)
         }
-        val st = parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1))
+        val st = parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1)).stmt
         linemap(st.line_id) = st
         seq += 1L
       }
       i += 1
     }
-    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, "", Nil, Nil)) ++
+    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, "", Nil)) ++
       linemap.valuesIterator
   }
 
@@ -104,7 +119,7 @@ object Tokenizer {
   private final case class RNode(id: Long, raw: String) extends Node
   private final class LNode(val children: ArrayBuffer[Node] = ArrayBuffer()) extends Node
 
-  def parseStatement(docId: String, schema: String, seq: Long, line: String): Stmt = {
+  def parseStatement(docId: String, schema: String, seq: Long, line: String): Parsed = {
     val body = line.substring(line.indexOf('=') + 1)
     var lineNum = Long.MinValue
     var keyword = ""
@@ -199,6 +214,6 @@ object Tokenizer {
       case _ => ()
     }
 
-    Stmt(docId, schema, seq, lineNum, keyword, body, args, refs.distinct.toSeq)
+    Parsed(Stmt(docId, schema, seq, lineNum, keyword, body, refs.distinct.toSeq), args)
   }
 }

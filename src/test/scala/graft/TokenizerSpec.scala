@@ -31,13 +31,15 @@ class TokenizerSpec extends SparkTestBase {
     val d = docOf("#1= IFCAPPLICATION(#2,\n   $,$,\n$);\n#2= IFCORGANIZATION($,$,$,$,$);")
     val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0)
     assert(st.map(_.line_id) == Vector(1L, 2L))
-    assert(st.head.args.length == 4)
+    import spark.implicits._
+    val tt = Tokenizer.tokenTable(spark.createDataset(Seq(d))).collect().sortBy(_.line_id)
+    assert(tt.head.args.length == 4)
     assert(st.head.refs == Seq(2L))
   }
 
   test("quoted strings protect commas, parens and escaped quotes") {
-    val d = docOf("#2= IFCORGANIZATION($,'Ghent, Uni (BE)''s',$,$,$);")
-    val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0).head
+    val st = Tokenizer.parseStatement("d1", "IFC4_ADD2_TC1", 0,
+      "2= IFCORGANIZATION($,'Ghent, Uni (BE)''s',$,$,$);")
     // reference keeps the opening quote, drops the closing one, and collapses
     // '' to ' (IfcSpfParser.java:96-137)
     assert(st.args(1) == Tok0("S", "'Ghent, Uni (BE)'s", Nil))
@@ -47,8 +49,9 @@ class TokenizerSpec extends SparkTestBase {
     val full = header + "#29= IFCMEASUREWITHUNIT(IFCLENGTHMEASURE(0.0254),$);\nENDSEC;\n"
     val chunks = full.grouped(17).toSeq
     val spans = chunks.zipWithIndex.map { case (c, i) => Span("text", c, "", i) }
-    val st = Tokenizer.tokenizeDoc(Doc("d", spans)).toVector.filter(_.line_id >= 0).head
-    assert(st.keyword == "IFCMEASUREWITHUNIT")
+    val flat = Tokenizer.tokenizeDoc(Doc("d", spans)).toVector.filter(_.line_id >= 0).head
+    assert(flat.keyword == "IFCMEASUREWITHUNIT")
+    val st = Tokenizer.parseStatement("d", flat.schema, 0, flat.line_id.toString + "=" + flat.body)
     assert(st.args == Seq(
       Tok0("S", "IFCLENGTHMEASURE", Nil),
       Tok0("L", "", Seq(Tok1("S", "0.0254", Nil))),
@@ -57,8 +60,9 @@ class TokenizerSpec extends SparkTestBase {
 
   test("refs collected at depths 0..2 only; deeper '#' stays a string") {
     val d = docOf("#1= IFCX(#2,(#3,(#4,(#5))),$);")
-    val st = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0).head
-    assert(st.refs.sorted == Seq(2L, 3L, 4L))
+    val flat = Tokenizer.tokenizeDoc(d).toVector.filter(_.line_id >= 0).head
+    assert(flat.refs.sorted == Seq(2L, 3L, 4L))
+    val st = Tokenizer.parseStatement("d1", "x", 0, "1= IFCX(#2,(#3,(#4,(#5))),$);")
     val deep = st.args(1).sub(1).sub(1)
     assert(deep == Tok2("L", "", Seq(Tok3("S", "#5"))))
   }
@@ -83,7 +87,7 @@ class TokenizerSpec extends SparkTestBase {
     val stmts = spark.createDataset(Seq(d)).transform(ds => Tokenizer.stmts(ds))
     val linked = Linker.link(stmts).collect().filter(_.line_id >= 0)
     assert(linked.length == 1)
-    assert(linked.head.args(1).v == "'second")
+    assert(linked.head.body.contains("'second'"))
   }
 
   test("D1 dedup removes duplicate bodies and re-aliases refs") {
@@ -128,7 +132,7 @@ class TokenizerSpec extends SparkTestBase {
     check(Prop.forAll(listGen(1), Gen.choose(1L, 9999L)) { (els, id) =>
       val stmt = s"$id= IFCWALL(${els.mkString(",")});"
       val st = Tokenizer.parseStatement("d", "IFC4_ADD2_TC1", 0, stmt)
-      st.line_id == id && st.keyword == "IFCWALL" && st.args.length == els.length
+      st.stmt.line_id == id && st.stmt.keyword == "IFCWALL" && st.args.length == els.length
     })
   }
 }
