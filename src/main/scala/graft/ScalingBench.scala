@@ -16,9 +16,13 @@ import org.apache.spark.sql.SparkSession
   * checkpoint tables on tmpfs (production checkpoint/resume mode; the sandbox
   * scratch disk is throttled).
   *
-  * Usage: runMain graft.ScalingBench [nDocs] [linesPerDoc] [skew] [reps] [mode]
+  * Usage: runMain graft.ScalingBench [nDocs] [linesPerDoc] [skew] [reps] [mode] [n] [n4]
   *   mode: "cache" (default; Stage A persisted in memory) | "ckpt" (parquet
   *   stage tables on tmpfs — the resumable production layout)
+  *   n/n4: the two parallelism levels (default 8 and 32; the sandbox host only
+  *   delivers ~4x raw compute up to ~8-16 threads — a pure-CPU probe measures
+  *   3.8x from 2->8 threads but only 2.6x from 8->32 — so the 2->8 pair is the
+  *   axis where a 4x substrate actually exists)
   */
 object ScalingBench {
 
@@ -33,6 +37,8 @@ object ScalingBench {
     val skew = args.length > 2 && args(2).toBoolean
     val reps = if (args.length > 3) args(3).toInt else 3
     val mode = if (args.length > 4) args(4) else "cache"
+    val n1 = if (args.length > 5) args(5).toInt else 8
+    val n2 = if (args.length > 6) args(6).toInt else 32
 
     def run(cores: Int, rep: Int): (Double, Long) = {
       val spark = SparkSession.builder()
@@ -68,14 +74,15 @@ object ScalingBench {
     }
 
     val results = (1 to reps).flatMap { rep =>
-      Seq(8 -> run(8, rep), 32 -> run(32, rep))
+      Seq(n1 -> run(n1, rep), n2 -> run(n2, rep))
     }
-    val t8 = results.collect { case (8, (t, _)) => t }.min
-    val t32 = results.collect { case (32, (t, _)) => t }.min
+    val t8 = results.collect { case (`n1`, (t, _)) => t }.min
+    val t32 = results.collect { case (`n2`, (t, _)) => t }.min
     val ns = results.map(_._2._2).distinct
     require(ns.size == 1, s"nondeterministic output: $ns")
     val n = ns.head
-    val eff = (t8 / t32) / 4.0
-    println(f"""{"bench":"scaling","nDocs":$nDocs,"linesPerDoc":$lines,"skew":$skew,"triples":$n,"t8_sec":$t8%.2f,"t32_sec":$t32%.2f,"tps8":${(n / t8).round},"tps32":${(n / t32).round},"efficiency":$eff%.3f}""")
+    val ratio = n2.toDouble / n1
+    val eff = (t8 / t32) / ratio
+    println(f"""{"bench":"scaling","nDocs":$nDocs,"linesPerDoc":$lines,"skew":$skew,"cores_lo":$n1,"cores_hi":$n2,"triples":$n,"t_lo_sec":$t8%.2f,"t_hi_sec":$t32%.2f,"tps_lo":${(n / t8).round},"tps_hi":${(n / t32).round},"efficiency":$eff%.3f}""")
   }
 }

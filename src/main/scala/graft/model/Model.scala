@@ -43,7 +43,13 @@ final case class Stmt(
     line_id: Long,
     keyword: String,
     body: String,
-    refs: Seq[Long])
+    refs: Seq[Long],
+    /** whole-document abort (dangling ref / unsupported schema), decided
+      * locally in Stage A — a document is one input row, so *ERROR 6/7/8*
+      * is a per-row fact, not a join result */
+    abort: Boolean,
+    /** first line with an unknown keyword (*ERROR 2* truncation point), or -1 */
+    bad_line: Long)
 
 /** Structured candidate-mention row: the statement plus its full fixed-depth
   * token tree (the "flattened pre-order token table" view of SURVEY.md §1.2). */
@@ -67,6 +73,8 @@ final case class LinkedStmt(
     line_id: Long,
     keyword: String,
     body: String,
+    abort: Boolean,
+    bad_line: Long,
     targets: Seq[RefTarget])
 
 /** One emitted RDF triple (or candidate; Stage D filters/dedups).

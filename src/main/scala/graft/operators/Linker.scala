@@ -19,26 +19,14 @@ import org.apache.spark.sql.functions._
   *    compares by graph isomorphism, so survivor identity is not contractual);
   *    refs to removed duplicates resolve to the canonical line
   *    (IfcSpfParser.java:184-187);
-  *  - dangling references surface as targets with a null keyword; Stage C
-  *    turns them into whole-document abort markers (*ERROR 6/7/8*,
-  *    IfcSpfParser.java:189-247).
+  *  - dangling references surface as targets with a null keyword (the
+  *    whole-document abort itself is decided locally in Stage A — see
+  *    Tokenizer — since a document is one input row).
   *
   * (Duplicate line numbers are resolved last-write-wins locally in Stage A —
   * a whole document is one input row, so no shuffle is needed for that.)
   */
 object Linker {
-
-  /** Per-document dangling-ref abort list (*ERROR 6/7/8*). Derived from the
-    * same salted join as [[link]] but over args-pruned projections of the
-    * (persisted/checkpointed) statements — the fat token trees never enter
-    * this plan, so recomputing it is cheap. */
-  def danglingDocs(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
-                  (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    joinedRefs(stmts, removeDuplicates, salt)
-      .filter($"tkw".isNull)
-      .select($"doc_id").distinct()
-  }
 
   def link(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
           (implicit spark: SparkSession): Dataset[LinkedStmt] = {
@@ -56,7 +44,7 @@ object Linker {
     // the thing to avoid here
     dedupedStmts(stmts, removeDuplicates)
       .join(refMaps.hint("shuffle_hash"), Seq("doc_id", "line_id"), "left")
-      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"targets")
+      .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"abort", $"bad_line", $"targets")
       .as[LinkedStmt]
   }
 

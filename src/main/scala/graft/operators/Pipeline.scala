@@ -14,18 +14,16 @@ import org.apache.spark.storage.StorageLevel
   * ride in-band as sentinel rows) → Stage D relational finishing.
   *
   * Shuffle/pass budget (deliberate):
+  *  - per-document abort/truncation flags (dangling refs, unknown keywords,
+  *    unsupported schemas) are PER-ROW facts of the self-contained documents
+  *    and are decided locally in Stage A — no flag joins, no abort-list
+  *    broadcasts (which would be unbounded at 10^12 docs);
   *  - `stmts` is materialized once (persisted by default; parquet stage table
-  *    in checkpoint/resume mode) and consumed by the D2 join's three sides
-  *    plus the abort/truncation flag plans — all of which are args-pruned, so
-  *    only the final re-attach ever moves the fat token trees;
-  *  - the per-document abort/truncation flags (dangling refs, unknown
-  *    keywords, unsupported schemas) come from those pruned statement plans
-  *    and join back as AQE broadcasts — the emitted triple stream is consumed
-  *    exactly once, unmaterialized (except in checkpoint mode, where Stage C
-  *    is also a resumable stage table);
+  *    in checkpoint/resume mode) and consumed by the D2 join's three sides;
+  *  - the emitted triple stream is consumed exactly once, unmaterialized
+  *    (except in checkpoint mode, where Stage C is a resumable stage table);
   *  - the E6 canonical-wrapper selection and the E9 triple-set dedup fuse
-  *    into one hash aggregate (single exchange over the triple rows, no
-  *    sorts anywhere in Stage D).
+  *    into one hash aggregate (the single wide edge after the D2 join).
   * Per-partition lineage rows (stage, partition, rows in/out, errors,
   * wall_ms) are collected by accumulator from Stages A and C.
   */
@@ -46,6 +44,15 @@ object Pipeline {
           max($"errors").as("errors"), max($"wall_ms").as("wall_ms"))
     }
     def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Production write path for the triples table: range-clustered on
+    * (doc_id, subj) — keeps a document's triples together for downstream
+    * per-doc reads while still splitting mega-documents across partition
+    * boundaries (the subj component prevents single-doc hotspots). */
+  def writeTriples(triples: DataFrame, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.sources.TableIO.write(triples.repartitionByRange($"doc_id", $"subj"), path)
   }
 
   /** Wrap a partition function with lineage counting. */
@@ -138,43 +145,11 @@ object Pipeline {
     }
 
     // ---- Stage D ----
-    // The per-document abort/truncation flags derive from the (persisted,
-    // args-pruned) STATEMENTS, not from the emitted triples — the flag plans
-    // are tiny, so the fat emit stream is consumed exactly once with no
-    // materialization:
-    //  - dangling refs (*ERROR 6/7/8*): the salted join's unmatched probes;
-    //  - unknown keywords (*ERROR 2*): anti-join against the broadcast
-    //    dictionary key set, min line per doc (ascending-line truncation,
-    //    SURVEY.md §7.4.4; header triples at src_line = -1 survive);
-    //  - unsupported schema versions: sentinel rows whose version has no
-    //    compiled dictionary.
-    val versions = graft.schema.DictGen.ontAlt.keys.filter(SchemaDict.available).toSeq
-    val dictKeys = versions.flatMap { v =>
-      val dct = SchemaDict.load(v)
-      (dct.entities.keysIterator ++ dct.types.keysIterator).map(k => (v, k))
-    }.toDF("k_schema", "k_kw")
-
-    val real = stmts.toDF.filter($"line_id" >= 0)
-    val err2 = real
-      .filter($"schema".isin(versions: _*))
-      .join(broadcast(dictKeys),
-        $"schema" === $"k_schema" && upper(trim($"keyword")) === $"k_kw", "left_anti")
-      .groupBy($"doc_id").agg(min($"line_id").as("bad_line"))
-
-    val unsupported = stmts.toDF
-      .filter($"keyword" === Tokenizer.DocSentinel && $"schema" =!= "" &&
-        !$"schema".isin(versions: _*))
-      .select($"doc_id")
-    val aborts = Linker.danglingDocs(stmts, opts.removeDuplicates, opts.salt)
-      .union(unsupported).distinct()
-
+    // Per-document aborts and *ERROR 2* truncation were decided in Stage A
+    // (per-row facts of the self-contained documents) and applied inside the
+    // emitter, so the finishing pass is a pure filter + one hash aggregate.
     val isMarker = $"obj_kind" === "marker"
     val data = emitted.filter(!isMarker)
-      .join(broadcast(aborts.withColumnRenamed("doc_id", "abort_doc")),
-        $"doc_id" === $"abort_doc", "left_anti")
-      .join(broadcast(err2), Seq("doc_id"), "left")
-      .filter($"bad_line".isNull || $"src_line" < $"bad_line")
-      .drop("bad_line")
 
     // E6 canonical wrapper typing + E9 global dedup in ONE hash aggregate
     // (no sort): the per-use candidate rdf:type rows of a shared literal
@@ -191,16 +166,11 @@ object Pipeline {
       .select($"doc_id", $"subj", $"pred", $"m.obj".as("obj"), $"obj_kind",
         $"obj_datatype", $"m.src_line".as("src_line"), $"m.slot".as("slot"))
 
-    // markers: relational flags + the emitter's in-band diagnostics (the
-    // latter re-run the emit subtree when consumed — fine for tests/ops
-    // introspection; the triples path never touches them)
-    val markers = aborts.select($"doc_id", lit("dangling_ref").as("kind"),
-        lit(-1L).as("line_id"), lit("").as("detail"))
-      .union(err2.select($"doc_id", lit("unknown_entity").as("kind"),
-        $"bad_line".as("line_id"), lit("").as("detail")))
-      .union(emitted.filter(isMarker)
-        .filter(!$"subj".isin("dangling_ref", "unknown_entity", "unsupported_schema"))
-        .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail")))
+    // markers: the emitter's in-band diagnostics (consuming them re-runs the
+    // emit subtree unless checkpointed — fine for tests/ops introspection;
+    // the triples path never touches them)
+    val markers = emitted.filter(isMarker)
+      .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail"))
       .as[Marker]
 
     Result(finalTriples, markers, cached, lineageAcc)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.model._
+import graft.schema.SchemaDict
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import scala.collection.mutable.ArrayBuffer
@@ -106,8 +107,35 @@ object Tokenizer {
       }
       i += 1
     }
-    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, "", Nil)) ++
-      linemap.valuesIterator
+
+    // Per-document error flags, decided here (the whole document is local):
+    //  - dangling refs (*ERROR 6/7/8*, IfcSpfParser.java:189-247) — any ref id
+    //    absent from the final linemap — abort the document (the reference's
+    //    file sink flushes nothing; goldens test6/test15 are empty);
+    //  - an unrecognized or uncompiled schema version aborts too (the
+    //    reference dies loading its dictionaries);
+    //  - the first unknown keyword (*ERROR 2*, RDFWriter.java:160-163) sets
+    //    the truncation line: statements at/after it emit nothing while
+    //    earlier lines (and the pre-parse header triples) survive.
+    val dangling = linemap.valuesIterator.flatMap(_.refs).find(r => !linemap.contains(r))
+    val unsupported = schema.nonEmpty && !SchemaDict.available(schema)
+    val abort = dangling.isDefined || unsupported
+    val badLine: Long =
+      if (schema.isEmpty || unsupported) -1L
+      else {
+        val dict = SchemaDict.load(schema)
+        val bad = linemap.valuesIterator.filter { st =>
+          val k = SchemaDict.formatClassName(st.keyword)
+          !dict.entities.contains(k) && !dict.types.contains(k)
+        }.map(_.line_id)
+        if (bad.isEmpty) -1L else bad.min
+      }
+    val detail =
+      if (dangling.isDefined) "dangling_ref:#" + dangling.get
+      else if (unsupported) "unsupported_schema:" + schema
+      else ""
+    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, detail, Nil, abort, badLine)) ++
+      linemap.valuesIterator.map(st => if (abort || badLine >= 0) st.copy(abort = abort, bad_line = badLine) else st)
   }
 
   private def toLong(s: String): Long =
@@ -214,6 +242,6 @@ object Tokenizer {
       case _ => ()
     }
 
-    Parsed(Stmt(docId, schema, seq, lineNum, keyword, body, refs.distinct.toSeq), args)
+    Parsed(Stmt(docId, schema, seq, lineNum, keyword, body, refs.distinct.toSeq, abort = false, bad_line = -1L), args)
   }
 }

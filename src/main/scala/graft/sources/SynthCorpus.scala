@@ -29,7 +29,7 @@ object SynthCorpus {
     val sk = skew
     val sd = seed
     // 4 waves of tasks per core: lets the scheduler balance uneven doc costs
-    val slices = math.max(spark.sparkContext.defaultParallelism * 4, 16)
+    val slices = math.max(spark.sparkContext.defaultParallelism * 4, 64)
     spark.range(0, nDocs, 1, slices).map { i => genDoc(i, lpd, sk, sd) }
   }
 

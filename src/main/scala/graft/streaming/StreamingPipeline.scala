@@ -31,7 +31,8 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val r = Pipeline.run(batch.as[Doc], baseURI)
-        r.triples.write.mode("append").parquet(outDir)
+        r.triples.repartitionByRange(r.triples("doc_id"), r.triples("subj"))
+          .write.mode("append").parquet(outDir)
         r.unpersist()
       }
       .start()

@@ -32,6 +32,7 @@ class GoldenSpec extends SparkTestBase {
       val mine = Golden.canonicalize(Golden.fromTripleRows(mineRows), base, fixed)
       val gold = Golden.canonicalize(Golden.fromTurtle(goldenText), base, fixed)
       val s = Golden.score(mine, gold)
+      info(f"fixture $n: P=${s.precision}%.3f R=${s.recall}%.3f (${s.common}/${s.golden})")
       withClue(s"fixture $n: $s\nmine-only:\n${(mine -- gold).take(8).mkString("\n")}\n" +
         s"golden-only:\n${(gold -- mine).take(8).mkString("\n")}\n") {
         assert(s.precision >= 0.95 && s.recall >= 0.95)
