@@ -28,9 +28,9 @@ object Battery {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** portable 32-bit token hash (non-negative, fits a long) */
-  private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32(c: Column): Column = graft.functions.TextOps.h32(c)
 
-  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+  private def toks(c: Column): Column = graft.functions.TextOps.tokens(c)
 
   // ---------------------------------------------------------------- queries
 
@@ -115,10 +115,8 @@ object Battery {
     }),
 
     // --- training-data pipeline: deduplication ---
-    "q11_dedup_exact" -> ((s, d) => {
-      t(s, d, "documents").groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n"))
-    }),
+    "q11_dedup_exact" -> ((s, d) =>
+      graft.functions.TextOps.exactDuplicates(t(s, d, "documents"), "doc_id", "text")),
     "q12_dedup_jaccard" -> ((s, d) => {
       // word-3-gram shingle Jaccard near-dup pairs, all-integer
       val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
@@ -167,54 +165,20 @@ object Battery {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
     }),
-    "q14_dedup_simhash" -> ((s, d) => {
+    "q14_dedup_simhash" -> ((s, d) =>
       // 16-bit SimHash over the distinct-token set
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok")).distinct()
-        .select(col("doc_id"), h32(col("tok")).as("h"))
-      val bits = tok.select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"), col("h"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(expr("(shiftright(h, CAST(j AS INT)) & 1)") === 1, 1)
-          .otherwise(-1)).as("w"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("w") > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
-          .as("simhash"))
-    }),
+      graft.functions.TextOps.simhash(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
 
     // --- training-data pipeline: similarity search ---
-    "q15_ann_dot_topk" -> ((s, d) => {
+    "q15_ann_dot_topk" -> ((s, d) =>
       // brute-force integer-exact dot-product top-5 per query vector
-      val el = t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
-        .select(col("vec_id"), col("pos"), floor(col("e") * 1000).cast("long").as("ei"))
-      val q = el.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q"), col("pos"), col("ei").as("qe"))
-      val dots = q.join(el.select(col("vec_id").as("c"), col("pos"), col("ei").as("ce")), Seq("pos"))
-        .filter(col("q") =!= col("c"))
-        .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
-      val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
-      dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q"), col("rank"), col("c"), col("dot"))
-    }),
-    "q16_ann_lsh_bucket" -> ((s, d) => {
+      graft.functions.AnnOps.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 5).select(col("q"), col("rank"), col("c"), col("dot"))),
+    "q16_ann_lsh_bucket" -> ((s, d) =>
       // sign-LSH bucketing on the first 8 dimensions + in-bucket top-3
-      val emb = t(s, d, "embeddings")
-      val bucketed = emb.select(col("vec_id"),
-        expr("aggregate(sequence(0,7), 0L, (acc, j) -> acc + CASE WHEN embedding[j] >= 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)").as("bucket"),
-        col("embedding"))
-      val el = bucketed
-        .select(col("vec_id"), col("bucket"), posexplode(col("embedding")).as(Seq("pos", "e")))
-        .select(col("vec_id"), col("bucket"), col("pos"), floor(col("e") * 1000).cast("long").as("ei"))
-      val q = el.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q"), col("bucket"), col("pos"), col("ei").as("qe"))
-      val dots = q.join(el.select(col("vec_id").as("c"), col("bucket").as("cb"),
-          col("pos").as("cpos"), col("ei").as("ce")),
-          col("bucket") === col("cb") && col("q") =!= col("c") && col("pos") === col("cpos"))
-        .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
-      val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
-      dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("q"), col("rank"), col("c"))
-    }),
+      graft.functions.AnnOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 3).select(col("q"), col("rank"), col("c"))),
 
     // --- training-data pipeline: text analysis ---
     "q17_langid" -> ((s, d) => {
@@ -241,13 +205,10 @@ object Battery {
         size(toks(col("text"))).as("ws_tokens"),
         floor((col("n_chars") + 3) / 4).cast("long").as("bpe_approx"))
     }),
-    "q20_fingerprint" -> ((s, d) => {
+    "q20_fingerprint" -> ((s, d) =>
       // order-sensitive rolling document fingerprint (position-weighted hash)
-      t(s, d, "documents")
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"))
-        .agg((sum((col("pos") + 1) * h32(col("tok"))) % lit(1000000007L)).as("fp"))
-    }),
+      graft.functions.TextOps.fingerprint(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
 
     // --- training-data pipeline: multimodal stub ---
     "q21_media_stub" -> ((s, d) => {
