@@ -44,7 +44,9 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores * 2)
+        .config("spark.sql.shuffle.partitions", cores * 4)
+        .config("spark.default.parallelism", cores * 8)
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
