@@ -42,6 +42,13 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // JIT/codegen warm-up (uncounted): the first pipeline execution in a JVM
+    // pays classloading + whole-stage-codegen compilation
+    locally {
+      val w = Pipeline.run(SynthCorpus.docs(spark, 50, 50), SynthCorpus.BaseURI)
+      w.triples.count(); w.unpersist()
+    }
+
     results("kg_uniform") = timed {
       val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, 100), SynthCorpus.BaseURI)
       val n = r.triples.count(); r.unpersist()

@@ -17,10 +17,12 @@ object SparkEntry {
   }
 
   /** The interleaved-span docs table synthesized from the reference's golden
-    * corpus (FIXTURES.md §2). */
+    * corpus (FIXTURES.md §2); falls back to the deterministic synthetic
+    * corpus when the reference tree is not mounted. */
   def goldenDocs(spark: SparkSession): org.apache.spark.sql.Dataset[Doc] = {
     import spark.implicits._
-    spark.createDataset(FixtureDocs.docs())
+    if (FixtureDocs.available()) spark.createDataset(FixtureDocs.docs())
+    else graft.sources.SynthCorpus.docs(spark, 20, 60)
   }
 
   /** Flagship: the four-stage KG-construction pipeline over the golden corpus;

@@ -3,7 +3,6 @@ package graft.operators
 import graft.model._
 import graft.schema.SchemaDict
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
