@@ -81,6 +81,20 @@ class TokenizerSpec extends SparkTestBase {
     assert(Tokenizer.assembleText(d1) == orig)
   }
 
+  test("IFC4x1 and IFC4x3_RC1 dictionaries convert simple documents") {
+    import spark.implicits._
+    for ((decl, ns) <- Seq("IFC4X1" -> "IFC4_1/", "IFC4X3_RC1" -> "IFC4_3/RC1/")) {
+      val d = Doc(s"v-$decl", Seq(Span("text",
+        s"ISO-10303-21;\nHEADER;\nFILE_SCHEMA(('$decl'));\nENDSEC;\nDATA;\n" +
+          "#2= IFCORGANIZATION($,'Org',$,$,$);\nENDSEC;\n", "", 0)))
+      val r = graft.operators.Pipeline.run(spark.createDataset(Seq(d)), "http://b/")
+      val rows = r.triples.collect()
+      assert(rows.exists(_.getAs[String]("obj").contains(ns)), s"$decl ontology NS")
+      assert(rows.exists(_.getAs[String]("pred").endsWith("name_IfcOrganization")), s"$decl literal attr")
+      r.unpersist()
+    }
+  }
+
   test("duplicate line number: last parse wins (linemap.put overwrite)") {
     import spark.implicits._
     val d = docOf("#2= IFCORGANIZATION($,'first',$,$,$);\n#2= IFCORGANIZATION($,'second',$,$,$);")
