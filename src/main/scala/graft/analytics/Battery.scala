@@ -170,6 +170,24 @@ object Battery {
       graft.functions.TextOps.simhash(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "q23_dedup_embcos" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs, all-integer decision rule:
+      // cos(a,b) >= 0.3  approximated as  10*dot >= 3*floor(|a|)*floor(|b|)
+      // over 1e3-quantized elements (deterministic in both engines)
+      val el = graft.functions.AnnOps.quantized(t(s, d, "embeddings"), "vec_id", "embedding")
+      val norms = el.groupBy(col("vid")).agg(
+        floor(sqrt(sum(col("ei") * col("ei")).cast("double"))).cast("long").as("nrm"))
+      val dots = el.alias("x").join(el.alias("y"),
+          col("x.pos") === col("y.pos") && col("x.vid") < col("y.vid"))
+        .groupBy(col("x.vid").as("a"), col("y.vid").as("b"))
+        .agg(sum(col("x.ei") * col("y.ei")).as("dot"))
+      dots
+        .join(norms.withColumnRenamed("vid", "a").withColumnRenamed("nrm", "na"), "a")
+        .join(norms.withColumnRenamed("vid", "b").withColumnRenamed("nrm", "nb"), "b")
+        .filter(col("dot") * 10 >= col("na") * col("nb") * 3)
+        .select(col("a"), col("b"), col("dot"))
+    }),
+
     // --- training-data pipeline: similarity search ---
     "q15_ann_dot_topk" -> ((s, d) =>
       // brute-force integer-exact dot-product top-5 per query vector
@@ -337,6 +355,19 @@ object Battery {
                 GROUP BY 1, 2)
        SELECT doc_id, SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
        FROM bits GROUP BY 1""",
+    "q23_dedup_embcos" ->
+      """WITH el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       norms AS (SELECT vid, CAST(FLOOR(SQRT(CAST(SUM(ei*ei) AS DOUBLE))) AS BIGINT) AS nrm
+                 FROM el GROUP BY 1),
+       dots AS (SELECT x.vid AS a, y.vid AS b, SUM(x.ei * y.ei) AS dot
+                FROM el x JOIN el y ON x.pos = y.pos AND x.vid < y.vid
+                GROUP BY 1, 2)
+       SELECT a, b, dot
+       FROM dots JOIN norms na ON dots.a = na.vid JOIN norms nb ON dots.b = nb.vid
+       WHERE dot * 10 >= na.nrm * nb.nrm * 3""",
     "q15_ann_dot_topk" ->
       """WITH el AS (SELECT vec_id, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
                 SELECT vec_id, unnest(embedding) AS e,
