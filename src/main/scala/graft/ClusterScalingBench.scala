@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.sources.SynthCorpus
+import org.apache.spark.sql.SparkSession
+
+/** N vs 4N EXECUTORS scaling evidence using Spark's local-cluster mode:
+  * unlike local[n] (one shared JVM), each executor is its own process with
+  * its own heap, GC and allocator — the faithful in-sandbox model of adding
+  * executors to a cluster, which is what the north rule's scaling criterion
+  * is about. Requires SPARK_HOME and the packaged app jar
+  * (`sbt package` → target/scala-2.13/ifctordfspark_2.13-0.1.0.jar).
+  *
+  * Usage: runMain graft.ClusterScalingBench [nDocs] [lines] [skew] [reps]
+  *        [nExecLo] [nExecHi] [coresPerExec] [memPerExecMb]
+  */
+object ClusterScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 10000
+    val lines = if (args.length > 1) args(1).toInt else 100
+    val skew = args.length > 2 && args(2).toBoolean
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val execLo = if (args.length > 4) args(4).toInt else 2
+    val execHi = if (args.length > 5) args(5).toInt else 8
+    val cpe = if (args.length > 6) args(6).toInt else 4
+    val mem = if (args.length > 7) args(7).toInt else 6144
+
+    val jar = new java.io.File("target/scala-2.13/ifctordfspark_2.13-0.1.0.jar")
+    require(jar.isFile, s"app jar missing — run `sbt package` first (${jar.getPath})")
+
+    def run(execs: Int, rep: Int): (Double, Long) = {
+      val spark = SparkSession.builder()
+        .master(s"local-cluster[$execs,$cpe,$mem]")
+        .appName(s"graft-cluster-$execs")
+        .config("spark.jars", jar.getPath)
+        .config("spark.sql.shuffle.partitions", execs * cpe * 4)
+        .config("spark.default.parallelism", execs * cpe * 8)
+        .config("spark.locality.wait", "0s")
+        .config("spark.sql.adaptive.enabled", "true")
+        // AQE must not broadcast-convert the (doc_id, line_id)-keyed joins:
+        // their compressed shuffle stats look small but the hashed relation
+        // does not fit executor task memory
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      implicit val s: SparkSession = spark
+      val w = Pipeline.run(SynthCorpus.docs(spark, 50, 50, skew), SynthCorpus.BaseURI)
+      w.triples.count(); w.unpersist()
+      val t0 = System.nanoTime()
+      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, lines, skew), SynthCorpus.BaseURI)
+      val n = r.triples.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      r.unpersist()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.err.println(f"[cluster-scaling] executors=$execs rep=$rep t=$secs%.2f")
+      (secs, n)
+    }
+
+    val results = (1 to reps).flatMap { rep =>
+      Seq(execLo -> run(execLo, rep), execHi -> run(execHi, rep))
+    }
+    val tLo = results.collect { case (`execLo`, (t, _)) => t }.min
+    val tHi = results.collect { case (`execHi`, (t, _)) => t }.min
+    val ns = results.map(_._2._2).distinct
+    require(ns.size == 1, s"nondeterministic output: $ns")
+    val n = ns.head
+    val eff = (tLo / tHi) / (execHi.toDouble / execLo)
+    println(f"""{"bench":"cluster-scaling","nDocs":$nDocs,"linesPerDoc":$lines,"skew":$skew,"executors_lo":$execLo,"executors_hi":$execHi,"cores_per_executor":$cpe,"triples":$n,"t_lo_sec":$tLo%.2f,"t_hi_sec":$tHi%.2f,"tps_lo":${(n / tLo).round},"tps_hi":${(n / tHi).round},"efficiency":$eff%.3f}""")
+  }
+}

@@ -39,11 +39,11 @@ object Linker {
       .agg(collect_list(struct($"ref".as("ref"),
         coalesce($"tline", lit(-1L)).as("line"), $"tkw".as("keyword"))).as("targets"))
 
-    // shuffled-hash hint: refMaps (per-line target structs) is the small
-    // build side; sorting the fat token-tree rows for a sort-merge join is
-    // the thing to avoid here
+    // sort-merge join (spills gracefully; a shuffled-hash build map cannot —
+    // it OOMs under small executor heaps). Statement rows are flat, so the
+    // sort payload is modest.
     dedupedStmts(stmts, removeDuplicates)
-      .join(refMaps.hint("shuffle_hash"), Seq("doc_id", "line_id"), "left")
+      .join(refMaps, Seq("doc_id", "line_id"), "left")
       .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"abort", $"bad_line", $"targets")
       .as[LinkedStmt]
   }

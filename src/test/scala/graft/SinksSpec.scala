@@ -60,6 +60,36 @@ class SinksSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("goldens still match with duplicate-removal enabled (no dups present)") {
+    import spark.implicits._
+    // these fixtures contain no duplicate bodies, so D1 must be a no-op
+    // (fixture 12 intentionally NOT used: its four identical
+    // IFCCARTESIANPOINT($) lines are true duplicates that D1 collapses)
+    val docs = spark.createDataset(Seq(FixtureDocs.doc(1), FixtureDocs.doc(10)))
+    val base = Pipeline.run(docs, FixtureDocs.BaseURI)
+    val withD1 = Pipeline.run(docs, FixtureDocs.BaseURI, Pipeline.Options(removeDuplicates = true))
+    val a = base.triples.select("doc_id", "subj", "pred", "obj").collect().map(_.toSeq).toSet
+    val b = withD1.triples.select("doc_id", "subj", "pred", "obj").collect().map(_.toSeq).toSet
+    assert(a == b)
+    base.unpersist(); withD1.unpersist()
+  }
+
+  test("D1 dedup through the full pipeline redirects refs to the canonical line") {
+    import spark.implicits._
+    val text = "ISO-10303-21;\nHEADER;\nFILE_SCHEMA(('IFC4'));\nENDSEC;\nDATA;\n" +
+      "#1= IFCAPPLICATION(#3,$,$,$);\n" +
+      "#2= IFCORGANIZATION($,$,$,$,$);\n" +
+      "#3= IFCORGANIZATION($,$,$,$,$);\nENDSEC;\n"
+    val docs = spark.createDataset(Seq(graft.model.Doc("dd", Seq(graft.model.Span("text", text, "", 0)))))
+    val r = Pipeline.run(docs, "http://b/", Pipeline.Options(removeDuplicates = true))
+    val rows = r.triples.collect().map(x => (x.getAs[String]("subj"), x.getAs[String]("pred"), x.getAs[String]("obj")))
+    // the duplicate #3 collapses onto #2: the applicationDeveloper edge targets IfcOrganization_2
+    assert(rows.exists { case (s, p, o) =>
+      s.endsWith("IfcApplication_1") && p.endsWith("applicationDeveloper_IfcApplication") && o.endsWith("IfcOrganization_2") })
+    assert(!rows.exists(_._1.endsWith("IfcOrganization_3")))
+    r.unpersist()
+  }
+
   test("resume: checkpointed stages are not recomputed") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ckpt").toString
