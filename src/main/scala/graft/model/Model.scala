@@ -81,10 +81,11 @@ final case class LinkedStmt(
   * obj_kind: "iri" | "literal". obj_datatype: full XSD IRI ("" for IRIs;
   * xsd:string for plain strings — matching the reference's typed-literal
   * emission, RDFWriter.java:674-704).
-  * wsel: true for the per-use candidate rdf:type row of a literal wrapper
-  * (E6, RDFWriter.java:807-819); Stage D keeps the first per (doc_id, subj)
-  * in (src_line, slot, obj) order.
-  */
+  * wcls: >= 0 marks the per-use candidate rdf:type row of a literal wrapper
+  * (E6, RDFWriter.java:807-819) and carries the global class id of its obj
+  * (schema.ClassIds); Stage D keeps the first candidate per (doc_id, subj)
+  * in (src_line, slot, class) order inside a single-long hash aggregate.
+  * -1 for all other rows. */
 final case class TripleRow(
     doc_id: String,
     subj: String,
@@ -94,7 +95,7 @@ final case class TripleRow(
     obj_datatype: String,
     src_line: Long,
     slot: Int,
-    wsel: Boolean)
+    wcls: Int)
 
 /** Final output row of the pipeline (Stage D), lineage columns included. */
 final case class FinalTriple(

@@ -126,13 +126,13 @@ object Pipeline {
         else if (!SchemaDict.available(ls.schema)) {
           if (ls.keyword == Tokenizer.DocSentinel)
             Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED,
-              ls.schema, "marker", "", ls.line_id, -1, wsel = false))
+              ls.schema, "marker", "", ls.line_id, -1, -1))
           else Iterator.empty
         } else {
           val em = emitters.getOrElseUpdate(ls.schema, new Emitter(SchemaDict.load(ls.schema), base))
           val (ts, ms) = em.emit(ls)
           ts.iterator ++ ms.iterator.map(m =>
-            TripleRow(m.doc_id, m.kind, MARKER_PRED, m.detail, "marker", "", m.line_id, -1, wsel = false))
+            TripleRow(m.doc_id, m.kind, MARKER_PRED, m.detail, "marker", "", m.line_id, -1, -1))
         }
       }
     })
@@ -150,20 +150,36 @@ object Pipeline {
     val isMarker = $"obj_kind" === "marker"
     val data = emitted.filter(!isMarker)
 
-    // E6 canonical wrapper typing + E9 global dedup in ONE hash aggregate
-    // (no sort): the per-use candidate rdf:type rows of a shared literal
-    // wrapper (wsel) collapse into a single group — the lexicographic-min
-    // (src_line, slot, obj) struct picks the first-in-document-order class,
-    // reproducing the reference's propertyResourceMap first-mint behavior
-    // (RDFWriter.java:807-819); for all other rows the group key includes the
-    // object, i.e. plain triple-set dedup (rdf graphs are sets;
-    // resourceMap/getResource, RDFWriter.java:1092-1105).
+    // E6 canonical wrapper typing + E9 global dedup in ONE TRUE hash
+    // aggregate: the per-use candidate rdf:type rows of a shared literal
+    // wrapper (wcls >= 0) collapse into a single group; the minimized value
+    // is a single LONG encoding (src_line, slot, classId) — min picks the
+    // first-in-document-order class, reproducing the reference's
+    // propertyResourceMap first-mint behavior (RDFWriter.java:807-819) —
+    // and a fixed-width buffer keeps the aggregate in HashAggregateExec
+    // (a struct/string buffer would demote it to SortAggregate = two full
+    // sorts of the triple stream). For all other rows the group key includes
+    // the object: plain triple-set dedup (RDF graphs are sets;
+    // resourceMap/getResource, RDFWriter.java:1092-1105). The canonical
+    // class IRI is decoded through a tiny broadcast dimension.
+    import graft.schema.ClassIds
+    val classDim = broadcast(
+      ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
+        .toDF("w_cls", "w_iri"))
+    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^13 + classId  (63 bits)
+    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit(1L << 38)) * 4096L +
+      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 8192L +
+      when($"wcls" >= 0, $"wcls").otherwise(0)
     val finalTriples = data
       .groupBy($"doc_id", $"subj", $"pred",
-        when($"wsel", lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
-      .agg(min(struct($"src_line", $"slot", $"obj")).as("m"))
-      .select($"doc_id", $"subj", $"pred", $"m.obj".as("obj"), $"obj_kind",
-        $"obj_datatype", $"m.src_line".as("src_line"), $"m.slot".as("slot"))
+        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
+      .agg(min(prio).as("m"))
+      .join(classDim, ($"m" % 8192).cast("int") === $"w_cls", "left")
+      .select($"doc_id", $"subj", $"pred",
+        when($"og" =!= "", $"og").otherwise($"w_iri").as("obj"),
+        $"obj_kind", $"obj_datatype",
+        (($"m" / (8192L * 4096L)).cast("long") - 2L).as("src_line"),
+        ((($"m" / 8192L) % 4096L).cast("int") - 1).as("slot"))
 
     // markers: the emitter's in-band diagnostics (consuming them re-runs the
     // emit subtree unless checkpointed — fine for tests/ops introspection;
