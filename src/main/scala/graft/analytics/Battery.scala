@@ -174,7 +174,11 @@ object Battery {
       // embedding-cosine near-duplicate pairs, all-integer decision rule:
       // cos(a,b) >= 0.3  approximated as  10*dot >= 3*floor(|a|)*floor(|b|)
       // over 1e3-quantized elements (deterministic in both engines)
-      val el = graft.functions.AnnOps.quantized(t(s, d, "embeddings"), "vec_id", "embedding")
+      // deterministic cap: all-pairs comparison is quadratic — bound the
+      // universe so the oracle-checked demo stays tractable at every sf
+      // (the scale path for full-corpus near-dup is the LSH variant, q16)
+      val el = graft.functions.AnnOps.quantized(
+        t(s, d, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding")
       val norms = el.groupBy(col("vid")).agg(
         floor(sqrt(sum(col("ei") * col("ei")).cast("double"))).cast("long").as("nrm"))
       val dots = el.alias("x").join(el.alias("y"),
@@ -359,7 +363,7 @@ object Battery {
       """WITH el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
                 SELECT vec_id, unnest(embedding) AS e,
                        generate_subscripts(embedding, 1) - 1 AS pos
-                FROM embeddings)),
+                FROM embeddings WHERE vec_id < 1000)),
        norms AS (SELECT vid, CAST(FLOOR(SQRT(CAST(SUM(ei*ei) AS DOUBLE))) AS BIGINT) AS nrm
                  FROM el GROUP BY 1),
        dots AS (SELECT x.vid AS a, y.vid AS b, SUM(x.ei * y.ei) AS dot
