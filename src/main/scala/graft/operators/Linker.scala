@@ -48,17 +48,21 @@ object Linker {
       .as[LinkedStmt]
   }
 
-  private def dedupedStmts(stmts: Dataset[Stmt], removeDuplicates: Boolean)
-                          (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+  /** D1 duplicate-line dedup: keep the minimum line_id per (doc_id, body);
+    * header/sentinel rows (line_id < 0) always survive. Public seam —
+    * battery query q24 oracle-checks it against DuckDB. */
+  def dedupStmts(stmts: org.apache.spark.sql.DataFrame)
+                (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    if (!removeDuplicates) stmts.toDF
-    else {
-      val wBody = Window.partitionBy($"doc_id", $"body")
-      stmts.toDF.withColumn("canon",
-          when($"line_id" >= 0, min($"line_id").over(wBody)).otherwise($"line_id"))
-        .filter($"line_id" === $"canon").drop("canon")
-    }
+    val wBody = Window.partitionBy($"doc_id", $"body")
+    stmts.withColumn("canon",
+        when($"line_id" >= 0, min($"line_id").over(wBody)).otherwise($"line_id"))
+      .filter($"line_id" === $"canon").drop("canon")
   }
+
+  private def dedupedStmts(stmts: Dataset[Stmt], removeDuplicates: Boolean)
+                          (implicit spark: SparkSession): org.apache.spark.sql.DataFrame =
+    if (!removeDuplicates) stmts.toDF else dedupStmts(stmts.toDF)
 
   private def joinedRefs(stmts: Dataset[Stmt], removeDuplicates: Boolean, salt: Int)
                         (implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {

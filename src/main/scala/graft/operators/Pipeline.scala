@@ -82,12 +82,73 @@ object Pipeline {
   /** in-band marker encoding (Stage C → Stage D) */
   private val MARKER_PRED = "urn:graft:marker"
 
+  /** Stage-D finishing pass over the emitted candidate-triple stream
+    * (columns: doc_id, subj, pred, obj, obj_kind, obj_datatype, src_line,
+    * slot, wcls). Public seam: battery query q26 oracle-checks it against
+    * DuckDB on a deterministic synthetic input.
+    *
+    * E6 canonical wrapper typing + E9 global dedup in ONE TRUE hash
+    * aggregate: the per-use candidate rdf:type rows of a shared literal
+    * wrapper (wcls >= 0) collapse into a single group; the minimized value
+    * is a single LONG encoding (src_line, slot, classId) — min picks the
+    * first-in-document-order class, reproducing the reference's
+    * propertyResourceMap first-mint behavior (RDFWriter.java:807-819) —
+    * and a fixed-width buffer keeps the aggregate in HashAggregateExec
+    * (a struct/string buffer would demote it to SortAggregate = two full
+    * sorts of the triple stream). For all other rows the group key includes
+    * the object: plain triple-set dedup (RDF graphs are sets;
+    * resourceMap/getResource, RDFWriter.java:1092-1105). The canonical
+    * class IRI is decoded through a tiny broadcast dimension.
+    */
+  def finish(data: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import graft.schema.ClassIds
+    val classDim = broadcast(
+      ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
+        .toDF("w_cls", "w_iri"))
+    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^13 + classId  (< 2^63:
+    // src_line clamps to 2^38 - 1, so the product stays below Long.MaxValue)
+    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit((1L << 38) - 1)) * 4096L +
+      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 8192L +
+      when($"wcls" >= 0, $"wcls").otherwise(0)
+    // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
+    // never by an obj sentinel: a real empty-string IFC literal ('' is common
+    // in real files) must keep obj = "" and not be rewritten to a class IRI
+    data
+      .groupBy($"doc_id", $"subj", $"pred", ($"wcls" >= 0).as("is_wtype"),
+        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
+      .agg(min(prio).as("m"))
+      .join(classDim, $"is_wtype" && ($"m" % 8192).cast("int") === $"w_cls", "left")
+      .select($"doc_id", $"subj", $"pred",
+        when($"is_wtype", $"w_iri").otherwise($"og").as("obj"),
+        $"obj_kind", $"obj_datatype",
+        // decode with integer bit-shifts: `/` on longs is DOUBLE division,
+        // which rounds once m exceeds 2^53
+        (shiftright($"m", 25) - 2L).as("src_line"),
+        ((shiftright($"m", 13) % 4096L).cast("int") - 1).as("slot"))
+  }
+
   final case class Options(
       removeDuplicates: Boolean = false,
       salt: Int = 8,
       /** when set, stage outputs are written/read as parquet tables under this
         * directory (checkpoint/resume mode); otherwise stmts are persisted */
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      /** persist the Stage-C candidate stream so consuming BOTH triples and
+        * markers executes Stage C exactly once (one extra memory/disk pass on
+        * the hot path — leave off when only triples are consumed; checkpoint
+        * mode already materializes Stage C as a stage table) */
+      persistEmitted: Boolean = false)
+
+  /** S8 generic consumer seam, mirroring the reference's caller-supplied
+    * per-triple StreamRDF sink (convert(file, StreamRDF, base),
+    * IfcSpfReader.java:357-365): the consumer runs once per partition on the
+    * executors — no driver-side collection of the triple stream. */
+  def foreachTriplePartition(triples: DataFrame)(consumer: Iterator[FinalTriple] => Unit)
+                            (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    triples.as[FinalTriple].foreachPartition(consumer)
+  }
 
   def run(docs: Dataset[Doc], baseURI: String, removeDuplicates: Boolean = false,
           salt: Int = 8)(implicit spark: SparkSession): Result =
@@ -138,9 +199,14 @@ object Pipeline {
     })
     // In checkpoint mode Stage C is additionally persisted as a stage table
     // (resume point); the hot path below never needs a second pass over it.
-    val emitted = opts.checkpointDir match {
-      case Some(dir) => graft.sources.TableIO.checkpoint(emitted0.toDF, s"$dir/stage_c_emitted")
-      case None => emitted0.toDF
+    // With persistEmitted, the candidate stream is cached instead, so a
+    // markers action after a triples action re-executes nothing.
+    val (emitted, cached2) = opts.checkpointDir match {
+      case Some(dir) => (graft.sources.TableIO.checkpoint(emitted0.toDF, s"$dir/stage_c_emitted"), cached)
+      case None if opts.persistEmitted =>
+        val c = emitted0.toDF.persist(StorageLevel.MEMORY_AND_DISK)
+        (c, cached :+ c)
+      case None => (emitted0.toDF, cached)
     }
 
     // ---- Stage D ----
@@ -148,46 +214,17 @@ object Pipeline {
     // (per-row facts of the self-contained documents) and applied inside the
     // emitter, so the finishing pass is a pure filter + one hash aggregate.
     val isMarker = $"obj_kind" === "marker"
-    val data = emitted.filter(!isMarker)
+    val finalTriples = finish(emitted.filter(!isMarker))
 
-    // E6 canonical wrapper typing + E9 global dedup in ONE TRUE hash
-    // aggregate: the per-use candidate rdf:type rows of a shared literal
-    // wrapper (wcls >= 0) collapse into a single group; the minimized value
-    // is a single LONG encoding (src_line, slot, classId) — min picks the
-    // first-in-document-order class, reproducing the reference's
-    // propertyResourceMap first-mint behavior (RDFWriter.java:807-819) —
-    // and a fixed-width buffer keeps the aggregate in HashAggregateExec
-    // (a struct/string buffer would demote it to SortAggregate = two full
-    // sorts of the triple stream). For all other rows the group key includes
-    // the object: plain triple-set dedup (RDF graphs are sets;
-    // resourceMap/getResource, RDFWriter.java:1092-1105). The canonical
-    // class IRI is decoded through a tiny broadcast dimension.
-    import graft.schema.ClassIds
-    val classDim = broadcast(
-      ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
-        .toDF("w_cls", "w_iri"))
-    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^13 + classId  (63 bits)
-    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit(1L << 38)) * 4096L +
-      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 8192L +
-      when($"wcls" >= 0, $"wcls").otherwise(0)
-    val finalTriples = data
-      .groupBy($"doc_id", $"subj", $"pred",
-        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
-      .agg(min(prio).as("m"))
-      .join(classDim, ($"m" % 8192).cast("int") === $"w_cls", "left")
-      .select($"doc_id", $"subj", $"pred",
-        when($"og" =!= "", $"og").otherwise($"w_iri").as("obj"),
-        $"obj_kind", $"obj_datatype",
-        (($"m" / (8192L * 4096L)).cast("long") - 2L).as("src_line"),
-        ((($"m" / 8192L) % 4096L).cast("int") - 1).as("slot"))
-
-    // markers: the emitter's in-band diagnostics (consuming them re-runs the
-    // emit subtree unless checkpointed — fine for tests/ops introspection;
-    // the triples path never touches them)
+    // markers: the emitter's in-band diagnostics. In checkpoint mode they
+    // read the Stage-C stage table (no recompute); with persistEmitted they
+    // read the cache; otherwise consuming them re-runs Stage C from the
+    // persisted stmts (fine for tests/ops introspection; the triples path
+    // never touches them)
     val markers = emitted.filter(isMarker)
       .select($"doc_id", $"subj".as("kind"), $"src_line".as("line_id"), $"obj".as("detail"))
       .as[Marker]
 
-    Result(finalTriples, markers, cached, lineageAcc)
+    Result(finalTriples, markers, cached2, lineageAcc)
   }
 }

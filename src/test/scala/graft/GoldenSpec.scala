@@ -23,7 +23,7 @@ class GoldenSpec extends SparkTestBase {
   }
 
   FixtureDocs.fixtureIds.foreach { n =>
-    test(s"fixture $n matches golden (P/R >= 0.95)") {
+    test(s"fixture $n matches golden exactly (P = R = 1.0)") {
       val mineRows = result.getOrElse(FixtureDocs.docId(n), Array.empty[FinalTriple]).toSeq
       val goldenText = Files.readString(FixtureDocs.ttlPath(n))
       val ifcText = Files.readString(FixtureDocs.ifcPath(n))
@@ -35,7 +35,11 @@ class GoldenSpec extends SparkTestBase {
       info(f"fixture $n: P=${s.precision}%.3f R=${s.recall}%.3f (${s.common}/${s.golden})")
       withClue(s"fixture $n: $s\nmine-only:\n${(mine -- gold).take(8).mkString("\n")}\n" +
         s"golden-only:\n${(gold -- mine).take(8).mkString("\n")}\n") {
-        assert(s.precision >= 0.95 && s.recall >= 0.95)
+        // the 19 fixtures are known to canonicalize exactly (round-1 result);
+        // the contract floor is 0.95, but a silent drop below 1.0 would hide
+        // a real regression (e.g. the empty-literal class of bug), so the
+        // gate pins exact equality
+        assert(s.precision == 1.0 && s.recall == 1.0)
       }
     }
   }
