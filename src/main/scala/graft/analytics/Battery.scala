@@ -118,15 +118,25 @@ object Battery {
     "q11_dedup_exact" -> ((s, d) =>
       graft.functions.TextOps.exactDuplicates(t(s, d, "documents"), "doc_id", "text")),
     "q12_dedup_jaccard" -> ((s, d) => {
-      // word-3-gram shingle Jaccard near-dup pairs, all-integer
+      // word-3-gram shingle Jaccard near-dup pairs, all-integer.
+      // Scale guard (VERDICT r1 #4): a shingle shared by k docs makes k^2
+      // rows in the pair self-join — one hot boilerplate shingle at corpus
+      // scale is quadratic death. Shingles with document frequency > DfCap
+      // carry no near-dup signal anyway (they're corpus-common), so the
+      // Jaccard universe is the informative shingles only: df <= DfCap,
+      // applied consistently to sizes AND intersections (mirrored in the
+      // oracle). Pair fan-out is now bounded by DfCap^2 per shingle.
       val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
-      val sh = docs
+      val shAll = docs
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
           .as("sh"))
         .filter(col("sh") =!= "")
         .distinct()
+      val rare = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= JaccardDfCap).select(col("sh"))
+      val sh = shAll.join(rare, "sh")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -171,20 +181,23 @@ object Battery {
         .withColumnRenamed("doc", "doc_id")),
 
     "q23_dedup_embcos" -> ((s, d) => {
-      // embedding-cosine near-duplicate pairs, all-integer decision rule:
+      // embedding-cosine near-duplicate pairs over the FULL table — the
+      // primary is now the scale path (VERDICT r1 #5): banded multi-table
+      // sign-LSH generates candidates (per-bucket cap bounds the join), then
+      // only candidates get the exact all-integer decision rule
       // cos(a,b) >= 0.3  approximated as  10*dot >= 3*floor(|a|)*floor(|b|)
-      // over 1e3-quantized elements (deterministic in both engines)
-      // deterministic cap: all-pairs comparison is quadratic — bound the
-      // universe so the oracle-checked demo stays tractable at every sf
-      // (the scale path for full-corpus near-dup is the LSH variant, q16)
-      val el = graft.functions.AnnOps.quantized(
-        t(s, d, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding")
+      // over 1e3-quantized elements (deterministic in both engines).
+      val emb = t(s, d, "embeddings")
+      val cand = graft.functions.AnnOps.bandedCandidatePairs(
+        emb, "vec_id", "embedding", LshBands, LshBits, EmbDims, LshCap)
+      val el = graft.functions.AnnOps.quantized(emb, "vec_id", "embedding")
       val norms = el.groupBy(col("vid")).agg(
         floor(sqrt(sum(col("ei") * col("ei")).cast("double"))).cast("long").as("nrm"))
-      val dots = el.alias("x").join(el.alias("y"),
-          col("x.pos") === col("y.pos") && col("x.vid") < col("y.vid"))
-        .groupBy(col("x.vid").as("a"), col("y.vid").as("b"))
-        .agg(sum(col("x.ei") * col("y.ei")).as("dot"))
+      val dots = cand
+        .join(el.select(col("vid").as("a"), col("pos"), col("ei").as("ea")), Seq("a"))
+        .join(el.select(col("vid").as("b"), col("pos"), col("ei").as("eb")), Seq("b", "pos"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("ea") * col("eb")).as("dot"))
       dots
         .join(norms.withColumnRenamed("vid", "a").withColumnRenamed("nrm", "na"), "a")
         .join(norms.withColumnRenamed("vid", "b").withColumnRenamed("nrm", "nb"), "b")
@@ -198,9 +211,17 @@ object Battery {
       graft.functions.AnnOps.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).select(col("q"), col("rank"), col("c"), col("dot"))),
     "q16_ann_lsh_bucket" -> ((s, d) =>
-      // sign-LSH bucketing on the first 8 dimensions + in-bucket top-3
+      // single-table sign-LSH bucketing on the first 8 dimensions + in-bucket
+      // top-3 (demo-grade: fixed 256 buckets; the scale path is q27)
       graft.functions.AnnOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 3).select(col("q"), col("rank"), col("c"))),
+    "q27_ann_lsh_banded" -> ((s, d) =>
+      // banded multi-table sign-LSH top-3 (VERDICT r1 #5): bands x bits
+      // hyperplanes over ALL dims, per-bucket candidate cap, integer-exact
+      // scoring of candidates only — sub-quadratic at any corpus size
+      graft.functions.AnnOps.bandedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 3, LshBands, LshBits, EmbDims, LshCap)
+        .select(col("q"), col("rank"), col("c"), col("dot"))),
 
     // --- training-data pipeline: text analysis ---
     "q17_langid" -> ((s, d) => {
@@ -306,6 +327,20 @@ object Battery {
       expr("CAST(i % 6 AS INT) - 1").as("slot"),
       expr("CASE WHEN i % 4 = 0 THEN CAST(i % 37 AS INT) + 1 ELSE -1 END").as("wcls"))
 
+  /** q12: drop shingles appearing in more docs than this before the pair
+    * self-join (hot-shingle quadratic guard; shared literally with the
+    * oracle). Corpus-common shingles carry no near-dup signal. */
+  val JaccardDfCap = 20
+
+  /** banded sign-LSH parameters for q23/q27 (shared literally with the
+    * oracles). 16 tables x 8 sign bits over all 64 dims; per-bucket
+    * candidate cap 32. At larger corpora raise LshBits to scale the bucket
+    * space (log2(n / target_bucket_load)) — the cap is the hard guard. */
+  val LshBands = 16
+  val LshBits = 8
+  val LshCap = 32
+  val EmbDims = 64
+
   /** k=8 MinHash parameter pairs (a, b) — shared literally with the oracle. */
   val MinhashParams: Seq[(Long, Long)] = Seq(
     (387143L, 552217L), (624831L, 109042L), (921763L, 771233L), (133999L, 414413L),
@@ -323,6 +358,29 @@ object Battery {
     require(iris.length >= 50, s"class-id universe too small: ${iris.length}")
     iris.take(50).zipWithIndex.map { case (iri, i) => s"($i, '$iri')" }.mkString(", ")
   }
+
+  /** banded sign-LSH signature as DuckDB CTEs (planes/el/proj/sig/kept) —
+    * mirrors AnnOps.planes + bandedSignature + the per-bucket candidate cap
+    * literally; shared by the q23/q27 oracles */
+  private val lshSigSql =
+    s"""planes AS (SELECT j, pos,
+              CASE WHEN ('0x' || substr(md5('hp' || j || ':' || pos), 1, 8))::BIGINT % 2 = 1
+                   THEN 1 ELSE -1 END AS w
+            FROM generate_series(0, ${LshBands * LshBits - 1}) t(j)
+            CROSS JOIN generate_series(0, ${EmbDims - 1}) t2(pos)),
+       el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       proj AS (SELECT vid, j, SUM(w * ei) AS proj
+                FROM el JOIN planes USING (pos) GROUP BY 1, 2),
+       sig AS (SELECT vid, j // $LshBits AS band,
+                      SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << (j % $LshBits)) ELSE 0 END) AS bucket
+               FROM proj GROUP BY 1, 2),
+       kept AS (SELECT vid, band, bucket FROM (
+                  SELECT vid, band, bucket,
+                         ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vid) AS rn
+                  FROM sig) WHERE rn <= $LshCap)"""
 
   /** the deterministic statement table of q24/q25, as DuckDB CTEs */
   private val kgStmtsSql =
@@ -399,13 +457,15 @@ object Battery {
       """SELECT md5(text) AS h, MIN(doc_id) AS canonical, COUNT(*) AS n
          FROM documents GROUP BY 1""",
     "q12_dedup_jaccard" ->
-      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
               FROM documents
               WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
-       sh AS (SELECT DISTINCT doc_id, sh FROM (
+       sh_all AS (SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
                 FROM tk) WHERE sh <> ''),
+       sh AS (SELECT doc_id, sh FROM sh_all
+              WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $JaccardDfCap)),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
                  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -445,14 +505,14 @@ object Battery {
        SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
        FROM bits GROUP BY 1""",
     "q23_dedup_embcos" ->
-      """WITH el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
-                SELECT vec_id, unnest(embedding) AS e,
-                       generate_subscripts(embedding, 1) - 1 AS pos
-                FROM embeddings WHERE vec_id < 1000)),
+      s"""WITH $lshSigSql,
+       cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b FROM kept x JOIN kept y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.vid < y.vid),
        norms AS (SELECT vid, CAST(FLOOR(SQRT(CAST(SUM(ei*ei) AS DOUBLE))) AS BIGINT) AS nrm
                  FROM el GROUP BY 1),
-       dots AS (SELECT x.vid AS a, y.vid AS b, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
-                FROM el x JOIN el y ON x.pos = y.pos AND x.vid < y.vid
+       dots AS (SELECT a, b, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
+                FROM cand JOIN el x ON cand.a = x.vid
+                          JOIN el y ON cand.b = y.vid AND x.pos = y.pos
                 GROUP BY 1, 2)
        SELECT a, b, dot
        FROM dots JOIN norms na ON dots.a = na.vid JOIN norms nb ON dots.b = nb.vid
@@ -483,6 +543,19 @@ object Battery {
                 WHERE q.vec_id < 10 GROUP BY 1, 2)
        SELECT q, CAST(rank AS INT) AS rank, c FROM (
          SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
+         FROM dots) WHERE rank <= 3""",
+    "q27_ann_lsh_banded" ->
+      s"""WITH $lshSigSql,
+       qsig AS (SELECT vid AS q, band, bucket FROM sig WHERE vid < 10),
+       cand AS (SELECT DISTINCT qsig.q, k.vid AS c
+                FROM qsig JOIN kept k ON qsig.band = k.band AND qsig.bucket = k.bucket
+                WHERE qsig.q <> k.vid),
+       dots AS (SELECT cand.q, cand.c, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
+                FROM cand JOIN el x ON cand.q = x.vid
+                          JOIN el y ON cand.c = y.vid AND x.pos = y.pos
+                GROUP BY 1, 2)
+       SELECT q, CAST(rank AS INT) AS rank, c, dot FROM (
+         SELECT q, c, dot, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
          FROM dots) WHERE rank <= 3""",
     "q17_langid" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok

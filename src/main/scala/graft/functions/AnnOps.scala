@@ -54,6 +54,82 @@ object AnnOps {
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------------
+  // Banded multi-table sign-LSH (VERDICT r1 #5) — the 100-TB-shaped ANN /
+  // near-dup path. q13's MinHash banding shape applied to embeddings:
+  //   * nBands independent hash tables, each bucketed by bitsPerBand
+  //     hyperplane signs computed over ALL dims (not a fixed prefix);
+  //   * hyperplane weights are deterministic ±1 per (plane, dim), derived
+  //     from the portable md5 hash — identical in Spark and DuckDB;
+  //   * a per-(band, bucket) candidate cap bounds the in-bucket join
+  //     quadratically no matter how the corpus grows (the fixed-256-bucket
+  //     lshTopK above degrades to all-pairs at 10^9 vectors; this does not);
+  //   * candidates are then scored integer-exactly (quantized dot).
+  // Raising bitsPerBand scales the bucket space with corpus size
+  // (log2(n / target_bucket_load)); the cap is the hard worst-case guard.
+  // ------------------------------------------------------------------------
+
+  /** deterministic ±1 hyperplane weights (j, pos, w): w = +1 iff
+    * h32("hp<j>:<pos>") is odd — reproducible in any engine with md5 */
+  def planes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int, dims: Int): DataFrame =
+    spark.range(nPlanes).toDF("j").crossJoin(spark.range(dims).toDF("pos"))
+      .select(col("j").cast("int").as("j"), col("pos").cast("int").as("pos"),
+        when(TextOps.h32(concat(lit("hp"), col("j").cast("string"), lit(":"),
+          col("pos").cast("string"))) % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("w"))
+
+  /** banded sign-LSH signature: one (vid, band, bucket) row per table.
+    * bucket = bits of sign(sum_d w(j,d) * ei(d)) packed per band; all-integer
+    * so the signature is aggregation-order-free. The plane table is tiny
+    * (nBands*bitsPerBand*dims rows) and broadcast. */
+  def bandedSignature(df: DataFrame, id: String, emb: String,
+                      nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+    val el = quantized(df, id, emb)
+    val pl = planes(df.sparkSession, nBands * bitsPerBand, dims)
+    el.join(broadcast(pl), Seq("pos"))
+      .groupBy(col("vid"), col("j"))
+      .agg(sum(col("w") * col("ei")).as("proj"))
+      .groupBy(col("vid"), expr(s"CAST(j div $bitsPerBand AS INT)").as("band"))
+      .agg(sum(when(col("proj") >= 0,
+        expr(s"CAST(pow(2, j % $bitsPerBand) AS LONG)")).otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** candidate near-dup pairs (a < b) that share >= 1 (band, bucket), with a
+    * deterministic per-bucket candidate cap (row_number by vid) */
+  def bandedCandidatePairs(df: DataFrame, id: String, emb: String, nBands: Int,
+                           bitsPerBand: Int, dims: Int, cap: Int): DataFrame = {
+    val sig = bandedSignature(df, id, emb, nBands, bitsPerBand, dims)
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("vid"))
+    val kept = sig.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select(col("vid"), col("band"), col("bucket"))
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b")).distinct()
+  }
+
+  /** banded-LSH approximate top-k: candidates share >= 1 (band, bucket) with
+    * the query (candidate side capped per bucket; queries always probe),
+    * scored by exact quantized dot product */
+  def bandedTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int,
+                 nBands: Int, bitsPerBand: Int, dims: Int, cap: Int): DataFrame = {
+    val sig = bandedSignature(df, id, emb, nBands, bitsPerBand, dims)
+    val bw = Window.partitionBy(col("band"), col("bucket")).orderBy(col("vid"))
+    val kept = sig.withColumn("rn", row_number().over(bw)).filter(col("rn") <= cap)
+    val q = df.filter(isQuery).select(col(id).as("qid"))
+    val qsig = sig.join(q, sig("vid") === q("qid"))
+      .select(col("vid").as("q"), col("band"), col("bucket"))
+    val cand = qsig.join(
+        kept.select(col("vid").as("c"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("q") =!= col("c")).select(col("q"), col("c")).distinct()
+    val el = quantized(df, id, emb)
+    val dots = cand
+      .join(el.select(col("vid").as("q"), col("pos"), col("ei").as("qe")), Seq("q"))
+      .join(el.select(col("vid").as("c"), col("pos"), col("ei").as("ce")), Seq("c", "pos"))
+      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+    val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
+    dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** true float cosine similarity between two embedding columns (per-row;
     * zip_with + aggregate keep the summation order deterministic per row) */
   def cosine(a: Column, b: Column): Column = {

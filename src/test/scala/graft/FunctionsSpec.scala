@@ -75,4 +75,41 @@ class FunctionsSpec extends SparkTestBase {
       .where("a.vec_id = 0 and b.vec_id = 0").collect().head.getDouble(2)
     assert(math.abs(cos - 1.0) < 1e-9)
   }
+
+  test("AnnOps banded sign-LSH: identical vectors always collide, cap bounds buckets") {
+    import spark.implicits._
+    val dims = 8
+    val a = Array(1.0f, -0.3f, 0.5f, 0.2f, -1.0f, 0.1f, 0.5f, -0.2f)
+    val vecs = (
+      Seq(0L -> a, 1L -> a.clone()) ++ // exact duplicate pair
+        (2L to 40L).map(i => i -> Array.tabulate(dims)(d =>
+          (((i * 31 + d * 17) % 7).toFloat - 3f) / 3f)) // filler cloud
+      ).toDF("vec_id", "embedding")
+
+    // identical vectors share every (band, bucket) => always candidates
+    val cand = AnnOps.bandedCandidatePairs(vecs, "vec_id", "embedding",
+      nBands = 4, bitsPerBand = 4, dims = dims, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)))
+
+    // per-bucket cap: with cap = c, each (band, bucket) contributes at most
+    // c*(c-1)/2 pairs; total candidates must shrink monotonically with cap
+    val full = AnnOps.bandedCandidatePairs(vecs, "vec_id", "embedding", 4, 4, dims, 64).count()
+    val capped = AnnOps.bandedCandidatePairs(vecs, "vec_id", "embedding", 4, 4, dims, 2).count()
+    assert(capped <= full)
+    // candidates are a subset of all pairs (sanity: no fabricated ids)
+    assert(cand.forall { case (x, y) => x < y && x >= 0 && y <= 40 })
+
+    // bandedTopK ranks the exact duplicate first for the query
+    val top = AnnOps.bandedTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0, 1, 4, 4, dims, 64).collect()
+    assert(top.head.getAs[Long]("c") == 1L)
+
+    // signature is deterministic across evaluations
+    val s1 = AnnOps.bandedSignature(vecs, "vec_id", "embedding", 4, 4, dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val s2 = AnnOps.bandedSignature(vecs, "vec_id", "embedding", 4, 4, dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s1 == s2)
+  }
 }
