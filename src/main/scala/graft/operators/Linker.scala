@@ -39,9 +39,16 @@ object Linker {
       .agg(collect_list(struct($"ref".as("ref"),
         coalesce($"tline", lit(-1L)).as("line"), $"tkw".as("keyword"))).as("targets"))
 
-    // sort-merge join (spills gracefully; a shuffled-hash build map cannot —
-    // it OOMs under small executor heaps). Statement rows are flat, so the
-    // sort payload is modest.
+    // Large sides plan as sort-merge (spills gracefully; a shuffled-hash
+    // build map cannot — it OOMs under small executor heaps); small sides as
+    // broadcast. The strategy choice is only safe because Pipeline.run
+    // MATERIALIZES the stmts stage before the wide stage is planned (cache
+    // count / parquet stage table), so Catalyst sees measured sizes here:
+    // both join sides descend from the doc source, and on an unmaterialized
+    // synthetic source (spark.range) the estimate is a few KB for what can
+    // be an unbounded side — a statistics-blind BroadcastHashJoin then
+    // collects the whole corpus to the driver (observed: >1 GiB of task
+    // results at a 20k-doc bench before the eager materialization existed).
     dedupedStmts(stmts, removeDuplicates)
       .join(refMaps, Seq("doc_id", "line_id"), "left")
       .select($"doc_id", $"schema", $"line_id", $"keyword", $"body", $"abort", $"bad_line", $"targets")

@@ -170,6 +170,18 @@ object Pipeline {
         (p.as[Stmt], Nil)
       case None =>
         val c = stmts0.persist(StorageLevel.MEMORY_AND_DISK)
+        // Materialize the stage table NOW, before the Stage-B join is
+        // planned: a populated InMemoryRelation reports MEASURED stats, so
+        // Catalyst's broadcast-vs-sort-merge choice for the D2 join is made
+        // from real sizes. Unmaterialized, the estimate is inherited from
+        // the doc source — a synthetic spark.range source estimates a few
+        // KB for an arbitrarily large corpus, and the resulting
+        // statistics-blind BroadcastHashJoin collects the whole corpus to
+        // the driver. (Checkpoint mode gets real stats from the parquet
+        // stage table for free; this is the cache-mode equivalent.) The
+        // count costs nothing extra: Stage A runs exactly once either way,
+        // this just moves it before join planning.
+        c.count()
         (c, Seq(c))
     }
 

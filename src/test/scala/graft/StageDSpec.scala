@@ -72,7 +72,7 @@ class StageDSpec extends SparkTestBase {
     assert(out.head.getAs[Int]("slot") == 1)
   }
 
-  test("pipeline physical plan: zero sorts, at most two shuffle exchanges") {
+  test("pipeline physical plan: zero sorts, at most two true repartitions") {
     import spark.implicits._
     val docs = spark.createDataset((0 until 24).map(i =>
       graft.sources.SynthCorpus.genDoc(i.toLong, 40, skew = false, seed = 7L)))
@@ -87,8 +87,17 @@ class StageDSpec extends SparkTestBase {
     }
     withClue(plan) {
       assert(!plan.contains("Sort"), "Stage D must stay a HashAggregate (no SortAggregate/SortMergeJoin)")
+      // With measured stats from the materialized Stage-A cache the INITIAL
+      // plan picks sort-merge for the D2 stmts⋈refMaps join (the correct
+      // at-scale choice); at demo scale AQE converts it to broadcast and the
+      // stmts-side exchange degrades to a local read (no repartition). So:
+      // at most 3 shuffle stages, and anything beyond the two real wide
+      // edges (refMap groupBy, Stage-D fused aggregate) must be local reads.
       val shuffles = "ShuffleQueryStage".r.findAllIn(plan).length
-      assert(shuffles <= 2, s"expected <= 2 shuffle exchanges, saw $shuffles")
+      val localReads = "AQEShuffleRead local".r.findAllIn(plan).length
+      assert(shuffles <= 3, s"expected <= 3 shuffle stages, saw $shuffles")
+      assert(shuffles - localReads <= 2,
+        s"expected <= 2 true repartitions, saw $shuffles stages with only $localReads local reads")
     }
     r.unpersist()
   }
