@@ -19,12 +19,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // Corpus sized to amortize fixed overhead (VERDICT r1 #3: a 2k-doc corpus
     // measured constant costs, not throughput): at sf0.1 this is the same
-    // 20k-doc / ~26M-triple corpus BASELINE.md's tuned numbers use, so the
-    // driver-recorded kg_triples_per_sec substantiates the claims file.
+    // 20k-doc x 100-line (~26M-triple) corpus BASELINE.md's tuned numbers
+    // use — docs x LINES both matter: the synthetic mix emits ~13 triples
+    // per statement line — so the driver-recorded kg_triples_per_sec
+    // substantiates the claims file.
     val (nDocs, lines) =
-      if (sfDir.contains("sf0.1")) (20000, 1000)
-      else if (sfDir.contains("sf0.01")) (2000, 1000)
-      else (100, 200)
+      if (sfDir.contains("sf0.1")) (20000, 100)
+      else if (sfDir.contains("sf0.01")) (2000, 100)
+      else (200, 100)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // same knobs as ScalingBench (the measurement protocol BASELINE.md pins):

@@ -222,6 +222,13 @@ object Battery {
       graft.functions.AnnOps.bandedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 3, LshBands, LshBits, EmbDims, LshCap)
         .select(col("q"), col("rank"), col("c"), col("dot"))),
+    "q28_ann_ivf" -> ((s, d) =>
+      // IVF top-3: deterministic stride-seed centroids, integer-exact L2
+      // assignment, nProbe probed inverted lists, capped list size,
+      // exact quantized-dot scoring of probed members only
+      graft.functions.AnnOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 3, IvfSeedStride, IvfProbe, IvfCap)
+        .select(col("q"), col("rank"), col("c"), col("dot"))),
 
     // --- training-data pipeline: text analysis ---
     "q17_langid" -> ((s, d) => {
@@ -340,6 +347,14 @@ object Battery {
   val LshBits = 8
   val LshCap = 32
   val EmbDims = 64
+
+  /** IVF parameters for q28 (shared literally with the oracle): every
+    * 40th vector is a centroid (~n/40 inverted lists), queries probe their
+    * 2 nearest lists, lists capped at 64 members. At larger corpora set
+    * seedStride ~ sqrt(n) for O(nProbe*sqrt(n)*d) probe cost per query. */
+  val IvfSeedStride = 40
+  val IvfProbe = 2
+  val IvfCap = 64
 
   /** k=8 MinHash parameter pairs (a, b) — shared literally with the oracle. */
   val MinhashParams: Seq[(Long, Long)] = Seq(
@@ -550,6 +565,30 @@ object Battery {
        cand AS (SELECT DISTINCT qsig.q, k.vid AS c
                 FROM qsig JOIN kept k ON qsig.band = k.band AND qsig.bucket = k.bucket
                 WHERE qsig.q <> k.vid),
+       dots AS (SELECT cand.q, cand.c, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
+                FROM cand JOIN el x ON cand.q = x.vid
+                          JOIN el y ON cand.c = y.vid AND x.pos = y.pos
+                GROUP BY 1, 2)
+       SELECT q, CAST(rank AS INT) AS rank, c, dot FROM (
+         SELECT q, c, dot, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
+         FROM dots) WHERE rank <= 3""",
+    "q28_ann_ivf" ->
+      s"""WITH el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       seeds AS (SELECT vid AS cid, pos, ei AS ce FROM el WHERE vid % $IvfSeedStride = 0),
+       d2 AS (SELECT e.vid, s.cid, SUM((e.ei - s.ce) * (e.ei - s.ce)) AS d2
+              FROM el e JOIN seeds s ON e.pos = s.pos GROUP BY 1, 2),
+       assign AS (SELECT vid, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS arank
+                  FROM d2),
+       members AS (SELECT vid, cid FROM (
+                     SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vid) AS rn
+                     FROM assign WHERE arank = 1) WHERE rn <= $IvfCap),
+       probes AS (SELECT vid AS q, cid FROM assign WHERE arank <= $IvfProbe AND vid < 10),
+       cand AS (SELECT DISTINCT p.q, m.vid AS c
+                FROM probes p JOIN members m ON p.cid = m.cid WHERE p.q <> m.vid),
        dots AS (SELECT cand.q, cand.c, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
                 FROM cand JOIN el x ON cand.q = x.vid
                           JOIN el y ON cand.c = y.vid AND x.pos = y.pos

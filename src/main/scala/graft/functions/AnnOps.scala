@@ -130,6 +130,61 @@ object AnnOps {
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path next to banded LSH.
+  // Classic IVF trains centroids with k-means; a distributed, oracle-checkable
+  // variant replaces training with DETERMINISTIC seed selection (every
+  // `seedStride`-th vector is a centroid — a data-dependent pivot set, the
+  // standard "random sample as centroids" initialization without the RNG):
+  //   * assignment: integer-exact squared-L2 over 1e3-quantized elements,
+  //     argmin with centroid-id tiebreak — O(n * K * d), the true IVF build
+  //     cost (K = n/seedStride << n);
+  //   * inverted lists: (centroid, member) pairs, optionally capped per list
+  //     (row_number) so one degenerate hot cluster cannot go quadratic;
+  //   * search: a query probes its `nProbe` nearest centroids and scores only
+  //     those lists' members, integer-exact quantized dot, top-k.
+  // At 10^9+ vectors: seedStride ~ sqrt(n) gives K ~ sqrt(n) lists of ~sqrt(n)
+  // members — probe cost O(nProbe * sqrt(n) * d) per query vs O(n * d) brute.
+  // ------------------------------------------------------------------------
+
+  /** integer-exact squared-L2 assignment of every vector to its nearest
+    * stride-seed centroid; returns (vid, cid, arank) where arank orders a
+    * vector's centroids by distance (1 = nearest) up to `maxRank` */
+  private def ivfAssign(el: DataFrame, seedStride: Int, maxRank: Int): DataFrame = {
+    val seeds = el.filter(col("vid") % seedStride === 0)
+      .select(col("vid").as("cid"), col("pos"), col("ei").as("ce"))
+    val d2 = el.join(seeds, Seq("pos"))
+      .groupBy(col("vid"), col("cid"))
+      .agg(sum((col("ei") - col("ce")) * (col("ei") - col("ce"))).as("d2"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc, col("cid").asc)
+    d2.withColumn("arank", row_number().over(w)).filter(col("arank") <= maxRank)
+      .select(col("vid"), col("cid"), col("arank"))
+  }
+
+  /** IVF approximate top-k: deterministic stride-seed centroids, integer-exact
+    * L2 assignment, `nProbe` probed lists per query, per-list member cap,
+    * exact quantized-dot scoring of probed members only */
+  def ivfTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int,
+              seedStride: Int, nProbe: Int, cap: Int): DataFrame = {
+    val el = quantized(df, id, emb)
+    val members0 = ivfAssign(el, seedStride, 1).select(col("vid"), col("cid"))
+    val lw = Window.partitionBy(col("cid")).orderBy(col("vid"))
+    val members = members0.withColumn("rn", row_number().over(lw))
+      .filter(col("rn") <= cap).select(col("vid"), col("cid"))
+    val q = df.filter(isQuery).select(col(id).as("qid"))
+    val probes = ivfAssign(el, seedStride, nProbe)
+      .join(q, col("vid") === col("qid"))
+      .select(col("vid").as("q"), col("cid"))
+    val cand = probes.join(members.select(col("vid").as("c"), col("cid")), Seq("cid"))
+      .filter(col("q") =!= col("c")).select(col("q"), col("c")).distinct()
+    val dots = cand
+      .join(el.select(col("vid").as("q"), col("pos"), col("ei").as("qe")), Seq("q"))
+      .join(el.select(col("vid").as("c"), col("pos"), col("ei").as("ce")), Seq("c", "pos"))
+      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+    val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
+    dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** true float cosine similarity between two embedding columns (per-row;
     * zip_with + aggregate keep the summation order deterministic per row) */
   def cosine(a: Column, b: Column): Column = {

@@ -112,4 +112,35 @@ class FunctionsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(s1 == s2)
   }
+
+  test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
+    import spark.implicits._
+    val dims = 8
+    val a = Array(1.0f, -0.3f, 0.5f, 0.2f, -1.0f, 0.1f, 0.5f, -0.2f)
+    val vecs = (
+      Seq(0L -> a.clone(), 6L -> a.clone()) ++ // duplicate pair, non-seed ids
+        (1L to 5L).map(i => i -> Array.tabulate(dims)(d =>
+          (((i * 31 + d * 17) % 7).toFloat - 3f) / 3f)) ++
+        (7L to 30L).map(i => i -> Array.tabulate(dims)(d =>
+          (((i * 13 + d * 29) % 11).toFloat - 5f) / 5f))
+      ).toDF("vec_id", "embedding")
+
+    // stride 10 => centroids {0,10,20,30}; identical vectors get identical
+    // integer L2 to every centroid => same assignment => same inverted list
+    val top = AnnOps.ivfTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0, 1, seedStride = 10, nProbe = 2, cap = 64).collect()
+    assert(top.head.getAs[Long]("c") == 6L)
+
+    // per-list cap only ever shrinks the candidate set
+    val full = AnnOps.ivfTopK(vecs, "vec_id", "embedding", col("vec_id") < 5, 100, 10, 2, 64).count()
+    val capped = AnnOps.ivfTopK(vecs, "vec_id", "embedding", col("vec_id") < 5, 100, 10, 2, 2).count()
+    assert(capped <= full)
+
+    // deterministic across evaluations
+    val r1 = AnnOps.ivfTopK(vecs, "vec_id", "embedding", col("vec_id") < 5, 3, 10, 2, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val r2 = AnnOps.ivfTopK(vecs, "vec_id", "embedding", col("vec_id") < 5, 3, 10, 2, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(r1 == r2)
+  }
 }
