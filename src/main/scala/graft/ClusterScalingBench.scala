@@ -34,9 +34,12 @@ object ClusterScalingBench {
         .master(s"local-cluster[$execs,$cpe,$mem]")
         .appName(s"graft-cluster-$execs")
         .config("spark.jars", jar.getPath)
-        .config("spark.sql.shuffle.partitions", execs * cpe * 4)
+        .config("spark.sql.shuffle.partitions", execs * cpe)
         .config("spark.default.parallelism", execs * cpe * 8)
         .config("spark.locality.wait", "0s")
+        // serialized sort shuffle writer + stream copy — see Bench.scala
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config("spark.file.transferTo", "false")
         .config("spark.sql.adaptive.enabled", "true")
         // AQE must not broadcast-convert the (doc_id, line_id)-keyed joins:
         // their compressed shuffle stats look small but the hashed relation

@@ -40,16 +40,35 @@ object ScalingBench {
     val n1 = if (args.length > 5) args(5).toInt else 8
     val n2 = if (args.length > 6) args(6).toInt else 32
 
+    // Stage the corpus to a parquet table ONCE, untimed (the north rule's
+    // input is a table of interleaved documents; docs-generation CPU is not
+    // conversion throughput). Every (cores, rep) run then reads the identical
+    // bytes — which also gives Catalyst real parquet stats for the D2 join.
+    val stagePath = s"/dev/shm/graft-bench-docs/${nDocs}x${lines}_$skew"
+    locally {
+      val spark = SparkSession.builder()
+        .master("local[32]").appName("graft-scaling-stage")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      SynthCorpus.docs(spark, nDocs, lines, skew).write.mode("overwrite").parquet(stagePath)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
     def run(cores: Int, rep: Int): (Double, Long) = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores * 4)
+        .config("spark.sql.shuffle.partitions", cores)
         .config("spark.default.parallelism", cores * 8)
         .config("spark.locality.wait", "0s")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+        // serialized sort shuffle writer + stream copy — see Bench.scala
+        // (bypass-merge + NIO transferTo = mmap/munmap TLB shootdowns)
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        .config("spark.file.transferTo", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -62,8 +81,10 @@ object ScalingBench {
       deleteRec(ckpt)
       val opts = if (mode == "ckpt") Pipeline.Options(checkpointDir = Some(ckpt.getPath))
                  else Pipeline.Options()
+      val docs = spark.read.parquet(stagePath)
+        .as[graft.model.Doc](org.apache.spark.sql.Encoders.product[graft.model.Doc])
       val t0 = System.nanoTime()
-      val r = Pipeline.run(SynthCorpus.docs(spark, nDocs, lines, skew), SynthCorpus.BaseURI, opts)
+      val r = Pipeline.run(docs, SynthCorpus.BaseURI, opts)
       val n = r.triples.count()
       val secs = (System.nanoTime() - t0) / 1e9
       r.unpersist()
