@@ -28,6 +28,42 @@ class SinksSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("NTriplesSink: expression path == driver path, round-trips, and escapes") {
+    import graft.sinks.NTriplesSink
+    import graft.model.FinalTriple
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(FixtureDocs.doc(12)))
+    val r = Pipeline.run(docs, FixtureDocs.BaseURI)
+    val rows = r.triples.as[FinalTriple].collect().toSeq
+    assert(rows.nonEmpty)
+    // distributed (Catalyst-expression) serialization == driver-side serialization
+    val distLines = r.triples.select(NTriplesSink.line().as("l")).as[String].collect().toSet
+    val serLines = NTriplesSink.serialize(rows).split('\n').toSet
+    assert(distLines == serLines)
+    // every line is grammar-shaped
+    distLines.foreach { l =>
+      assert(l.startsWith("<") && l.endsWith(" ."), l)
+    }
+    r.unpersist()
+    // escape edge cases, both paths
+    val nasty = FinalTriple("d", "http://x/s", "http://x/p",
+      "a\"b\\c\nd\re\tf", "literal", "", 1L, 0)
+    val expected = "<http://x/s> <http://x/p> \"a\\\"b\\\\c\\nd\\re\\tf\" ."
+    assert(NTriplesSink.serialize(Seq(nasty)).trim == expected)
+    val one = spark.createDataset(Seq(nasty)).toDF()
+    assert(one.select(NTriplesSink.line()).as[String].head() == expected)
+    // full-IRI rendering with datatype
+    val typed = FinalTriple("d", "http://x/s", "http://x/p", "42", "literal",
+      "http://www.w3.org/2001/XMLSchema#integer", 1L, 0)
+    assert(NTriplesSink.serialize(Seq(typed)).trim ==
+      "<http://x/s> <http://x/p> \"42\"^^<http://www.w3.org/2001/XMLSchema#integer> .")
+    // distributed write: one text file per partition, re-readable
+    val tmp = Files.createTempDirectory("graft-nt").toString
+    NTriplesSink.write(spark.createDataset(rows).toDF().repartition(3), s"$tmp/out")
+    val back = spark.read.text(s"$tmp/out").as[String].collect().toSet
+    assert(back == distLines)
+  }
+
   test("streaming variant produces the same triples as batch") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream").toString
