@@ -11,8 +11,14 @@ import java.nio.file.{Files, Path, Paths}
 
 /** CLI with the reference's surface (IfcSpfReader.main, IfcSpfReader.java:79-161):
   *
-  *   runMain graft.IfcToRdf [--baseURI <uri>] [--keep-duplicates] <in.ifc> <out.ttl>
-  *   runMain graft.IfcToRdf [--baseURI <uri>] [--keep-duplicates] --dir <directory>
+  *   runMain graft.IfcToRdf [flags] <in.ifc> <out.{ttl,nt}>
+  *   runMain graft.IfcToRdf [flags] --dir <directory>
+  *   flags: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt]
+  *
+  * `--schema` mirrors the reference's explicit-schema convert overload
+  * (IfcSpfReader.java:243-245) and reaches the 4 non-sniffable compiled
+  * dictionaries (IFC2X3_Final, IFC4, IFC4_ADD1, IFC4_ADD2); `--format nt`
+  * writes N-Triples (scale-grade line export) instead of Turtle.
   *
   * Every .ifc under the input becomes one interleaved-span document row; the
   * Spark pipeline converts the whole batch in one job; each document is then
@@ -39,39 +45,56 @@ object IfcToRdf {
     finally s.close()
   }
 
-  /** Positional argument parsing: `--baseURI` consumes the NEXT token, so
+  final case class CliArgs(
+      baseURI: String = "http://linkedbuildingdata.net/ifc/resources/",
+      removeDuplicates: Boolean = false,
+      dir: Option[String] = None,
+      /** explicit EXPRESS version (reference's convert(path,out,schema)
+        * overload) — reaches the 4 non-sniffable compiled dictionaries */
+      schema: Option[String] = None,
+      /** "ttl" (default, reference parity) or "nt" (scale-grade line export) */
+      format: String = "ttl",
+      pos: Seq[String] = Nil)
+
+  /** Positional argument parsing: value flags consume the NEXT token, so
     * `in.ifc out.ttl --baseURI http://x/` no longer steals `in.ifc`. */
-  private[graft] def parseArgs(args: Array[String]): (String, Boolean, Option[String], Seq[String]) = {
-    var baseURI = "http://linkedbuildingdata.net/ifc/resources/"
-    var removeDuplicates = false
-    var dir: Option[String] = None
+  private[graft] def parseArgs(args: Array[String]): CliArgs = {
+    var a = CliArgs()
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value"); i += 1; args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "--baseURI" =>
-          require(i + 1 < args.length, "--baseURI requires a value")
-          val b = args(i + 1); baseURI = if (b.endsWith("/")) b else b + "/"; i += 1
-        case "--keep-duplicates" => removeDuplicates = true
-        case "--dir" =>
-          require(i + 1 < args.length, "--dir requires a value")
-          dir = Some(args(i + 1)); i += 1
+          val b = value("--baseURI"); a = a.copy(baseURI = if (b.endsWith("/")) b else b + "/")
+        case "--keep-duplicates" => a = a.copy(removeDuplicates = true)
+        case "--dir" => a = a.copy(dir = Some(value("--dir")))
+        case "--schema" => a = a.copy(schema = Some(value("--schema")))
+        case "--format" =>
+          val f = value("--format")
+          require(f == "ttl" || f == "nt", s"--format must be ttl or nt, got $f")
+          a = a.copy(format = f)
         case other => pos += other
       }
       i += 1
     }
-    (baseURI, removeDuplicates, dir, pos.toSeq)
+    a.copy(pos = pos.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
-    val (baseURI, removeDuplicates, dirOpt, pos) = parseArgs(args)
+    val cli = parseArgs(args)
+    val CliArgs(baseURI, removeDuplicates, dirOpt, schemaOv, format, pos) = cli
 
+    val ext = "." + format
     val (inputs, outputs): (Seq[Path], Seq[Path]) = dirOpt match {
       case Some(d) =>
         val ins = showFiles(Paths.get(d)).filter(_.toString.endsWith(".ifc"))
-        (ins, ins.map(p => Paths.get(p.toString.stripSuffix(".ifc") + ".ttl")))
+        (ins, ins.map(p => Paths.get(p.toString.stripSuffix(".ifc") + ext)))
       case None =>
-        require(pos.length >= 2, "usage: [--baseURI <uri>] [--keep-duplicates] <in.ifc> <out.ttl>")
+        require(pos.length >= 2,
+          "usage: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt] <in.ifc> <out>")
         (Seq(Paths.get(pos(0))), Seq(Paths.get(pos(1))))
     }
     require(inputs.nonEmpty, "no .ifc inputs found")
@@ -90,7 +113,7 @@ object IfcToRdf {
     // entry per input file — small), shipped in the task closure
     val meta: Map[String, (String, String)] = inputs.zip(outputs).zipWithIndex.map {
       case ((in, out), i) =>
-        val schema = Tokenizer.sniffSchema(Files.readString(in))
+        val schema = schemaOv.getOrElse(Tokenizer.sniffSchema(Files.readString(in)))
         val ontNS = DictGen.ontAlt.get(schema)
           .map(alt => s"http://standards.buildingsmart.org/IFC/DEV/${alt}OWL#").getOrElse("")
         s"f$i" -> (out.toString, ontNS)
@@ -99,7 +122,8 @@ object IfcToRdf {
     val docs = spark.createDataset(inputs.zipWithIndex.map { case (p, i) =>
       Doc(s"f$i", Seq(Span("text", Files.readString(p), "", 0)))
     })
-    val result = Pipeline.run(docs, baseURI, removeDuplicates = removeDuplicates)
+    val result = Pipeline.run(docs, baseURI,
+      Pipeline.Options(removeDuplicates = removeDuplicates, schemaOverride = schemaOv))
 
     // Distributed serialization: each document's triples are grouped onto one
     // executor task and its .ttl written from there — no driver-side collect
@@ -107,12 +131,16 @@ object IfcToRdf {
     // when --dir points at a large corpus). In local mode the executor shares
     // the filesystem; on a cluster, point outputs at a shared mount.
     val base = baseURI
+    val fmt = format
     val written = result.triples.as[FinalTriple]
       .groupByKey(_.doc_id)
       .mapGroups { (docId, it) =>
         val (out, ontNS) = meta(docId)
         val ts = it.toSeq
-        Files.writeString(Paths.get(out), TurtleSink.serialize(ts, base, ontNS))
+        val payload =
+          if (fmt == "nt") graft.sinks.NTriplesSink.serialize(ts)
+          else TurtleSink.serialize(ts, base, ontNS)
+        Files.writeString(Paths.get(out), payload)
         (docId, out, ts.size)
       }
       .collect().sortBy(_._1)

@@ -660,16 +660,16 @@ object Battery {
        agg AS (
          SELECT doc_id, subj, pred, (wcls >= 0) AS is_w,
                 CASE WHEN wcls >= 0 THEN '' ELSE obj END AS og, obj_kind, obj_datatype,
-                MIN((LEAST(GREATEST(src_line, -1) + 2, (1::BIGINT << 38) - 1) * 4096
-                     + LEAST(GREATEST(slot, -1) + 1, 4095)) * 8192
+                MIN((LEAST(GREATEST(src_line, -1) + 2, (1::BIGINT << 36) - 1) * 4096
+                     + LEAST(GREATEST(slot, -1) + 1, 4095)) * 16384
                     + CASE WHEN wcls >= 0 THEN wcls ELSE 0 END) AS m
          FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7)
        SELECT doc_id, subj, pred,
               CASE WHEN is_w THEN c.w_iri ELSE og END AS obj,
               obj_kind, obj_datatype,
-              CAST((m >> 25) - 2 AS BIGINT) AS src_line,
-              CAST(((m >> 13) % 4096) - 1 AS INT) AS slot
-       FROM agg LEFT JOIN cls c ON is_w AND (m % 8192) = c.w_cls""",
+              CAST((m >> 26) - 2 AS BIGINT) AS src_line,
+              CAST(((m >> 14) % 4096) - 1 AS INT) AS slot
+       FROM agg LEFT JOIN cls c ON is_w AND (m % 16384) = c.w_cls""",
     "q21_media_stub" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,

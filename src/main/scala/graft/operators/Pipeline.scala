@@ -106,10 +106,11 @@ object Pipeline {
     val classDim = broadcast(
       ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
         .toDF("w_cls", "w_iri"))
-    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^13 + classId  (< 2^63:
-    // src_line clamps to 2^38 - 1, so the product stays below Long.MaxValue)
-    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit((1L << 38) - 1)) * 4096L +
-      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 8192L +
+    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
+    // src_line clamps to 2^36 - 1, so the product stays below Long.MaxValue;
+    // the 14-bit class field fits the 8-schema-dictionary class universe)
+    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit((1L << 36) - 1)) * 4096L +
+      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 16384L +
       when($"wcls" >= 0, $"wcls").otherwise(0)
     // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
     // never by an obj sentinel: a real empty-string IFC literal ('' is common
@@ -118,14 +119,14 @@ object Pipeline {
       .groupBy($"doc_id", $"subj", $"pred", ($"wcls" >= 0).as("is_wtype"),
         when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
       .agg(min(prio).as("m"))
-      .join(classDim, $"is_wtype" && ($"m" % 8192).cast("int") === $"w_cls", "left")
+      .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
       .select($"doc_id", $"subj", $"pred",
         when($"is_wtype", $"w_iri").otherwise($"og").as("obj"),
         $"obj_kind", $"obj_datatype",
         // decode with integer bit-shifts: `/` on longs is DOUBLE division,
         // which rounds once m exceeds 2^53
-        (shiftright($"m", 25) - 2L).as("src_line"),
-        ((shiftright($"m", 13) % 4096L).cast("int") - 1).as("slot"))
+        (shiftright($"m", 26) - 2L).as("src_line"),
+        ((shiftright($"m", 14) % 4096L).cast("int") - 1).as("slot"))
   }
 
   final case class Options(
@@ -138,7 +139,12 @@ object Pipeline {
         * markers executes Stage C exactly once (one extra memory/disk pass on
         * the hot path — leave off when only triples are consumed; checkpoint
         * mode already materializes Stage C as a stage table) */
-      persistEmitted: Boolean = false)
+      persistEmitted: Boolean = false,
+      /** explicit EXPRESS schema version, bypassing the FILE_SCHEMA sniff —
+        * the reference's convert(path, out, schema) overload
+        * (IfcSpfReader.java:243-245), which reaches the 4 non-sniffable
+        * versions IFC2X3_Final / IFC4 / IFC4_ADD1 / IFC4_ADD2 */
+      schemaOverride: Option[String] = None)
 
   /** S8 generic consumer seam, mirroring the reference's caller-supplied
     * per-triple StreamRDF sink (convert(file, StreamRDF, base),
@@ -161,9 +167,10 @@ object Pipeline {
     val lineageAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
 
     // ---- Stage A ----
+    val schemaOv = opts.schemaOverride
     val stmts0 = docs.mapPartitions(
       instrumented[Doc, Stmt]("A_tokenize", lineageAcc, _ => false)(
-        _.flatMap(Tokenizer.tokenizeDoc)))
+        _.flatMap(Tokenizer.tokenizeDoc(_, schemaOv))))
     val (stmts, cached) = opts.checkpointDir match {
       case Some(dir) =>
         val p = graft.sources.TableIO.checkpoint(stmts0.toDF, s"$dir/stage_a_stmts")

@@ -81,9 +81,15 @@ object Tokenizer {
     * triples (RDFWriter.java:121-122) without a second scan of the input. */
   val DocSentinel = "<DOC>"
 
-  def tokenizeDoc(doc: Doc): Iterator[Stmt] = {
+  def tokenizeDoc(doc: Doc): Iterator[Stmt] = tokenizeDoc(doc, None)
+
+  /** `schemaOverride` mirrors the reference's explicit-schema entry point
+    * (`convert(path, out, schema)`, IfcSpfReader.java:243-245, which accepts
+    * the 4 non-sniffable versions IFC2X3_Final / IFC4 / IFC4_ADD1 / IFC4_ADD2
+    * as well): when set, the FILE_SCHEMA sniff is bypassed entirely. */
+  def tokenizeDoc(doc: Doc, schemaOverride: Option[String]): Iterator[Stmt] = {
     val text = assembleText(doc)
-    val schema = sniffSchema(text)
+    val schema = schemaOverride.getOrElse(sniffSchema(text))
     val lines = text.split("\n", -1)
     // last-write-wins per line number, locally per doc — the whole document
     // is one input row, so the reference's linemap.put overwrite semantics

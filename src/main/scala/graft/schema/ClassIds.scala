@@ -14,7 +14,7 @@ object ClassIds {
       val d = SchemaDict.load(v)
       d.classes.keysIterator.map(d.classIri).toSeq
     }.distinct.sorted
-    require(iris.size < 8192, s"class-id space overflow: ${iris.size}")
+    require(iris.size < 16384, s"class-id space overflow: ${iris.size}")
     (iris.zipWithIndex.toMap, iris.toArray)
   }
 

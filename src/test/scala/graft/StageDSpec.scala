@@ -129,12 +129,37 @@ class StageDSpec extends SparkTestBase {
   }
 
   test("CLI arg parsing: --baseURI consumes its value wherever it appears") {
-    val (base, dedup, dir, pos) = IfcToRdf.parseArgs(
-      Array("in.ifc", "out.ttl", "--baseURI", "http://x"))
-    assert(base == "http://x/" && !dedup && dir.isEmpty && pos == Seq("in.ifc", "out.ttl"))
-    val (base2, dedup2, dir2, pos2) = IfcToRdf.parseArgs(
+    val a = IfcToRdf.parseArgs(Array("in.ifc", "out.ttl", "--baseURI", "http://x"))
+    assert(a.baseURI == "http://x/" && !a.removeDuplicates && a.dir.isEmpty &&
+      a.pos == Seq("in.ifc", "out.ttl") && a.format == "ttl" && a.schema.isEmpty)
+    val b = IfcToRdf.parseArgs(
       Array("--keep-duplicates", "--dir", "/tmp/corpus", "--baseURI", "http://y/"))
-    assert(base2 == "http://y/" && dedup2 && dir2.contains("/tmp/corpus") && pos2.isEmpty)
+    assert(b.baseURI == "http://y/" && b.removeDuplicates && b.dir.contains("/tmp/corpus") &&
+      b.pos.isEmpty)
+    val c = IfcToRdf.parseArgs(
+      Array("--schema", "IFC4_ADD1", "--format", "nt", "in.ifc", "out.nt"))
+    assert(c.schema.contains("IFC4_ADD1") && c.format == "nt" &&
+      c.pos == Seq("in.ifc", "out.nt"))
+  }
+
+  test("schemaOverride reaches the non-sniffable dictionaries (IFC4_ADD1 et al.)") {
+    import spark.implicits._
+    // FILE_SCHEMA says IFC4 -> sniff would route to IFC4_ADD2_TC1; the
+    // override must force the IFC4_ADD1 dictionary instead (reference:
+    // explicit-schema convert overload, IfcSpfReader.java:243-245)
+    val body = "ISO-10303-21;\nHEADER;\nFILE_SCHEMA(('IFC4'));\nENDSEC;\nDATA;\n" +
+      "#1= IFCORGANIZATION($,'x',$,$,$);\nENDSEC;\nEND-ISO-10303-21;\n"
+    val docs = spark.createDataset(Seq(
+      graft.model.Doc("ov0", Seq(graft.model.Span("text", body, "", 0)))))
+    for (ver <- Seq("IFC2X3_Final", "IFC4", "IFC4_ADD1", "IFC4_ADD2")) {
+      val r = Pipeline.run(docs, "http://b/",
+        Pipeline.Options(schemaOverride = Some(ver)))
+      val preds = r.triples.select("pred").as[String].collect().toSet
+      val alt = graft.schema.DictGen.ontAlt(ver)
+      assert(preds.exists(_.contains(s"/IFC/DEV/${alt}OWL#")),
+        s"$ver: expected ontology NS ${alt} in $preds")
+      r.unpersist()
+    }
   }
 
   test("S8 consumer seam: foreachTriplePartition visits every triple on executors") {
