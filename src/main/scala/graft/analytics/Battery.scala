@@ -324,12 +324,13 @@ object Battery {
     s.range(0, 4000).toDF("i").select(
       expr("concat('g', CAST(i % 10 AS STRING))").as("doc_id"),
       expr("concat('s', CAST(i % 97 AS STRING))").as("subj"),
-      expr("concat('p', CAST(i % 5 AS STRING))").as("pred"),
+      // pred_id / kd are the dictionary-encoded Stage-C columns (PredIds):
+      // ids 0..4 of the global predicate universe; kd 2 = xsd:string literal
+      expr("CAST(i % 5 AS INT)").as("pred_id"),
       expr("CASE WHEN i % 4 = 0 THEN 'w' WHEN i % 4 = 1 THEN " +
         "(CASE WHEN i % 8 = 1 THEN '' ELSE concat('L', CAST(i % 13 AS STRING)) END) " +
         "ELSE concat('o', CAST(i % 11 AS STRING)) END").as("obj"),
-      expr("CASE WHEN i % 4 = 1 THEN 'literal' ELSE 'iri' END").as("obj_kind"),
-      expr("CASE WHEN i % 4 = 1 THEN 'http://www.w3.org/2001/XMLSchema#string' ELSE '' END").as("obj_datatype"),
+      expr("CASE WHEN i % 4 = 1 THEN 2 ELSE 0 END").as("kd"),
       expr("i % 29").as("src_line"),
       expr("CAST(i % 6 AS INT) - 1").as("slot"),
       expr("CASE WHEN i % 4 = 0 THEN CAST(i % 37 AS INT) + 1 ELSE -1 END").as("wcls"))
@@ -372,6 +373,14 @@ object Battery {
     val iris = graft.schema.ClassIds.idToIri
     require(iris.length >= 50, s"class-id universe too small: ${iris.length}")
     iris.take(50).zipWithIndex.map { case (iri, i) => s"($i, '$iri')" }.mkString(", ")
+  }
+
+  /** the first 5 (id, IRI) rows of the global predicate dimension, shared
+    * literally with the q26 oracle (q26's synthetic pred_id values are 0..4) */
+  private lazy val predIdValues = {
+    val iris = graft.schema.PredIds.idToIri
+    require(iris.length >= 5, s"pred-id universe too small: ${iris.length}")
+    iris.take(5).zipWithIndex.map { case (iri, i) => s"($i, '$iri')" }.mkString(", ")
   }
 
   /** banded sign-LSH signature as DuckDB CTEs (planes/el/proj/sig/kept) —
@@ -647,29 +656,32 @@ object Battery {
        FROM refs r LEFT JOIN tgt t ON r.doc_id = t.doc_id AND r.ref = t.tline""",
     "q26_kg_dedup_finish" ->
       s"""WITH e AS (
-         SELECT 'g' || (i % 10) AS doc_id, 's' || (i % 97) AS subj, 'p' || (i % 5) AS pred,
+         SELECT 'g' || (i % 10) AS doc_id, 's' || (i % 97) AS subj,
+                CAST(i % 5 AS INT) AS pred_id,
                 CASE WHEN i % 4 = 0 THEN 'w'
                      WHEN i % 4 = 1 THEN (CASE WHEN i % 8 = 1 THEN '' ELSE 'L' || (i % 13) END)
                      ELSE 'o' || (i % 11) END AS obj,
-                CASE WHEN i % 4 = 1 THEN 'literal' ELSE 'iri' END AS obj_kind,
-                CASE WHEN i % 4 = 1 THEN 'http://www.w3.org/2001/XMLSchema#string' ELSE '' END AS obj_datatype,
+                CASE WHEN i % 4 = 1 THEN 2 ELSE 0 END AS kd,
                 i % 29 AS src_line, i % 6 - 1 AS slot,
                 CASE WHEN i % 4 = 0 THEN i % 37 + 1 ELSE -1 END AS wcls
          FROM generate_series(0, 3999) AS t(i)),
        cls(w_cls, w_iri) AS (VALUES $classIdValues),
+       prd(p_id, p_iri) AS (VALUES $predIdValues),
        agg AS (
-         SELECT doc_id, subj, pred, (wcls >= 0) AS is_w,
-                CASE WHEN wcls >= 0 THEN '' ELSE obj END AS og, obj_kind, obj_datatype,
+         SELECT doc_id, subj, pred_id, (wcls >= 0) AS is_w,
+                CASE WHEN wcls >= 0 THEN '' ELSE obj END AS og, kd,
                 MIN((LEAST(GREATEST(src_line, -1) + 2, (1::BIGINT << 36) - 1) * 4096
                      + LEAST(GREATEST(slot, -1) + 1, 4095)) * 16384
                     + CASE WHEN wcls >= 0 THEN wcls ELSE 0 END) AS m
-         FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7)
-       SELECT doc_id, subj, pred,
+         FROM e GROUP BY 1, 2, 3, 4, 5, 6)
+       SELECT doc_id, subj, p.p_iri AS pred,
               CASE WHEN is_w THEN c.w_iri ELSE og END AS obj,
-              obj_kind, obj_datatype,
+              CASE WHEN kd = 0 THEN 'iri' ELSE 'literal' END AS obj_kind,
+              CASE WHEN kd = 2 THEN 'http://www.w3.org/2001/XMLSchema#string' ELSE '' END AS obj_datatype,
               CAST((m >> 26) - 2 AS BIGINT) AS src_line,
               CAST(((m >> 14) % 4096) - 1 AS INT) AS slot
-       FROM agg LEFT JOIN cls c ON is_w AND (m % 16384) = c.w_cls""",
+       FROM agg LEFT JOIN cls c ON is_w AND (m % 16384) = c.w_cls
+       JOIN prd p ON pred_id = p.p_id""",
     "q21_media_stub" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,

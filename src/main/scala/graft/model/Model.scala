@@ -78,9 +78,13 @@ final case class LinkedStmt(
     targets: Seq[RefTarget])
 
 /** One emitted RDF triple (or candidate; Stage D filters/dedups).
-  * obj_kind: "iri" | "literal". obj_datatype: full XSD IRI ("" for IRIs;
-  * xsd:string for plain strings — matching the reference's typed-literal
-  * emission, RDFWriter.java:674-704).
+  * Dictionary-encoded for the Stage-D shuffle (the pipeline's one wide
+  * edge): pred_id is the global predicate id (schema.PredIds — the
+  * predicate vocabulary is a static function of the compiled dictionaries),
+  * kd packs obj_kind + obj_datatype (-1 marker / 0 iri / 1+dtIdx literal,
+  * PredIds.kdOf). Both are restored to full IRIs after the fused aggregate
+  * via broadcast dimensions; the reference's typed-literal emission is
+  * RDFWriter.java:674-704.
   * wcls: >= 0 marks the per-use candidate rdf:type row of a literal wrapper
   * (E6, RDFWriter.java:807-819) and carries the global class id of its obj
   * (schema.ClassIds); Stage D keeps the first candidate per (doc_id, subj)
@@ -89,10 +93,9 @@ final case class LinkedStmt(
 final case class TripleRow(
     doc_id: String,
     subj: String,
-    pred: String,
+    pred_id: Int,
     obj: String,
-    obj_kind: String,
-    obj_datatype: String,
+    kd: Int,
     src_line: Long,
     slot: Int,
     wcls: Int)

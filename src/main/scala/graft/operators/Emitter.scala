@@ -83,9 +83,12 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
     val doc = st.doc_id
     val line = st.line_id
 
+    // pred/kind/dt are dictionary-encoded here, at mint time (PredIds): the
+    // row crosses the Stage-D shuffle as two ints instead of three strings
     def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
             slot: Int, wcls: Int = -1): Unit =
-      triples += TripleRow(doc, subj, pred, obj, kind, dt, line, slot, wcls)
+      triples += TripleRow(doc, subj, graft.schema.PredIds.id(pred), obj,
+        graft.schema.PredIds.kdOf(kind, dt), line, slot, wcls)
 
     def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model._
-import graft.schema.SchemaDict
+import graft.schema.{PredIds, SchemaDict}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -79,13 +79,16 @@ object Pipeline {
     }
   }
 
-  /** in-band marker encoding (Stage C → Stage D) */
-  private val MARKER_PRED = "urn:graft:marker"
+  /** in-band marker encoding (Stage C → Stage D): marker rows carry no
+    * decodable predicate (their payload lives in subj/obj) */
+  private val MARKER_PRED_ID = -1
 
   /** Stage-D finishing pass over the emitted candidate-triple stream
-    * (columns: doc_id, subj, pred, obj, obj_kind, obj_datatype, src_line,
-    * slot, wcls). Public seam: battery query q26 oracle-checks it against
-    * DuckDB on a deterministic synthetic input.
+    * (columns: doc_id, subj, pred_id, obj, kd, src_line, slot, wcls —
+    * pred/kind/datatype are dictionary-encoded by Stage C, schema.PredIds,
+    * so the one wide edge shuffles two ints instead of three IRI strings).
+    * Public seam: battery query q26 oracle-checks it against DuckDB on a
+    * deterministic synthetic input.
     *
     * E6 canonical wrapper typing + E9 global dedup in ONE TRUE hash
     * aggregate: the per-use candidate rdf:type rows of a shared literal
@@ -102,10 +105,15 @@ object Pipeline {
     */
   def finish(data: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import graft.schema.ClassIds
+    import graft.schema.{ClassIds, PredIds}
     val classDim = broadcast(
       ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
         .toDF("w_cls", "w_iri"))
+    val predDim = broadcast(
+      PredIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
+        .toDF("p_id", "p_iri"))
+    // kd decode is a pure expression (6-entry closed datatype universe)
+    val dtArr = array(PredIds.Datatypes.map(lit): _*)
     // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
     // src_line clamps to 2^36 - 1, so the product stays below Long.MaxValue;
     // the 14-bit class field fits the 8-schema-dictionary class universe)
@@ -116,13 +124,15 @@ object Pipeline {
     // never by an obj sentinel: a real empty-string IFC literal ('' is common
     // in real files) must keep obj = "" and not be rewritten to a class IRI
     data
-      .groupBy($"doc_id", $"subj", $"pred", ($"wcls" >= 0).as("is_wtype"),
-        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"obj_kind", $"obj_datatype")
+      .groupBy($"doc_id", $"subj", $"pred_id", ($"wcls" >= 0).as("is_wtype"),
+        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"kd")
       .agg(min(prio).as("m"))
       .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
-      .select($"doc_id", $"subj", $"pred",
+      .join(predDim, $"pred_id" === $"p_id")
+      .select($"doc_id", $"subj", $"p_iri".as("pred"),
         when($"is_wtype", $"w_iri").otherwise($"og").as("obj"),
-        $"obj_kind", $"obj_datatype",
+        when($"kd" === PredIds.IriKd, "iri").otherwise("literal").as("obj_kind"),
+        when($"kd" === PredIds.IriKd, "").otherwise(element_at(dtArr, $"kd")).as("obj_datatype"),
         // decode with integer bit-shifts: `/` on longs is DOUBLE division,
         // which rounds once m exceeds 2^53
         (shiftright($"m", 26) - 2L).as("src_line"),
@@ -198,21 +208,21 @@ object Pipeline {
     // ---- Stage C ---- narrow; dictionaries load from the executor classpath
     val base = baseURI
     val emitted0: Dataset[TripleRow] = linked.mapPartitions(
-      instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.obj_kind == "marker") { it =>
+      instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.kd == PredIds.MarkerKd) { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       it.flatMap { ls0 =>
         val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
         if (ls.schema.isEmpty) Iterator.empty // reference produces no output at all
         else if (!SchemaDict.available(ls.schema)) {
           if (ls.keyword == Tokenizer.DocSentinel)
-            Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED,
-              ls.schema, "marker", "", ls.line_id, -1, -1))
+            Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
+              ls.schema, PredIds.MarkerKd, ls.line_id, -1, -1))
           else Iterator.empty
         } else {
           val em = emitters.getOrElseUpdate(ls.schema, new Emitter(SchemaDict.load(ls.schema), base))
           val (ts, ms) = em.emit(ls)
           ts.iterator ++ ms.iterator.map(m =>
-            TripleRow(m.doc_id, m.kind, MARKER_PRED, m.detail, "marker", "", m.line_id, -1, -1))
+            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, PredIds.MarkerKd, m.line_id, -1, -1))
         }
       }
     })
@@ -232,7 +242,7 @@ object Pipeline {
     // Per-document aborts and *ERROR 2* truncation were decided in Stage A
     // (per-row facts of the self-contained documents) and applied inside the
     // emitter, so the finishing pass is a pure filter + one hash aggregate.
-    val isMarker = $"obj_kind" === "marker"
+    val isMarker = $"kd" === PredIds.MarkerKd
     val finalTriples = finish(emitted.filter(!isMarker))
 
     // markers: the emitter's in-band diagnostics. In checkpoint mode they

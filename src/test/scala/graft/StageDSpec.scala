@@ -39,17 +39,18 @@ class StageDSpec extends SparkTestBase {
     import spark.implicits._
     val iri1 = graft.schema.ClassIds.idToIri(5)
     val iri2 = graft.schema.ClassIds.idToIri(9)
+    // pred_id 0 = first predicate of the global dim; kd 0 = iri, 2 = xsd:string
     val df = Seq(
       // same wrapper subject, two candidate classes; (src_line, slot) order
       // must decide, not class id order (9 wins: line 3 < line 7)
-      ("d", "w1", "rdf:type", iri2, "iri", "", 3L, 0, 9),
-      ("d", "w1", "rdf:type", iri1, "iri", "", 7L, 0, 5),
+      ("d", "w1", 0, iri2, 0, 3L, 0, 9),
+      ("d", "w1", 0, iri1, 0, 7L, 0, 5),
       // duplicate plain triples collapse to min (src_line, slot)
-      ("d", "s1", "p", "o", "iri", "", 9L, 2, -1),
-      ("d", "s1", "p", "o", "iri", "", 4L, 1, -1),
+      ("d", "s1", 1, "o", 0, 9L, 2, -1),
+      ("d", "s1", 1, "o", 0, 4L, 1, -1),
       // empty-string literal is its own group and keeps obj = ""
-      ("d", "s1", "p", "", "literal", "xsd:string", 2L, 0, -1)
-    ).toDF("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype", "src_line", "slot", "wcls")
+      ("d", "s1", 1, "", 2, 2L, 0, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "kd", "src_line", "slot", "wcls")
     val out = Pipeline.finish(df).collect().map(r =>
       (r.getString(1), r.getString(3), r.getString(4), r.getLong(6), r.getInt(7))).toSet
     assert(out == Set(
@@ -61,9 +62,9 @@ class StageDSpec extends SparkTestBase {
   test("finish: prio encoding clamps huge src_line without Long overflow") {
     import spark.implicits._
     val df = Seq(
-      ("d", "s", "p", "a", "iri", "", Long.MaxValue / 2, 0, -1),
-      ("d", "s", "p", "a", "iri", "", 5L, 1, -1)
-    ).toDF("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype", "src_line", "slot", "wcls")
+      ("d", "s", 0, "a", 0, Long.MaxValue / 2, 0, -1),
+      ("d", "s", 0, "a", 0, 5L, 1, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "kd", "src_line", "slot", "wcls")
     val out = Pipeline.finish(df).collect()
     assert(out.length == 1)
     // the unclamped row (line 5) must win the min — a clamped row overflowing
