@@ -283,7 +283,7 @@ object Battery {
       // Stage D: the fused E6 canonical-wrapper + E9 triple-set dedup hash
       // aggregate (RDFWriter.java:807-819, :1092-1105), including the
       // empty-string-literal group key (a real '' literal must survive)
-      graft.operators.Pipeline.finish(kgEmitted(s))(s)),
+      graft.operators.Pipeline.finish(kgEmitted(s), "")(s)),
 
     // --- training-data pipeline: multimodal stub ---
     "q21_media_stub" -> ((s, d) => {
@@ -330,6 +330,7 @@ object Battery {
       expr("CASE WHEN i % 4 = 0 THEN 'w' WHEN i % 4 = 1 THEN " +
         "(CASE WHEN i % 8 = 1 THEN '' ELSE concat('L', CAST(i % 13 AS STRING)) END) " +
         "ELSE concat('o', CAST(i % 11 AS STRING)) END").as("obj"),
+      lit(-1).as("obj_id"), // synthetic objs are instance-space/literals
       expr("CASE WHEN i % 4 = 1 THEN 2 ELSE 0 END").as("kd"),
       expr("i % 29").as("src_line"),
       expr("CAST(i % 6 AS INT) - 1").as("slot"),

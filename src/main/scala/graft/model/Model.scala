@@ -82,8 +82,13 @@ final case class LinkedStmt(
   * edge): pred_id is the global predicate id (schema.PredIds — the
   * predicate vocabulary is a static function of the compiled dictionaries),
   * kd packs obj_kind + obj_datatype (-1 marker / 0 iri / 1+dtIdx literal,
-  * PredIds.kdOf). Both are restored to full IRIs after the fused aggregate
-  * via broadcast dimensions; the reference's typed-literal emission is
+  * PredIds.kdOf). subj is the baseURI-relative local name (all minted
+  * instance IRIs live under the run's baseURI; markers carry their kind
+  * here instead). obj_id >= 0 means the object is a static-vocabulary IRI
+  * (schema.VocabIds) and obj is ""; obj_id = -1 means obj is either the
+  * baseURI-relative local of an instance IRI (kd = 0) or a literal lexical
+  * form (kd > 0). All IRIs are restored after the fused aggregate via
+  * broadcast dimensions; the reference's typed-literal emission is
   * RDFWriter.java:674-704.
   * wcls: >= 0 marks the per-use candidate rdf:type row of a literal wrapper
   * (E6, RDFWriter.java:807-819) and carries the global class id of its obj
@@ -95,6 +100,7 @@ final case class TripleRow(
     subj: String,
     pred_id: Int,
     obj: String,
+    obj_id: Int,
     kd: Int,
     src_line: Long,
     slot: Int,

@@ -37,9 +37,12 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
   /** strip '.' (reference RDFWriter.filterPoints :999-1011) */
   private def filterPoints(s: String): String = s.filterNot(_ == '.')
 
-  /** Content-hash IRI for a synthesized intermediate. */
+  /** Content-hash IRI for a synthesized intermediate — returned as the
+    * baseURI-relative LOCAL name (TripleRow ships locals across the Stage-D
+    * shuffle; the prefix is restored post-aggregate). The hash input never
+    * included baseURI, so minted names are unchanged. */
   private def mint(docId: String, parts: String): String =
-    baseURI + "n" + java.lang.Long.toUnsignedString(fnv64(docId + "\u0000" + parts), 16)
+    "n" + java.lang.Long.toUnsignedString(fnv64(docId + "\u0000" + parts), 16)
 
   // ---------------------------------------------------------------- emit
 
@@ -83,12 +86,20 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
     val doc = st.doc_id
     val line = st.line_id
 
-    // pred/kind/dt are dictionary-encoded here, at mint time (PredIds): the
-    // row crosses the Stage-D shuffle as two ints instead of three strings
+    // pred/kind/dt/vocab-obj are dictionary-encoded here, at mint time
+    // (PredIds/VocabIds), and instance IRIs travel as baseURI-relative
+    // locals: the row crosses the Stage-D shuffle with no namespace bytes.
+    // Static-vocabulary objects (class IRIs, enum individuals, express
+    // constants — always absolute "http…") become a 4-byte id; everything
+    // else in the object slot is a local or a literal lexical form.
     def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
-            slot: Int, wcls: Int = -1): Unit =
-      triples += TripleRow(doc, subj, graft.schema.PredIds.id(pred), obj,
+            slot: Int, wcls: Int = -1): Unit = {
+      val vocab = kind == "iri" && obj.startsWith("http")
+      triples += TripleRow(doc, subj, graft.schema.PredIds.id(pred),
+        if (vocab) "" else obj,
+        if (vocab) graft.schema.VocabIds.id(obj) else -1,
         graft.schema.PredIds.kdOf(kind, dt), line, slot, wcls)
+    }
 
     def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
 
@@ -96,8 +107,9 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
       // per-document ontology header triples (RDFWriter.java:121-122) —
       // emitted before parsing in the reference, so they survive *ERROR 2*
       // truncation but not the dangling-ref file-sink abort
-      tri(baseURI, RDF_TYPE, OWL_NS + "Ontology", "iri", "", -1)
-      tri(baseURI, OWL_NS + "imports", ontNS, "iri", "", -1)
+      // subj "" = the baseURI itself after prefix restoration
+      tri("", RDF_TYPE, OWL_NS + "Ontology", "iri", "", -1)
+      tri("", OWL_NS + "imports", ontNS, "iri", "", -1)
       return (triples.toSeq, markers.toSeq)
     }
 
@@ -110,7 +122,7 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
       return (triples.toSeq, markers.toSeq)
     }
     val typeName = entOpt.map(_.name).getOrElse(typOpt.get.name)
-    val subj = baseURI + typeName + "_" + line
+    val subj = typeName + "_" + line // baseURI-relative local
     tri(subj, RDF_TYPE, ontNS + typeName, "iri", "", -1)
 
     val targets: Map[Long, RefTarget] =
@@ -242,7 +254,7 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
         while (i < cells.length) {
           targetName(refEls(i)) match {
             case Some(nm) =>
-              val robj = baseURI + nm + "_" + refEls(i).line
+              val robj = nm + "_" + refEls(i).line
               tri(robj, RDF_TYPE, ontNS + nm, "iri", "", slot)
               tri(cells(i), HAS_CONTENTS, robj, "iri", "", slot)
             case None => mark("crash", s"list ref to unknown ${refEls(i).keyword}")
@@ -286,7 +298,7 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
       while (i < cells.length) {
         targetName(members(i)) match {
           case Some(nm) =>
-            val robj = baseURI + nm + "_" + members(i).line
+            val robj = nm + "_" + members(i).line
             tri(robj, RDF_TYPE, ontNS + nm, "iri", "", slot)
             tri(cells(i), HAS_CONTENTS, robj, "iri", "", slot)
           case None => mark("crash", s"list ref to unknown ${members(i).keyword}")
@@ -347,7 +359,7 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
           case Some(t) =>
             dict.entities.get(formatClassName(t.keyword)) match {
               case Some(e) =>
-                val robj = baseURI + e.name + "_" + t.line
+                val robj = e.name + "_" + t.line
                 tri(robj, RDF_TYPE, ontNS + e.name, "iri", "", ptr)
                 tri(subj, ontNS + attr.prop, robj, "iri", "", ptr)
               case None =>
@@ -398,7 +410,7 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
                 targets.get(v.toLong).foreach { t =>
                   dict.entities.get(formatClassName(t.keyword)) match {
                     case Some(e) =>
-                      val robj = baseURI + e.name + "_" + t.line
+                      val robj = e.name + "_" + t.line
                       tri(robj, RDF_TYPE, ontNS + e.name, "iri", "", ptr)
                       tri(subj, ontNS + attr.prop, robj, "iri", "", ptr)
                     case None => mark("crash", s"set ref to non-entity ${t.keyword}")

@@ -103,15 +103,18 @@ object Pipeline {
     * resourceMap/getResource, RDFWriter.java:1092-1105). The canonical
     * class IRI is decoded through a tiny broadcast dimension.
     */
-  def finish(data: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def finish(data: DataFrame, baseURI: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import graft.schema.{ClassIds, PredIds}
+    import graft.schema.{ClassIds, PredIds, VocabIds}
     val classDim = broadcast(
       ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
         .toDF("w_cls", "w_iri"))
     val predDim = broadcast(
       PredIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
         .toDF("p_id", "p_iri"))
+    val vocabDim = broadcast(
+      VocabIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
+        .toDF("v_id", "v_iri"))
     // kd decode is a pure expression (6-entry closed datatype universe)
     val dtArr = array(PredIds.Datatypes.map(lit): _*)
     // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
@@ -123,14 +126,26 @@ object Pipeline {
     // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
     // never by an obj sentinel: a real empty-string IFC literal ('' is common
     // in real files) must keep obj = "" and not be rewritten to a class IRI
+    // group on the fully-encoded key (ints + locals; no namespace bytes),
+    // then restore IRIs: subj = baseURI + local; obj = wrapper class IRI
+    // (classDim), static-vocab IRI (vocabDim), baseURI + instance local, or
+    // the literal lexical form as-is
+    // NOTE the wrapper-row group key neutralizes BOTH obj carriers (og and
+    // oid): candidate classes differ per use, and the canonical one is
+    // re-derived from min(prio)'s class field — not from the group key
     data
       .groupBy($"doc_id", $"subj", $"pred_id", ($"wcls" >= 0).as("is_wtype"),
-        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"), $"kd")
+        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"),
+        when($"wcls" >= 0, lit(-1)).otherwise($"obj_id").as("oid"), $"kd")
       .agg(min(prio).as("m"))
       .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
       .join(predDim, $"pred_id" === $"p_id")
-      .select($"doc_id", $"subj", $"p_iri".as("pred"),
-        when($"is_wtype", $"w_iri").otherwise($"og").as("obj"),
+      .join(vocabDim, $"oid" === $"v_id", "left")
+      .select($"doc_id", concat(lit(baseURI), $"subj").as("subj"), $"p_iri".as("pred"),
+        when($"is_wtype", $"w_iri")
+          .otherwise(when($"oid" >= 0, $"v_iri")
+            .otherwise(when($"kd" === PredIds.IriKd, concat(lit(baseURI), $"og"))
+              .otherwise($"og"))).as("obj"),
         when($"kd" === PredIds.IriKd, "iri").otherwise("literal").as("obj_kind"),
         when($"kd" === PredIds.IriKd, "").otherwise(element_at(dtArr, $"kd")).as("obj_datatype"),
         // decode with integer bit-shifts: `/` on longs is DOUBLE division,
@@ -216,13 +231,13 @@ object Pipeline {
         else if (!SchemaDict.available(ls.schema)) {
           if (ls.keyword == Tokenizer.DocSentinel)
             Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
-              ls.schema, PredIds.MarkerKd, ls.line_id, -1, -1))
+              ls.schema, -1, PredIds.MarkerKd, ls.line_id, -1, -1))
           else Iterator.empty
         } else {
           val em = emitters.getOrElseUpdate(ls.schema, new Emitter(SchemaDict.load(ls.schema), base))
           val (ts, ms) = em.emit(ls)
           ts.iterator ++ ms.iterator.map(m =>
-            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, PredIds.MarkerKd, m.line_id, -1, -1))
+            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, -1, PredIds.MarkerKd, m.line_id, -1, -1))
         }
       }
     })
@@ -243,7 +258,7 @@ object Pipeline {
     // (per-row facts of the self-contained documents) and applied inside the
     // emitter, so the finishing pass is a pure filter + one hash aggregate.
     val isMarker = $"kd" === PredIds.MarkerKd
-    val finalTriples = finish(emitted.filter(!isMarker))
+    val finalTriples = finish(emitted.filter(!isMarker), baseURI)
 
     // markers: the emitter's in-band diagnostics. In checkpoint mode they
     // read the Stage-C stage table (no recompute); with persistEmitted they

@@ -43,15 +43,15 @@ class StageDSpec extends SparkTestBase {
     val df = Seq(
       // same wrapper subject, two candidate classes; (src_line, slot) order
       // must decide, not class id order (9 wins: line 3 < line 7)
-      ("d", "w1", 0, iri2, 0, 3L, 0, 9),
-      ("d", "w1", 0, iri1, 0, 7L, 0, 5),
+      ("d", "w1", 0, iri2, -1, 0, 3L, 0, 9),
+      ("d", "w1", 0, iri1, -1, 0, 7L, 0, 5),
       // duplicate plain triples collapse to min (src_line, slot)
-      ("d", "s1", 1, "o", 0, 9L, 2, -1),
-      ("d", "s1", 1, "o", 0, 4L, 1, -1),
+      ("d", "s1", 1, "o", -1, 0, 9L, 2, -1),
+      ("d", "s1", 1, "o", -1, 0, 4L, 1, -1),
       // empty-string literal is its own group and keeps obj = ""
-      ("d", "s1", 1, "", 2, 2L, 0, -1)
-    ).toDF("doc_id", "subj", "pred_id", "obj", "kd", "src_line", "slot", "wcls")
-    val out = Pipeline.finish(df).collect().map(r =>
+      ("d", "s1", 1, "", -1, 2, 2L, 0, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+    val out = Pipeline.finish(df, "").collect().map(r =>
       (r.getString(1), r.getString(3), r.getString(4), r.getLong(6), r.getInt(7))).toSet
     assert(out == Set(
       ("w1", iri2, "iri", 3L, 0),
@@ -62,10 +62,10 @@ class StageDSpec extends SparkTestBase {
   test("finish: prio encoding clamps huge src_line without Long overflow") {
     import spark.implicits._
     val df = Seq(
-      ("d", "s", 0, "a", 0, Long.MaxValue / 2, 0, -1),
-      ("d", "s", 0, "a", 0, 5L, 1, -1)
-    ).toDF("doc_id", "subj", "pred_id", "obj", "kd", "src_line", "slot", "wcls")
-    val out = Pipeline.finish(df).collect()
+      ("d", "s", 0, "a", -1, 0, Long.MaxValue / 2, 0, -1),
+      ("d", "s", 0, "a", -1, 0, 5L, 1, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+    val out = Pipeline.finish(df, "").collect()
     assert(out.length == 1)
     // the unclamped row (line 5) must win the min — a clamped row overflowing
     // to negative would otherwise shadow every real row
