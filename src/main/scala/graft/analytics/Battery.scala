@@ -285,6 +285,13 @@ object Battery {
       // empty-string-literal group key (a real '' literal must survive)
       graft.operators.Pipeline.finish(kgEmitted(s), "")(s)),
 
+    "q29_nt_lines" -> ((s, _) =>
+      // N-Triples sink expression path (sinks.NTriplesSink.line) over the
+      // same deterministic Stage-D output as q26 — oracle replicates the
+      // canonical N-Triples grammar (escapes, datatype suffix) in SQL
+      graft.operators.Pipeline.finish(kgEmitted(s), "http://b/")(s)
+        .select(graft.sinks.NTriplesSink.line().as("line"))),
+
     // --- training-data pipeline: multimodal stub ---
     "q21_media_stub" -> ((s, d) => {
       // opaque-binary plumbing: decode step is a deterministic fake (this
@@ -683,6 +690,39 @@ object Battery {
               CAST(((m >> 14) % 4096) - 1 AS INT) AS slot
        FROM agg LEFT JOIN cls c ON is_w AND (m % 16384) = c.w_cls
        JOIN prd p ON pred_id = p.p_id""",
+    "q29_nt_lines" ->
+      s"""WITH e AS (
+         SELECT 'g' || (i % 10) AS doc_id, 's' || (i % 97) AS subj,
+                CAST(i % 5 AS INT) AS pred_id,
+                CASE WHEN i % 4 = 0 THEN 'w'
+                     WHEN i % 4 = 1 THEN (CASE WHEN i % 8 = 1 THEN '' ELSE 'L' || (i % 13) END)
+                     ELSE 'o' || (i % 11) END AS obj,
+                CASE WHEN i % 4 = 1 THEN 2 ELSE 0 END AS kd,
+                i % 29 AS src_line, i % 6 - 1 AS slot,
+                CASE WHEN i % 4 = 0 THEN i % 37 + 1 ELSE -1 END AS wcls
+         FROM generate_series(0, 3999) AS t(i)),
+       cls(w_cls, w_iri) AS (VALUES $classIdValues),
+       prd(p_id, p_iri) AS (VALUES $predIdValues),
+       agg AS (
+         SELECT doc_id, subj, pred_id, (wcls >= 0) AS is_w,
+                CASE WHEN wcls >= 0 THEN '' ELSE obj END AS og, kd,
+                MIN((LEAST(GREATEST(src_line, -1) + 2, (1::BIGINT << 36) - 1) * 4096
+                     + LEAST(GREATEST(slot, -1) + 1, 4095)) * 16384
+                    + CASE WHEN wcls >= 0 THEN wcls ELSE 0 END) AS m
+         FROM e GROUP BY 1, 2, 3, 4, 5, 6),
+       fin AS (
+         SELECT 'http://b/' || subj AS subj, p.p_iri AS pred,
+                CASE WHEN is_w THEN c.w_iri
+                     WHEN kd = 0 THEN 'http://b/' || og ELSE og END AS obj,
+                kd
+         FROM agg LEFT JOIN cls c ON is_w AND (m % 16384) = c.w_cls
+         JOIN prd p ON pred_id = p.p_id)
+       SELECT '<' || subj || '> <' || pred || '> ' ||
+              CASE WHEN kd = 0 THEN '<' || obj || '>'
+                   -- kd 2 = xsd:string: canonical N-Triples omits the datatype;
+                   -- the synthetic lexicals contain no escapable characters
+                   ELSE '"' || obj || '"' END || ' .' AS line
+       FROM fin""",
     "q21_media_stub" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
