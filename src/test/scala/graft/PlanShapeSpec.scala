@@ -1,0 +1,52 @@
+package graft
+
+import graft.analytics.Battery
+
+/** Physical-plan regressions for the analytics battery: the properties that
+  * make these operators 100-TB-shaped must hold in the executed plan, not
+  * just in intent — filter/column pushdown reaching the parquet scan,
+  * broadcast (not shuffle) joins for small dimensions, and hash (not sort)
+  * aggregation on the dedup paths. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  assume(new java.io.File(s"$sf/lineitem.parquet").exists())
+
+  private def plan(name: String): String = {
+    val df = Battery.queries(name)(spark, sf)
+    df.collect() // settle AQE on the final plan
+    val full = df.queryExecution.executedPlan.toString
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+  }
+
+  test("q01: filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan("q01_agg_pushdown")
+    withClue(p) {
+      assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+        "shipdate filter must reach the parquet reader")
+      // projection needs 5 of lineitem's 16 columns; the scan must not read more
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_comment"),
+        s"column pruning must drop unused columns: $readSchema")
+    }
+  }
+
+  test("q02: small-dimension join is broadcast, not shuffled") {
+    val p = plan("q02_join_broadcast")
+    withClue(p) {
+      assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+      assert(!p.contains("SortMergeJoin"), "no sort-merge for a 25-row dim")
+    }
+  }
+
+  test("q11: exact dedup is a hash aggregate (no sorts)") {
+    val p = plan("q11_dedup_exact")
+    withClue(p) {
+      assert(p.contains("HashAggregate"), "dedup must hash-aggregate")
+      assert(!p.contains("SortAggregate"), "string-group dedup must not demote to SortAggregate")
+    }
+  }
+}
