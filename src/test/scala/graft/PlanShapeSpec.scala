@@ -10,9 +10,11 @@ import graft.analytics.Battery
 class PlanShapeSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
-  assume(new java.io.File(s"$sf/lineitem.parquet").exists())
 
   private def plan(name: String): String = {
+    // inside the test body (not the constructor): a missing fixture dir must
+    // CANCEL the tests, not abort the suite with an escaped exception
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
     val df = Battery.queries(name)(spark, sf)
     df.collect() // settle AQE on the final plan
     val full = df.queryExecution.executedPlan.toString
