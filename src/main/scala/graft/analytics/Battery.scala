@@ -187,20 +187,20 @@ object Battery {
       // only candidates get the exact all-integer decision rule
       // cos(a,b) >= 0.3  approximated as  10*dot >= 3*floor(|a|)*floor(|b|)
       // over 1e3-quantized elements (deterministic in both engines).
+      // Candidate generation AND scoring are narrow per-row expressions now
+      // (BandedSig signature; quantDot/quantNorm over the fetched arrays) —
+      // the only shuffles left are the per-bucket cap window, the bucket
+      // self-join, and two id-equi joins to fetch arrays.
       val emb = t(s, d, "embeddings")
       val cand = graft.functions.AnnOps.bandedCandidatePairs(
         emb, "vec_id", "embedding", LshBands, LshBits, EmbDims, LshCap)
-      val el = graft.functions.AnnOps.quantized(emb, "vec_id", "embedding")
-      val norms = el.groupBy(col("vid")).agg(
-        floor(sqrt(sum(col("ei") * col("ei")).cast("double"))).cast("long").as("nrm"))
-      val dots = cand
-        .join(el.select(col("vid").as("a"), col("pos"), col("ei").as("ea")), Seq("a"))
-        .join(el.select(col("vid").as("b"), col("pos"), col("ei").as("eb")), Seq("b", "pos"))
-        .groupBy(col("a"), col("b"))
-        .agg(sum(col("ea") * col("eb")).as("dot"))
-      dots
-        .join(norms.withColumnRenamed("vid", "a").withColumnRenamed("nrm", "na"), "a")
-        .join(norms.withColumnRenamed("vid", "b").withColumnRenamed("nrm", "nb"), "b")
+      val withNorm = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.AnnOps.quantNorm(col("embedding")).as("nrm"))
+      cand
+        .join(withNorm.select(col("vec_id").as("a"), col("embedding").as("_ea"), col("nrm").as("na")), "a")
+        .join(withNorm.select(col("vec_id").as("b"), col("embedding").as("_eb"), col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"),
+          graft.functions.AnnOps.quantDot(col("_ea"), col("_eb")).as("dot"), col("na"), col("nb"))
         .filter(col("dot") * 10 >= col("na") * col("nb") * 3)
         .select(col("a"), col("b"), col("dot"))
     }),
@@ -211,10 +211,13 @@ object Battery {
       graft.functions.AnnOps.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, 5).select(col("q"), col("rank"), col("c"), col("dot"))),
     "q16_ann_lsh_bucket" -> ((s, d) =>
-      // single-table sign-LSH bucketing on the first 8 dimensions + in-bucket
-      // top-3 (demo-grade: fixed 256 buckets; the scale path is q27)
-      graft.functions.AnnOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, 3).select(col("q"), col("rank"), col("c"))),
+      // single-TABLE sign-LSH: the banded path at nBands=1 (VERDICT r2 #5 —
+      // the old fixed-256-bucket demo with its in-bucket quadratic tail is
+      // retired; one band of LshBits hyperplanes over ALL dims, same
+      // per-bucket cap, so every battery ANN query now has the 100-TB shape)
+      graft.functions.AnnOps.bandedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, 3, 1, LshBits, EmbDims, LshCap)
+        .select(col("q"), col("rank"), col("c"))),
     "q27_ann_lsh_banded" -> ((s, d) =>
       // banded multi-table sign-LSH top-3 (VERDICT r1 #5): bands x bits
       // hyperplanes over ALL dims, per-bucket candidate cap, integer-exact
@@ -392,13 +395,15 @@ object Battery {
   }
 
   /** banded sign-LSH signature as DuckDB CTEs (planes/el/proj/sig/kept) —
-    * mirrors AnnOps.planes + bandedSignature + the per-bucket candidate cap
-    * literally; shared by the q23/q27 oracles */
-  private val lshSigSql =
+    * mirrors the BandedSig expression's arithmetic (same md5-derived ±1
+    * planes, float-then-widen quantization, per-bucket candidate cap)
+    * relationally; parameterized over the band count so the q16 single-band
+    * and q23/q27 multi-band oracles share one definition */
+  private def lshSigSqlFor(bands: Int): String =
     s"""planes AS (SELECT j, pos,
               CASE WHEN ('0x' || substr(md5('hp' || j || ':' || pos), 1, 8))::BIGINT % 2 = 1
                    THEN 1 ELSE -1 END AS w
-            FROM generate_series(0, ${LshBands * LshBits - 1}) t(j)
+            FROM generate_series(0, ${bands * LshBits - 1}) t(j)
             CROSS JOIN generate_series(0, ${EmbDims - 1}) t2(pos)),
        el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
                 SELECT vec_id, unnest(embedding) AS e,
@@ -413,6 +418,8 @@ object Battery {
                   SELECT vid, band, bucket,
                          ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vid) AS rn
                   FROM sig) WHERE rn <= $LshCap)"""
+
+  private val lshSigSql = lshSigSqlFor(LshBands)
 
   /** the deterministic statement table of q24/q25, as DuckDB CTEs */
   private val kgStmtsSql =
@@ -561,18 +568,15 @@ object Battery {
          SELECT q, c, dot, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
          FROM dots) WHERE rank <= 5""",
     "q16_ann_lsh_bucket" ->
-      """WITH b AS (SELECT vec_id, embedding,
-                list_sum(list_transform(generate_series(0, 7),
-                  j -> CASE WHEN embedding[j+1] >= 0 THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS bucket
-              FROM embeddings),
-       el AS (SELECT vec_id, bucket, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
-                SELECT vec_id, bucket, unnest(embedding) AS e,
-                       generate_subscripts(embedding, 1) - 1 AS pos
-                FROM b)),
-       dots AS (SELECT q.vec_id AS q, c.vec_id AS c, SUM(q.ei * c.ei) AS dot
-                FROM el q JOIN el c
-                  ON q.bucket = c.bucket AND q.pos = c.pos AND q.vec_id <> c.vec_id
-                WHERE q.vec_id < 10 GROUP BY 1, 2)
+      s"""WITH ${lshSigSqlFor(1)},
+       qsig AS (SELECT vid AS q, band, bucket FROM sig WHERE vid < 10),
+       cand AS (SELECT DISTINCT qsig.q, k.vid AS c
+                FROM qsig JOIN kept k ON qsig.band = k.band AND qsig.bucket = k.bucket
+                WHERE qsig.q <> k.vid),
+       dots AS (SELECT cand.q, cand.c, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
+                FROM cand JOIN el x ON cand.q = x.vid
+                          JOIN el y ON cand.c = y.vid AND x.pos = y.pos
+                GROUP BY 1, 2)
        SELECT q, CAST(rank AS INT) AS rank, c FROM (
          SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
          FROM dots) WHERE rank <= 3""",

@@ -32,26 +32,38 @@ object AnnOps {
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** sign-LSH bucket id over the first `bits` dimensions */
-  def signBucket(emb: Column, bits: Int = 8): Column =
-    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> " +
-      s"acc + CASE WHEN ${emb.toString}[j] >= 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)")
+  /** integer-quantized dot product of two embedding columns, computed
+    * narrowly per row (no posexplode, no pos-join, no shuffle): identical
+    * arithmetic to joining two `quantized` streams on pos and summing —
+    * quantization multiplies in FLOAT (Spark's coercion for float·int), the
+    * per-position product is exact in long, and the fold runs in array order
+    * (deterministic). Null / length-mismatch positions contribute 0, matching
+    * the inner pos-join's drop semantics. */
+  def quantDot(a: Column, b: Column): Column = {
+    def qz(x: Column) = floor(x * lit(1000)).cast("long")
+    aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L),
+      (acc, v) => acc + coalesce(v, lit(0L)))
+  }
 
-  /** bucketed approximate top-k: candidates share the sign bucket */
-  def lshTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int,
-              bits: Int = 8): DataFrame = {
-    val b = df.select(col(id).as("vid"), signBucket(col(emb), bits).as("bucket"), col(emb).as("emb"))
-    val el = b.select(col("vid"), col("bucket"), posexplode(col("emb")).as(Seq("pos", "e")))
-      .select(col("vid"), col("bucket"), col("pos"), floor(col("e") * 1000).cast("long").as("ei"))
-    val q = df.filter(isQuery).select(col(id).as("qid"))
-    val qe = el.join(q, el("vid") === q("qid"))
-      .select(col("vid").as("q"), col("bucket"), col("pos"), col("ei").as("qe"))
-    val dots = qe.join(
-        el.select(col("vid").as("c"), col("bucket").as("cb"), col("pos").as("cpos"), col("ei").as("ce")),
-        col("bucket") === col("cb") && col("q") =!= col("c") && col("pos") === col("cpos"))
-      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
-    val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
-    dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  /** floor(|v|) over quantized elements, narrowly per row — the norm factor
+    * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei)))). */
+  def quantNorm(a: Column): Column = {
+    def qz(x: Column) = floor(x * lit(1000)).cast("long")
+    floor(sqrt(aggregate(a, lit(0L),
+      (acc, x) => acc + coalesce(qz(x) * qz(x), lit(0L))).cast("double"))).cast("long")
+  }
+
+  /** score candidate pairs by exact quantized dot: fetch both embedding
+    * arrays via two equi joins on the id (broadcast or shuffled — Catalyst's
+    * choice from stats), then one narrow expression per pair. Replaces the
+    * explode + pos-join + groupBy scoring pattern: per-pair cost is O(d) in a
+    * map stage instead of O(d) shuffled rows. */
+  private def scorePairs(cand: DataFrame, df: DataFrame, id: String, emb: String,
+                         aCol: String, bCol: String): DataFrame = {
+    val ea = df.select(col(id).as(aCol), col(emb).as("_ea"))
+    val eb = df.select(col(id).as(bCol), col(emb).as("_eb"))
+    cand.join(ea, aCol).join(eb, bCol)
+      .select(col(aCol), col(bCol), quantDot(col("_ea"), col("_eb")).as("dot"))
   }
 
   // ------------------------------------------------------------------------
@@ -79,10 +91,21 @@ object AnnOps {
 
   /** banded sign-LSH signature: one (vid, band, bucket) row per table.
     * bucket = bits of sign(sum_d w(j,d) * ei(d)) packed per band; all-integer
-    * so the signature is aggregation-order-free. The plane table is tiny
-    * (nBands*bitsPerBand*dims rows) and broadcast. */
+    * so the signature is aggregation-order-free. Computed NARROWLY by the
+    * native [[BandedSig]] expression (one pass over the array per row, then
+    * posexplode to rows) — no plane join, no pre-candidate shuffles; at
+    * 10^9-vector scale the signature is a pure map stage. */
   def bandedSignature(df: DataFrame, id: String, emb: String,
-                      nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+                      nBands: Int, bitsPerBand: Int, dims: Int): DataFrame =
+    df.select(col(id).as("vid"),
+        posexplode(BandedSig(col(emb), nBands, bitsPerBand, dims)).as(Seq("band", "bucket")))
+
+  /** the pre-round-3 relational signature build (posexplode → broadcast plane
+    * join → two shuffled groupBys) — kept as the independent cross-check the
+    * suite pins [[BandedSig]] against (it mirrors the DuckDB oracle CTE
+    * literally), not as a production path. */
+  def bandedSignatureRelational(df: DataFrame, id: String, emb: String,
+                                nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
     val el = quantized(df, id, emb)
     val pl = planes(df.sparkSession, nBands * bitsPerBand, dims)
     el.join(broadcast(pl), Seq("pos"))
@@ -121,11 +144,7 @@ object AnnOps {
     val cand = qsig.join(
         kept.select(col("vid").as("c"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("q") =!= col("c")).select(col("q"), col("c")).distinct()
-    val el = quantized(df, id, emb)
-    val dots = cand
-      .join(el.select(col("vid").as("q"), col("pos"), col("ei").as("qe")), Seq("q"))
-      .join(el.select(col("vid").as("c"), col("pos"), col("ei").as("ce")), Seq("c", "pos"))
-      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+    val dots = scorePairs(cand, df, id, emb, "q", "c")
     val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -177,10 +196,7 @@ object AnnOps {
       .select(col("vid").as("q"), col("cid"))
     val cand = probes.join(members.select(col("vid").as("c"), col("cid")), Seq("cid"))
       .filter(col("q") =!= col("c")).select(col("q"), col("c")).distinct()
-    val dots = cand
-      .join(el.select(col("vid").as("q"), col("pos"), col("ei").as("qe")), Seq("q"))
-      .join(el.select(col("vid").as("c"), col("pos"), col("ei").as("ce")), Seq("c", "pos"))
-      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+    val dots = scorePairs(cand, df, id, emb, "q", "c")
     val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

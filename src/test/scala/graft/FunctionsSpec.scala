@@ -60,15 +60,18 @@ class FunctionsSpec extends SparkTestBase {
 
   test("AnnOps brute force and LSH agree on self-similar vectors") {
     import spark.implicits._
+    val a = Array(1.0f, 0.0f, 0.5f, 0.2f, 1.0f, 0.0f, 0.5f, 0.2f)
     val vecs = Seq(
-      (0L, Array(1.0f, 0.0f, 0.5f, 0.2f, 1.0f, 0.0f, 0.5f, 0.2f)),
-      (1L, Array(1.0f, 0.01f, 0.5f, 0.2f, 1.0f, 0.01f, 0.5f, 0.2f)), // near 0
+      (0L, a),
+      (1L, a.clone()), // exact duplicate — identical signature in ANY band
       (2L, Array(-1.0f, -0.5f, -0.2f, -0.1f, -1.0f, -0.5f, -0.2f, -0.1f))
     ).toDF("vec_id", "embedding")
     val bf = AnnOps.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 1).collect()
     assert(bf.head.getAs[Long]("c") == 1L)
-    val lsh = AnnOps.lshTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 1).collect()
-    assert(lsh.head.getAs[Long]("c") == 1L) // vec 2 is in another sign bucket
+    // single-table LSH = the banded path at nBands = 1
+    val lsh = AnnOps.bandedTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 1,
+      nBands = 1, bitsPerBand = 8, dims = 8, cap = 64).collect()
+    assert(lsh.head.getAs[Long]("c") == 1L) // the duplicate shares the bucket
     val cos = vecs.as("a").crossJoin(vecs.as("b"))
       .select(col("a.vec_id"), col("b.vec_id"),
         AnnOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
@@ -111,6 +114,44 @@ class FunctionsSpec extends SparkTestBase {
     val s2 = AnnOps.bandedSignature(vecs, "vec_id", "embedding", 4, 4, dims)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(s1 == s2)
+  }
+
+  test("BandedSig narrow signature is bit-identical to the relational build") {
+    // the real sf embeddings exercise quantization edge cases (negative
+    // values, float rounding near integers) far better than synthetic rows
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val narrow = sigSet(AnnOps.bandedSignature(emb, "vec_id", "embedding", 16, 8, 64))
+    val relational = sigSet(AnnOps.bandedSignatureRelational(emb, "vec_id", "embedding", 16, 8, 64))
+    assert(narrow == relational)
+  }
+
+  test("quantDot/quantNorm narrow expressions match the exploded quantized path") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 50)
+    // exploded reference: join two quantized streams on pos, sum products
+    val el = AnnOps.quantized(emb, "vec_id", "embedding")
+    val refDots = el.select(col("vid").as("a"), col("pos"), col("ei").as("ea"))
+      .join(el.select(col("vid").as("b"), col("pos"), col("ei").as("eb")), Seq("pos"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("ea") * col("eb")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val narrow = emb.select(col("vec_id").as("a"), col("embedding").as("_ea"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("_eb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), AnnOps.quantDot(col("_ea"), col("_eb")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(narrow == refDots)
+    val refNorms = el.groupBy(col("vid")).agg(
+      floor(sqrt(sum(col("ei") * col("ei")).cast("double"))).cast("long").as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrowNorms = emb.select(col("vec_id"), AnnOps.quantNorm(col("embedding")).as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrowNorms == refNorms)
   }
 
   test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
