@@ -113,37 +113,56 @@ object Bench {
     if (graft.sources.FixtureDocs.available())
       results("kg_goldens") = timedMin(2, 15)(SparkEntry.entry(spark).count())
 
-    // analytic battery (each query's own wall time, budgeted min-of-2)
+    // analytic battery (each query's own wall time, budgeted min-of-2).
+    // A query failure is SURFACED in the JSON (`errors` map), never folded
+    // into a timing — the bench must distinguish failed from fast.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filterNot(_._1.startsWith("kg_")).foreach { case (name, fn) =>
-      results(name) = timedMin(2, 20) {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      try results(name) = timedMin(2, 20)(fn(spark, sfDir).count())
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
 
-    // Window-escape pass: the host swings multi-x over ~minutes, so a kg rep
-    // burst at t=0 can land entirely inside one slow window and consume its
-    // whole budget on rep 1. If the headline runs look slow relative to this
-    // corpus (wall implies <1M triples/s), retry ONCE each now — several
-    // minutes of battery queries have passed, so this samples a different
-    // host window — and keep the min.
-    if (kgU > 0 && kgU / results("kg_uniform") < 1e6) {
+    // Window-escape pass, UNCONDITIONAL and symmetric: the host swings
+    // multi-x over ~minutes (measured: the identical job 2.7x slower at both
+    // parallelism levels 30 min apart), so a rep burst can land entirely
+    // inside one slow (or fast) window. Every kg headliner gets the same
+    // fixed number of re-samples spaced by a FIXED sleep (the whole battery
+    // now runs in under a minute, so wall-clock spacing, not query count, is
+    // what reaches a different host window) regardless of how fast the first
+    // burst looked — no claim-derived threshold, fast results get re-checked
+    // exactly like slow ones. Min and median of ALL samples are reported.
+    val kgSamples = scala.collection.mutable.LinkedHashMap[String, List[Double]](
+      "kg_uniform" -> List(results("kg_uniform")),
+      "kg_skewed" -> List(results("kg_skewed")))
+    val escapeReps = 2
+    // full spacing only at the headline sf (smoke runs shouldn't idle)
+    val escapeSpacingMs = sys.env.getOrElse("SPARK_GRAFT_ESCAPE_SPACING_MS",
+      if (sfDir.contains("sf0.1")) "90000" else "1000").toLong
+    for (_ <- 1 to escapeReps; (name, docs) <- Seq("kg_uniform" -> uniformDocs, "kg_skewed" -> skewedDocs)) {
+      Thread.sleep(escapeSpacingMs)
       val t0 = System.nanoTime()
-      val r = Pipeline.run(uniformDocs, SynthCorpus.BaseURI)
+      val r = Pipeline.run(docs, SynthCorpus.BaseURI)
       r.triples.count(); r.unpersist()
-      results("kg_uniform") = math.min(results("kg_uniform"), (System.nanoTime() - t0) / 1e9)
+      kgSamples(name) = ((System.nanoTime() - t0) / 1e9) :: kgSamples(name)
     }
-    if (kgS > 0 && kgS / results("kg_skewed") < 1e6) {
-      val t0 = System.nanoTime()
-      val r = Pipeline.run(skewedDocs, SynthCorpus.BaseURI)
-      r.triples.count(); r.unpersist()
-      results("kg_skewed") = math.min(results("kg_skewed"), (System.nanoTime() - t0) / 1e9)
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    kgSamples.foreach { case (name, xs) => results(name) = xs.min }
     kgSecs = results("kg_uniform") + results("kg_skewed")
+    val kgMedSecs = median(kgSamples("kg_uniform")) + median(kgSamples("kg_skewed"))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.values.sum
     val tps = if (kgSecs > 0) (kgTriples / kgSecs).round else 0L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps}""")
+    val tpsMed = if (kgMedSecs > 0) (kgTriples / kgMedSecs).round else 0L
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed}""")
     spark.stop()
   }
 }

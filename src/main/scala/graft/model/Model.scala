@@ -119,8 +119,9 @@ final case class FinalTriple(
 
 /** Non-triple outcomes: per-doc aborts, per-line truncations, skipped slots.
   * kind ∈ {"dangling_ref", "unknown_entity", "enum_miss", "attr_overflow",
-  *         "unsupported_schema", "warn"} — mirroring the reference's
-  * ERROR 6/7/8 (doc abort), ERROR 2 (truncate), ERROR 9, ERROR 4.
+  *         "unsupported_schema", "oversize_doc", "warn"} — mirroring the
+  * reference's ERROR 6/7/8 (doc abort), ERROR 2 (truncate), ERROR 9, ERROR 4,
+  * plus the mega-doc size guard (Tokenizer.DefaultMaxDocChars).
   */
 final case class Marker(doc_id: String, kind: String, line_id: Long, detail: String)
 

@@ -20,7 +20,12 @@ import scala.collection.mutable.ArrayBuffer
   * reference's own test judges by graph isomorphism, so counter values are not
   * part of the contract).
   */
-final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
+final class Emitter(dict: SchemaDict, baseURI: String,
+                    /** reference graph-API parity (parseModelToGraph keeps the
+                      * 2 ontology header triples even when reference resolution
+                      * fails, RDFWriter.java:121-132); default false = the file
+                      * sink's flush-nothing abort (goldens test6/test15) */
+                    headerOnAbort: Boolean = false) extends Serializable {
   import SchemaDict.{EXPRESS_NS, LIST_NS, formatClassName}
   import Emitter._
 
@@ -54,7 +59,11 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
     if (ls.abort) {
       return if (ls.keyword == Tokenizer.DocSentinel) {
         val parts = ls.body.split(":", 2)
-        (Nil, Seq(Marker(ls.doc_id, parts(0), -1L, if (parts.length > 1) parts(1) else "")))
+        val marker = Seq(Marker(ls.doc_id, parts(0), -1L, if (parts.length > 1) parts(1) else ""))
+        // graph-API parity option: the reference's parseModelToGraph has
+        // already emitted the 2 ontology header triples when D2 fails
+        // (RDFWriter.java:121-132), unlike its file sink which flushes nothing
+        (if (headerOnAbort) headerTriples(ls.doc_id) else Nil, marker)
       } else (Nil, Nil)
     }
     // *ERROR 2* truncation: statements at/after the first unknown keyword
@@ -73,6 +82,34 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
     emitTokens(st)
   }
 
+  /** pred/kind/dt/vocab-obj are dictionary-encoded here, at mint time
+    * (PredIds/VocabIds), and instance IRIs travel as baseURI-relative
+    * locals: the row crosses the Stage-D shuffle with no namespace bytes.
+    * Static-vocabulary objects (class IRIs, enum individuals, express
+    * constants) become a 4-byte id. An ABSOLUTE IRI object outside the
+    * compiled VocabIds universe (or a urn:-shaped one — the same schemes
+    * Turtle.parseIriRef recognizes) is shipped whole under AbsIriKd and
+    * restored verbatim — a data condition, not a task-aborting bug (one odd
+    * IRI must not kill a 10^12-doc job, and it must NOT be corrupted into
+    * baseURI + "urn:..."). Everything else in the object slot is a
+    * baseURI-relative local or a literal lexical form. */
+  private def mkTriple(doc: String, line: Long, subj: String, pred: String, obj: String,
+                       kind: String, dt: String, slot: Int, wcls: Int): TripleRow = {
+    val absolute = kind == "iri" && (obj.startsWith("http") || obj.startsWith("urn:"))
+    val vid = if (absolute) graft.schema.VocabIds.iriToId.get(obj) else None
+    val kd =
+      if (absolute && vid.isEmpty) graft.schema.PredIds.AbsIriKd
+      else graft.schema.PredIds.kdOf(kind, dt)
+    TripleRow(doc, subj, graft.schema.PredIds.id(pred),
+      if (vid.isDefined) "" else obj, vid.getOrElse(-1), kd, line, slot, wcls)
+  }
+
+  /** the 2 per-document ontology header triples (RDFWriter.java:121-122);
+    * subj "" = the baseURI itself after prefix restoration */
+  private def headerTriples(doc: String): Seq[TripleRow] = Seq(
+    mkTriple(doc, -1L, "", RDF_TYPE, OWL_NS + "Ontology", "iri", "", -1, -1),
+    mkTriple(doc, -1L, "", OWL_NS + "imports", ontNS, "iri", "", -1, -1))
+
   private final case class EmitStmt(ls: LinkedStmt, args: Seq[Tok0]) {
     def doc_id: String = ls.doc_id
     def line_id: Long = ls.line_id
@@ -86,30 +123,17 @@ final class Emitter(dict: SchemaDict, baseURI: String) extends Serializable {
     val doc = st.doc_id
     val line = st.line_id
 
-    // pred/kind/dt/vocab-obj are dictionary-encoded here, at mint time
-    // (PredIds/VocabIds), and instance IRIs travel as baseURI-relative
-    // locals: the row crosses the Stage-D shuffle with no namespace bytes.
-    // Static-vocabulary objects (class IRIs, enum individuals, express
-    // constants — always absolute "http…") become a 4-byte id; everything
-    // else in the object slot is a local or a literal lexical form.
     def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
-            slot: Int, wcls: Int = -1): Unit = {
-      val vocab = kind == "iri" && obj.startsWith("http")
-      triples += TripleRow(doc, subj, graft.schema.PredIds.id(pred),
-        if (vocab) "" else obj,
-        if (vocab) graft.schema.VocabIds.id(obj) else -1,
-        graft.schema.PredIds.kdOf(kind, dt), line, slot, wcls)
-    }
+            slot: Int, wcls: Int = -1): Unit =
+      triples += mkTriple(doc, line, subj, pred, obj, kind, dt, slot, wcls)
 
     def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
 
     if (st.keyword == Tokenizer.DocSentinel) {
       // per-document ontology header triples (RDFWriter.java:121-122) —
       // emitted before parsing in the reference, so they survive *ERROR 2*
-      // truncation but not the dangling-ref file-sink abort
-      // subj "" = the baseURI itself after prefix restoration
-      tri("", RDF_TYPE, OWL_NS + "Ontology", "iri", "", -1)
-      tri("", OWL_NS + "imports", ontNS, "iri", "", -1)
+      // truncation but (by default) not the dangling-ref file-sink abort
+      triples ++= headerTriples(doc)
       return (triples.toSeq, markers.toSeq)
     }
 

@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Stage B — duplicate handling + cross-line reference resolution
   * (SURVEY.md §2 D1/D2). This is the pipeline's one unavoidable wide stage:
-  * an equi hash join on (doc_id, local_id), salted against hot keys (the same
-  * target line referenced from very many statements of a mega-document) and
-  * run under AQE so runtime skew splitting also applies.
+  * an equi hash join on (doc_id, local_id) run under AQE, whose runtime skew
+  * splitting handles hot keys (the same target line referenced from very
+  * many statements of a mega-document).
+  *
+  * Salting is OFF by default (salt = 1): an interleaved A/B on this host
+  * (`graft.SaltBench`, min-of-5, 10k docs × 100 lines) measured salt=1+AQE
+  * equal on the 1%-mega-doc skewed corpus (4.36 s vs 4.28 s) and ~15% FASTER
+  * on the uniform corpus (4.91 s vs 5.79 s) with identical outputs — the
+  * unconditional 8× target replication was pure shuffle-volume overhead
+  * (8× the statement keys on the build side) that AQE's skew-join splitting
+  * already covers. The salt knob remains for corpora with a pathological
+  * single hot key beyond what AQE partition-splitting granularity resolves.
   *
   * Reference semantics reproduced:
   *  - optional duplicate-line dedup keyed on the full text after '='
@@ -28,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object Linker {
 
-  def link(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 8)
+  def link(stmts: Dataset[Stmt], removeDuplicates: Boolean = false, salt: Int = 1)
           (implicit spark: SparkSession): Dataset[LinkedStmt] = {
     import spark.implicits._
     val joined = joinedRefs(stmts, removeDuplicates, salt)
@@ -101,20 +110,25 @@ object Linker {
       case None => refs0.withColumn("rref", $"ref")
     }
 
-    // D2: salted equi hash join on (doc_id, local_id). Build side (statement
-    // keys) is replicated `salt` ways; each probe row picks one deterministic
-    // salt bucket, splitting hot (doc_id, ref) keys across `salt` reducers.
-    val targets = deduped
+    // D2: equi hash join on (doc_id, local_id), AQE skew-split at runtime.
+    // With salt > 1 the build side (statement keys) is replicated `salt`
+    // ways and each probe row picks one deterministic salt bucket, manually
+    // splitting hot (doc_id, ref) keys across `salt` reducers; salt == 1
+    // (the measured default) skips the salt columns entirely.
+    val targets0 = deduped
       .filter($"line_id" >= 0)
       .select($"doc_id", $"line_id".as("tline"), $"keyword".as("tkw"))
-      .withColumn("salt", explode(typedlit((0 until salt).toArray)))
-    val probes = refs.withColumn("salt", pmod(xxhash64($"line_id", $"ref"), lit(salt)).cast("int"))
+    val (probes, targets, saltCond) =
+      if (salt <= 1) (refs.alias("p"), targets0.alias("t"), lit(true))
+      else (
+        refs.withColumn("salt", pmod(xxhash64($"line_id", $"ref"), lit(salt)).cast("int")).alias("p"),
+        targets0.withColumn("salt", explode(typedlit((0 until salt).toArray))).alias("t"),
+        col("p.salt") === col("t.salt"))
 
     // explicit aliases: probes and targets share lineage (self-join)
-    val joined = probes.alias("p").join(targets.alias("t"),
+    val joined = probes.join(targets,
       col("p.doc_id") === col("t.doc_id") &&
-        col("p.rref") === col("t.tline") &&
-        col("p.salt") === col("t.salt"),
+        col("p.rref") === col("t.tline") && saltCond,
       "left")
       .select(col("p.doc_id").as("doc_id"), col("p.line_id").as("line_id"),
         col("p.ref").as("ref"), col("t.tline").as("tline"), col("t.tkw").as("tkw"))

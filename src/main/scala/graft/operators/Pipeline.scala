@@ -139,15 +139,22 @@ object Pipeline {
         when($"wcls" >= 0, lit(-1)).otherwise($"obj_id").as("oid"), $"kd")
       .agg(min(prio).as("m"))
       .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
-      .join(predDim, $"pred_id" === $"p_id")
+      // LEFT join + loud decode: an unmapped pred_id must SURFACE (this is a
+      // public seam fed caller-built frames), consistent with PredIds.id's
+      // loud-on-miss posture — an inner join would silently drop the row
+      .join(predDim, $"pred_id" === $"p_id", "left")
       .join(vocabDim, $"oid" === $"v_id", "left")
-      .select($"doc_id", concat(lit(baseURI), $"subj").as("subj"), $"p_iri".as("pred"),
+      .select($"doc_id", concat(lit(baseURI), $"subj").as("subj"),
+        when($"p_iri".isNull, raise_error(concat(lit("pred_id not in PredIds universe: "),
+          $"pred_id".cast("string")))).otherwise($"p_iri").as("pred"),
         when($"is_wtype", $"w_iri")
           .otherwise(when($"oid" >= 0, $"v_iri")
             .otherwise(when($"kd" === PredIds.IriKd, concat(lit(baseURI), $"og"))
               .otherwise($"og"))).as("obj"),
-        when($"kd" === PredIds.IriKd, "iri").otherwise("literal").as("obj_kind"),
-        when($"kd" === PredIds.IriKd, "").otherwise(element_at(dtArr, $"kd")).as("obj_datatype"),
+        when($"kd" === PredIds.IriKd || $"kd" === PredIds.AbsIriKd, "iri")
+          .otherwise("literal").as("obj_kind"),
+        when($"kd" === PredIds.IriKd || $"kd" === PredIds.AbsIriKd, "")
+          .otherwise(element_at(dtArr, $"kd")).as("obj_datatype"),
         // decode with integer bit-shifts: `/` on longs is DOUBLE division,
         // which rounds once m exceeds 2^53
         (shiftright($"m", 26) - 2L).as("src_line"),
@@ -156,7 +163,9 @@ object Pipeline {
 
   final case class Options(
       removeDuplicates: Boolean = false,
-      salt: Int = 8,
+      /** D2 target-replication factor; 1 = AQE-only skew handling (measured
+        * equal-or-better on both bench corpora — see Linker scaladoc) */
+      salt: Int = 1,
       /** when set, stage outputs are written/read as parquet tables under this
         * directory (checkpoint/resume mode); otherwise stmts are persisted */
       checkpointDir: Option[String] = None,
@@ -169,7 +178,17 @@ object Pipeline {
         * the reference's convert(path, out, schema) overload
         * (IfcSpfReader.java:243-245), which reaches the 4 non-sniffable
         * versions IFC2X3_Final / IFC4 / IFC4_ADD1 / IFC4_ADD2 */
-      schemaOverride: Option[String] = None)
+      schemaOverride: Option[String] = None,
+      /** graph-API parity: keep the 2 ontology header triples of an aborted
+        * document (the reference's parseModelToGraph does,
+        * RDFWriter.java:121-132); default false = file-sink semantics
+        * (goldens test6/test15 flush nothing) */
+      headerOnAbort: Boolean = false,
+      /** mega-doc guard: a document is ONE input row (its text lives in one
+        * task's heap, same envelope as the reference's whole-file linemap,
+        * README.md:34); docs above this many chars abort with an
+        * `oversize_doc` marker instead of risking executor OOM */
+      maxDocChars: Long = Tokenizer.DefaultMaxDocChars)
 
   /** S8 generic consumer seam, mirroring the reference's caller-supplied
     * per-triple StreamRDF sink (convert(file, StreamRDF, base),
@@ -182,7 +201,7 @@ object Pipeline {
   }
 
   def run(docs: Dataset[Doc], baseURI: String, removeDuplicates: Boolean = false,
-          salt: Int = 8)(implicit spark: SparkSession): Result =
+          salt: Int = 1)(implicit spark: SparkSession): Result =
     run(docs, baseURI, Options(removeDuplicates, salt))
 
   def run(docs: Dataset[Doc], baseURI: String, opts: Options)
@@ -193,9 +212,10 @@ object Pipeline {
 
     // ---- Stage A ----
     val schemaOv = opts.schemaOverride
+    val maxChars = opts.maxDocChars
     val stmts0 = docs.mapPartitions(
       instrumented[Doc, Stmt]("A_tokenize", lineageAcc, _ => false)(
-        _.flatMap(Tokenizer.tokenizeDoc(_, schemaOv))))
+        _.flatMap(Tokenizer.tokenizeDoc(_, schemaOv, maxChars))))
     val (stmts, cached) = opts.checkpointDir match {
       case Some(dir) =>
         val p = graft.sources.TableIO.checkpoint(stmts0.toDF, s"$dir/stage_a_stmts")
@@ -222,19 +242,30 @@ object Pipeline {
 
     // ---- Stage C ---- narrow; dictionaries load from the executor classpath
     val base = baseURI
+    val hdrOnAbort = opts.headerOnAbort
     val emitted0: Dataset[TripleRow] = linked.mapPartitions(
       instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.kd == PredIds.MarkerKd) { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       it.flatMap { ls0 =>
         val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
-        if (ls.schema.isEmpty) Iterator.empty // reference produces no output at all
+        if (ls.schema.isEmpty) {
+          // pre-schema aborts (the oversize mega-doc guard fires before the
+          // FILE_SCHEMA sniff) still surface their marker; everything else
+          // with no schema produces no output at all (reference behavior)
+          if (ls.abort && ls.keyword == Tokenizer.DocSentinel && ls.body.nonEmpty) {
+            val parts = ls.body.split(":", 2)
+            Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
+              if (parts.length > 1) parts(1) else "", -1, PredIds.MarkerKd, -1L, -1, -1))
+          } else Iterator.empty
+        }
         else if (!SchemaDict.available(ls.schema)) {
           if (ls.keyword == Tokenizer.DocSentinel)
             Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
               ls.schema, -1, PredIds.MarkerKd, ls.line_id, -1, -1))
           else Iterator.empty
         } else {
-          val em = emitters.getOrElseUpdate(ls.schema, new Emitter(SchemaDict.load(ls.schema), base))
+          val em = emitters.getOrElseUpdate(ls.schema,
+            new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
           val (ts, ms) = em.emit(ls)
           ts.iterator ++ ms.iterator.map(m =>
             TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, -1, PredIds.MarkerKd, m.line_id, -1, -1))

@@ -83,11 +83,28 @@ object Tokenizer {
 
   def tokenizeDoc(doc: Doc): Iterator[Stmt] = tokenizeDoc(doc, None)
 
+  /** Mega-doc guard default: a document is ONE input row, so its assembled
+    * text (plus the parsed linemap) lives in a single task's heap — the same
+    * whole-file envelope as the reference (README.md:34: 400 MB files, "often
+    * twice" in memory). 512M chars ≈ 1 GiB of String heap before parse
+    * buffers; beyond that the doc aborts with an `oversize_doc` marker
+    * instead of risking an executor OOM that would fail the whole task. */
+  val DefaultMaxDocChars: Long = 512L * 1024 * 1024
+
   /** `schemaOverride` mirrors the reference's explicit-schema entry point
     * (`convert(path, out, schema)`, IfcSpfReader.java:243-245, which accepts
     * the 4 non-sniffable versions IFC2X3_Final / IFC4 / IFC4_ADD1 / IFC4_ADD2
     * as well): when set, the FILE_SCHEMA sniff is bypassed entirely. */
-  def tokenizeDoc(doc: Doc, schemaOverride: Option[String]): Iterator[Stmt] = {
+  def tokenizeDoc(doc: Doc, schemaOverride: Option[String],
+                  maxDocChars: Long = DefaultMaxDocChars): Iterator[Stmt] = {
+    // oversize guard BEFORE text assembly (the span sizes are already known;
+    // assembling would double the heap first). The sentinel rides the normal
+    // in-band abort channel; Stage C surfaces it as an `oversize_doc` marker.
+    val docChars = doc.spans.iterator.map(s =>
+      (if (s.text != null) s.text.length.toLong else 0L)).sum
+    if (docChars > maxDocChars)
+      return Iterator.single(Stmt(doc.doc_id, "", -1L, -1L, DocSentinel,
+        s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L))
     val text = assembleText(doc)
     val schema = schemaOverride.getOrElse(sniffSchema(text))
     val lines = text.split("\n", -1)

@@ -64,6 +64,12 @@ object PredIds {
     XSD_NS + "hexBinary",
     XSD_NS + "boolean")
 
+  /** obj is a FULL absolute IRI shipped verbatim (outside the VocabIds
+    * universe and not instance-space, e.g. a urn: or an unknown http IRI
+    * in caller-built frames) — restored as-is, no baseURI prefix.
+    * (Defined after Datatypes: a forward reference here reads null.) */
+  val AbsIriKd: Int = Datatypes.length + 1
+
   private val dtToIdx: Map[String, Int] = Datatypes.zipWithIndex.toMap
 
   def kdOf(kind: String, dt: String): Int = kind match {

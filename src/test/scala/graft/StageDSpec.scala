@@ -103,6 +103,71 @@ class StageDSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("finish: AbsIriKd objects pass through verbatim; unknown pred_id fails loud") {
+    import spark.implicits._
+    val abs = graft.schema.PredIds.AbsIriKd
+    val df = Seq(
+      // a urn:-shaped absolute IRI object outside VocabIds: shipped whole,
+      // restored with NO baseURI prefix, obj_kind = iri
+      ("d", "s", 0, "urn:uuid:12ab", -1, abs, 1L, 0, -1),
+      ("d", "s", 0, "local9", -1, 0, 2L, 0, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+    val out = Pipeline.finish(df, "http://b/").collect()
+      .map(r => r.getString(3) -> r.getString(4)).toMap
+    assert(out("urn:uuid:12ab") == "iri") // NOT corrupted to http://b/urn:uuid:12ab
+    assert(out.contains("http://b/local9"))
+    // a pred_id outside the universe must surface, not vanish (left join +
+    // raise_error, consistent with PredIds.id's loud-on-miss posture)
+    val bad = Seq(("d", "s", -99, "o", -1, 0, 1L, 0, -1))
+      .toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+    val e = intercept[Exception](Pipeline.finish(bad, "http://b/").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pred_id not in PredIds universe")))
+  }
+
+  test("emitter: oversize docs abort with a marker; headerOnAbort keeps header triples") {
+    import spark.implicits._
+    // oversize guard: a doc over the configured char bound produces exactly
+    // one oversize_doc marker and zero triples (no OOM risk path)
+    val big = ifcDoc("big", "#1= IFCORGANIZATION($,'x',$,$,$);\n")
+    val r1 = Pipeline.run(spark.createDataset(Seq(big)), "http://b/",
+      Pipeline.Options(maxDocChars = 16))
+    assert(r1.triples.count() == 0)
+    val m = r1.markers.collect()
+    assert(m.length == 1 && m.head.kind == "oversize_doc" && m.head.detail.contains("chars"))
+    r1.unpersist()
+
+    // graph-API parity option: a dangling-ref abort keeps the 2 ontology
+    // header triples (reference parseModelToGraph, RDFWriter.java:121-132)...
+    val abortDoc = ifcDoc("a0", "#1= IFCAPPLICATION(#99,'v1','App','app');\n")
+    val r2 = Pipeline.run(spark.createDataset(Seq(abortDoc)), "http://b/",
+      Pipeline.Options(headerOnAbort = true))
+    val t2 = r2.triples.collect()
+    assert(t2.length == 2)
+    assert(t2.map(_.getAs[String]("pred")).toSet ==
+      Set("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://www.w3.org/2002/07/owl#imports"))
+    assert(r2.markers.collect().exists(_.kind == "dangling_ref"))
+    r2.unpersist()
+
+    // ...while the default (file-sink semantics) flushes nothing
+    val r3 = Pipeline.run(spark.createDataset(Seq(abortDoc)), "http://b/")
+    assert(r3.triples.count() == 0)
+    r3.unpersist()
+  }
+
+  test("D2 salt levels are output-equivalent (salt=1 AQE default vs salt=8)") {
+    import spark.implicits._
+    val docs = spark.createDataset((0 until 12).map(i =>
+      graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)))
+    def tripleSet(salt: Int): Set[String] = {
+      val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI, salt = salt)
+      val out = r.triples.collect().map(_.toSeq.mkString("")).toSet
+      r.unpersist(); out
+    }
+    assert(tripleSet(1) == tripleSet(8))
+  }
+
   test("persistEmitted: markers after a triples action re-run no stage") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(
