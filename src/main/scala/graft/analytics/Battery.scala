@@ -128,12 +128,14 @@ object Battery {
       // oracle). Pair fan-out is now bounded by DfCap^2 per shingle.
       val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
+      // per-doc array_distinct BEFORE the explode: (doc, sh) duplicates only
+      // ever arise within one document, so the narrow dedup makes the old
+      // post-explode global .distinct() (a full shuffle) redundant
       val shAll = docs
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          "array_distinct(filter(transform(sequence(0, size(tk)-3), " +
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])), x -> x <> ''))"))
           .as("sh"))
-        .filter(col("sh") =!= "")
-        .distinct()
       val rare = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= JaccardDfCap).select(col("sh"))
       val sh = shAll.join(rare, "sh")
@@ -150,25 +152,19 @@ object Battery {
         .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"))
     }),
     "q13_dedup_minhash" -> ((s, d) => {
-      // MinHash + banded LSH candidate pairs (k=8 hashes, 4 bands of 2)
-      import s.implicits._
-      val params = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => (i, a, b) }.toDF("i", "ha", "hb")
-      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 3)
-      val sh = docs
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-          .as("sh"))
-        .filter(col("sh") =!= "").distinct()
-        .select(col("doc_id"), h32(col("sh")).as("h"))
-      val sig = sh.crossJoin(broadcast(params))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("ha") * col("h") + col("hb")) % lit(4294967291L)).as("mh"))
-      val bands = sig.withColumn("band", (col("i") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
-          min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+      // MinHash + banded LSH candidate pairs (k=8 hashes, 4 bands of 2).
+      // The signature is computed NARROWLY per row (TextOps.minhashSig: one
+      // pass over the deduped shingle array — no explode/crossJoin/groupBy
+      // shuffles before the band self-join); identical values to the
+      // relational build, pinned by FunctionsSpec. Oracle unchanged.
+      val sig = graft.functions.TextOps.minhashSig(
+        t(s, d, "documents"), "doc_id", "text", MinhashParams)
+        .withColumnRenamed("doc", "doc_id")
+      val bandStructs = (0 until 4).map(b =>
+        s"struct($b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1)").mkString(", ")
+      val bands = sig.select(col("doc_id"),
+          explode(expr(s"array($bandStructs)")).as("t"))
+        .select(col("doc_id"), col("t.band").as("band"), col("t.m0").as("m0"), col("t.m1").as("m1"))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
             col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))

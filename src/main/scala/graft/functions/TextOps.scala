@@ -26,16 +26,44 @@ object TextOps {
     df.groupBy(md5(col(text)).as("h"))
       .agg(min(col(id)).as("canonical"), count(lit(1)).as("n"))
 
-  /** distinct (id, shingle-hash) pairs for docs with >= n tokens */
+  /** distinct (id, shingle-hash) pairs for docs with >= n tokens. Deduped
+    * NARROWLY (array_distinct before the explode): (doc, sh) duplicates only
+    * arise within one document, so no global distinct shuffle is needed. */
   def shingleHashes(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
     df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("doc"), explode(shingles(col("tk"), n)).as("sh"))
-      .filter(col("sh") =!= "").distinct()
+      .select(col("doc"),
+        explode(array_distinct(filter(shingles(col("tk"), n), x => x =!= ""))).as("sh"))
       .select(col("doc"), h32(col("sh")).as("h"))
 
+  /** Per-row MinHash signature over word n-gram shingles: (doc, mh0..mh{k-1})
+    * computed in ONE narrow pass — the shingle array is built, deduped and
+    * md5-hashed once per row (its projection stays separate: Catalyst's
+    * CollapseProject does not inline a non-cheap expression used k times),
+    * then each hash function takes an array_min over it. No explode, no
+    * broadcast param crossJoin, no pre-join groupBys — at 10^9 docs the
+    * signature is a pure map stage, like [[graft.functions.BandedSig]] for
+    * embeddings. Values are identical to min over the exploded
+    * (doc, shingle-hash) stream (pinned by FunctionsSpec). */
+  def minhashSig(df: DataFrame, id: String, text: String,
+                 params: Seq[(Long, Long)], n: Int = 3): DataFrame = {
+    val base = df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= n)
+    val shSql = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    val hs = expr(
+      s"transform(array_distinct(filter(transform(sequence(0, size(tk) - $n), " +
+        s"i -> concat_ws(' ', $shSql)), x -> x <> '')), " +
+        "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))")
+    base.select(col("doc"), hs.as("hs"))
+      .select(col("doc") +: params.zipWithIndex.map { case ((a, b), i) =>
+        expr(s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % 4294967291))").as(s"mh$i")
+      }: _*)
+  }
+
   /** near-duplicate candidate pairs via MinHash + banded LSH.
-    * k hash functions, bands of `rows` each; pairs (a < b). */
+    * k hash functions, bands of `rows` each; pairs (a < b).
+    * (Relational signature build — kept as the independent cross-check for
+    * [[minhashSig]]; production callers should prefer the narrow path.) */
   def minhashPairs(sh: DataFrame, params: Seq[(Long, Long)], rows: Int = 2): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._

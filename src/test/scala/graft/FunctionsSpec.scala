@@ -116,6 +116,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("minhashSig narrow signature matches the exploded min per hash function") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val params = graft.analytics.Battery.MinhashParams
+    val narrow = TextOps.minhashSig(docs, "doc_id", "text", params)
+      .collect().map(r => r.get(0) -> (1 to params.size).map(r.getLong).toSeq).toMap
+    // relational reference: explode distinct shingle hashes, min per function
+    val sh = TextOps.shingleHashes(docs, "doc_id", "text")
+    val rel = sh.groupBy(col("doc"))
+      .agg(params.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % lit(4294967291L)).as(s"mh$i") }.head,
+        params.zipWithIndex.drop(1).map { case ((a, b), i) =>
+          min((lit(a) * col("h") + lit(b)) % lit(4294967291L)).as(s"mh$i") }: _*)
+      .collect().map(r => r.get(0) -> (1 to params.size).map(r.getLong).toSeq).toMap
+    assert(narrow == rel)
+  }
+
   test("BandedSig narrow signature is bit-identical to the relational build") {
     // the real sf embeddings exercise quantization edge cases (negative
     // values, float rounding near integers) far better than synthetic rows
