@@ -136,11 +136,15 @@ object IfcToRdf {
       .groupByKey(_.doc_id)
       .mapGroups { (docId, it) =>
         val (out, ontNS) = meta(docId)
+        // the Seq is needed for the per-doc sorted output (envelope bounded
+        // by the tokenizer's maxDocChars guard); serialization streams to
+        // the file, so the task never also holds the full payload string
         val ts = it.toSeq
-        val payload =
-          if (fmt == "nt") graft.sinks.NTriplesSink.serialize(ts)
-          else TurtleSink.serialize(ts, base, ontNS)
-        Files.writeString(Paths.get(out), payload)
+        val w = Files.newBufferedWriter(Paths.get(out))
+        try {
+          if (fmt == "nt") graft.sinks.NTriplesSink.writeTo(ts, w)
+          else TurtleSink.writeTo(ts, w, base, ontNS)
+        } finally w.close()
         (docId, out, ts.size)
       }
       .collect().sortBy(_._1)

@@ -49,6 +49,14 @@ object NTriplesSink {
 
   /** Driver-side serialization of a small triple set (tests / CLI). */
   def serialize(triples: Seq[graft.model.FinalTriple]): String = {
+    val sw = new java.io.StringWriter
+    writeTo(triples, sw)
+    sw.toString
+  }
+
+  /** Stream serialization into `w` (sorted per doc; the row Seq is the only
+    * thing held — no whole-payload string next to it). */
+  def writeTo(triples: Seq[graft.model.FinalTriple], w: java.io.Writer): Unit = {
     def escS(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -57,12 +65,12 @@ object NTriplesSink {
       case '\t' => "\\t"
       case c => c.toString
     }
-    triples.sortBy(t => (t.subj, t.pred, t.obj)).map { t =>
+    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach { t =>
       val o =
         if (t.obj_kind == "iri") s"<${t.obj}>"
         else if (t.obj_datatype.isEmpty || t.obj_datatype == XsdString) s""""${escS(t.obj)}""""
         else s""""${escS(t.obj)}"^^<${t.obj_datatype}>"""
-      s"<${t.subj}> <${t.pred}> $o ."
-    }.mkString("", "\n", "\n")
+      w.write(s"<${t.subj}> <${t.pred}> $o .\n")
+    }
   }
 }

@@ -20,15 +20,26 @@ object TurtleSink {
     "express" -> "https://w3id.org/express#")
 
   def serialize(triples: Seq[FinalTriple], baseURI: String, ontNS: String): String = {
-    val sb = new StringBuilder
-    sb.append(s"# baseURI: $baseURI\r\n")
-    sb.append(s"# imports: ${ontNS.stripSuffix("#")}\r\n\r\n")
-    if (triples.isEmpty) return sb.toString
-    sb.append(s"@base <$baseURI> .\n")
-    sb.append(s"@prefix ifc: <$ontNS> .\n")
-    sb.append(s"@prefix inst: <$baseURI> .\n")
-    prefixes.foreach { case (p, ns) => sb.append(s"@prefix $p: <$ns> .\n") }
-    sb.append('\n')
+    val sw = new java.io.StringWriter
+    writeTo(triples, sw, baseURI, ontNS)
+    sw.toString
+  }
+
+  /** Stream the serialization into `w` instead of building the whole payload
+    * string (the per-doc sort still needs the rows in memory — that envelope
+    * is bounded by the tokenizer's maxDocChars guard — but a mega-doc export
+    * no longer holds rows + full payload text simultaneously). */
+  def writeTo(triples: Seq[FinalTriple], w: java.io.Writer,
+              baseURI: String, ontNS: String): Unit = {
+    def append(x: String): Unit = w.write(x)
+    append(s"# baseURI: $baseURI\r\n")
+    append(s"# imports: ${ontNS.stripSuffix("#")}\r\n\r\n")
+    if (triples.isEmpty) return
+    append(s"@base <$baseURI> .\n")
+    append(s"@prefix ifc: <$ontNS> .\n")
+    append(s"@prefix inst: <$baseURI> .\n")
+    prefixes.foreach { case (p, ns) => append(s"@prefix $p: <$ns> .\n") }
+    append("\n")
     val all = ("ifc" -> ontNS) +: ("inst" -> baseURI) +: prefixes
 
     def term(iri: String): String =
@@ -52,9 +63,8 @@ object TurtleSink {
       }
 
     triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach { t =>
-      sb.append(s"${term(t.subj)} ${term(t.pred)} ${obj(t)} .\n")
+      append(s"${term(t.subj)} ${term(t.pred)} ${obj(t)} .\n")
     }
-    sb.toString
   }
 
   private def isLocal(s: String): Boolean =
