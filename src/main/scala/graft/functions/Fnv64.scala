@@ -58,19 +58,43 @@ object Fnv64 {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fnv64Descriptor)
+    ext.injectFunction(GraftExtensions.bandedSigDescriptor)
   }
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
 
   val fnv64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_fnv64"),
     new ExpressionInfo(classOf[Fnv64].getName, "graft_fnv64"),
     (exprs: Seq[Expression]) => Fnv64(exprs.head))
 
+  /** SQL surface of [[BandedSig]]:
+    * graft_banded_sig(emb ARRAY<FLOAT>, nBands INT, bitsPerBand INT, dims INT)
+    * → ARRAY<BIGINT>. The shape parameters must be INT literals (they fix
+    * the generated code and the plane-weight table). */
+  val bandedSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_banded_sig"),
+    new ExpressionInfo(classOf[BandedSig].getName, "graft_banded_sig"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 4,
+        "graft_banded_sig(emb, nBands, bitsPerBand, dims) takes 4 arguments")
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(s"graft_banded_sig: $name must be an INT literal")
+      }
+      BandedSig(exprs.head, intLit(exprs(1), "nBands"),
+        intLit(exprs(2), "bitsPerBand"), intLit(exprs(3), "dims"))
+    })
+
   /** Register on an existing session (no spark.sql.extensions config needed). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       fnv64Descriptor._1, fnv64Descriptor._2, fnv64Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bandedSigDescriptor._1, bandedSigDescriptor._2, bandedSigDescriptor._3)
+  }
 }

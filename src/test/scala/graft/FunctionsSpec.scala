@@ -21,6 +21,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(r == Emitter.fnv64("IfcWall_42"))
   }
 
+  test("graft_banded_sig SQL function agrees with the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val vecs = Seq((0L, Array(0.9f, -0.4f, 0.2f, -0.7f, 0.1f, 0.6f, -0.3f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("bsig_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_banded_sig(embedding, 2, 4, 8) AS sig FROM bsig_probe")
+      .collect().head.getSeq[Long](0)
+    val viaApi = vecs.select(graft.functions.BandedSig(col("embedding"), 2, 4, 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 2)
+    // shape params must be literals
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_banded_sig(embedding, vec_id, 4, 8) FROM bsig_probe").collect())
+    assert(e.getMessage != null)
+  }
+
   test("TextOps near-dup stack finds planted duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
