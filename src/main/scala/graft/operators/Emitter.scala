@@ -37,10 +37,25 @@ final class Emitter(dict: SchemaDict, baseURI: String,
 
   // ---------------------------------------------------------------- helpers
 
+  /** Allocation-free char strip: most literals contain none of the stripped
+    * chars, so return the SAME string unless something must go (String
+    * .filterNot boxes every char — Function1 is not specialized on Char —
+    * and always allocates; this is a Stage-C per-literal hot path). */
+  private def strip(s: String, b1: Char, b2: Char): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && { val c = s.charAt(i); c != b1 && c != b2 }) i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n - 1)
+    sb.append(s, 0, i)
+    i += 1
+    while (i < n) { val c = s.charAt(i); if (c != b1 && c != b2) sb.append(c); i += 1 }
+    sb.toString
+  }
   /** strip quote and '=' characters (reference RDFWriter.filterExtras :983-997) */
-  private def filterExtras(s: String): String = s.filterNot(c => c == '\'' || c == '=')
+  private def filterExtras(s: String): String = strip(s, '\'', '=')
   /** strip '.' (reference RDFWriter.filterPoints :999-1011) */
-  private def filterPoints(s: String): String = s.filterNot(_ == '.')
+  private def filterPoints(s: String): String = strip(s, '.', '.')
 
   /** Content-hash IRI for a synthesized intermediate — returned as the
     * baseURI-relative LOCAL name (TripleRow ships locals across the Stage-D

@@ -117,14 +117,22 @@ object Tokenizer {
     while (i < lines.length) {
       val line = lines(i)
       if (line.nonEmpty && line.charAt(0) == '#') {
-        val sb = new StringBuilder(line.trim)
-        var last = line
-        while (!last.contains(";") && i + 1 < lines.length) {
-          i += 1
-          last = lines(i)
-          sb.append(last.trim)
-        }
-        val st = parseStatement(doc.doc_id, schema, seq, sb.toString.substring(1)).stmt
+        // fast path: the overwhelmingly common single-line statement needs no
+        // StringBuilder assembly (one trimmed copy instead of three) — the
+        // multi-line branch below is byte-identical for split statements
+        val stmtText =
+          if (line.indexOf(';') >= 0) line.trim.substring(1)
+          else {
+            val sb = new StringBuilder(line.trim)
+            var last = line
+            while (!last.contains(";") && i + 1 < lines.length) {
+              i += 1
+              last = lines(i)
+              sb.append(last.trim)
+            }
+            sb.toString.substring(1)
+          }
+        val st = parseStatement(doc.doc_id, schema, seq, stmtText).stmt
         linemap(st.line_id) = st
         seq += 1L
       }
