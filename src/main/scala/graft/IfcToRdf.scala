@@ -106,7 +106,15 @@ object IfcToRdf {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
-    implicit val s: SparkSession = spark
+    execute(cli, inputs, outputs)(spark)
+    spark.stop()
+  }
+
+  /** The conversion itself, on a caller-owned session (main owns its session
+    * lifecycle; tests drive this directly with the shared suite session). */
+  private[graft] def execute(cli: CliArgs, inputs: Seq[Path], outputs: Seq[Path])
+                            (implicit spark: SparkSession): Unit = {
+    val CliArgs(baseURI, removeDuplicates, _, schemaOv, format, _) = cli
     import spark.implicits._
 
     // per-doc output path + ontology namespace, resolved on the driver (one
@@ -156,6 +164,5 @@ object IfcToRdf {
       println(s"[ifc2rdf] ${meta(d)._1}: no output (document aborted or empty)")
     }
     result.unpersist()
-    spark.stop()
   }
 }
