@@ -38,7 +38,10 @@ object AnnOps {
     * quantization multiplies in FLOAT (Spark's coercion for float·int), the
     * per-position product is exact in long, and the fold runs in array order
     * (deterministic). Null / length-mismatch positions contribute 0, matching
-    * the inner pos-join's drop semantics. */
+    * the inner pos-join's drop semantics. Assumes FINITE values (ANSI CAST of
+    * ±Inf aborts) — acceptable because scoring only ever sees LSH candidates,
+    * and the candidate generator (BandedSig) is total on NaN/Inf, so garbage
+    * vectors can be filtered once, cheaply, before scoring. */
   def quantDot(a: Column, b: Column): Column = {
     def qz(x: Column) = floor(x * lit(1000)).cast("long")
     aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L),

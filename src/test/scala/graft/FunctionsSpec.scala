@@ -190,6 +190,45 @@ class FunctionsSpec extends SparkTestBase {
     assert(narrowNorms == refNorms)
   }
 
+  test("BandedSig == relational build on adversarial floats (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // finite adversarial values (±0, subnormals, near-integer products) never
+    // appear in the committed test tables — the property pins that the native
+    // expression and the relational path agree on them. NaN/±Inf are excluded
+    // HERE because the paths deliberately differ there: under ANSI mode the
+    // relational CAST(Infinity AS BIGINT) ABORTS the job, while BandedSig
+    // saturates like a Java cast (total function — one garbage embedding must
+    // not kill a 10^12-row run); the next test pins that totality.
+    val special = Gen.oneOf(-0.0f, 0.0f, Float.MinPositiveValue,
+      0.0009999999f, -0.0010000001f, 123.4567f, -999.999f)
+    val anyF = Gen.frequency(3 -> Gen.choose(-2.0f, 2.0f), 1 -> special)
+    val vecGen = Gen.listOfN(8, anyF).map(_.toArray)
+    val prop = Prop.forAll(Gen.listOfN(6, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      def sigSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      sigSet(AnnOps.bandedSignature(df, "vec_id", "embedding", 2, 4, 8)) ==
+        sigSet(AnnOps.bandedSignatureRelational(df, "vec_id", "embedding", 2, 4, 8))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("BandedSig is total on NaN/Infinity (garbage embeddings cannot abort a job)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity, 1f, 0f, -1f, 2f, -2f)),
+      (1L, Array.fill(8)(Float.NaN))
+    ).toDF("vec_id", "embedding")
+    // must not throw; NaN elements quantize to 0, ±Inf saturate like a Java
+    // long cast — deterministic buckets either way
+    val sig = AnnOps.bandedSignature(vecs, "vec_id", "embedding", 2, 4, 8).collect()
+    assert(sig.length == 4) // 2 vecs × 2 bands
+    val again = AnnOps.bandedSignature(vecs, "vec_id", "embedding", 2, 4, 8).collect()
+    assert(sig.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
     import spark.implicits._
     val dims = 8
