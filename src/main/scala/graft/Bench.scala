@@ -156,9 +156,16 @@ object Bench {
     val kgMedSecs = median(kgSamples("kg_uniform")) + median(kgSamples("kg_skewed"))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // escape ALL control chars (<0x20) — any raw control byte from a parser/
+    // native error message would make the single JSON line unparseable
+    def jstr(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
+      "\"" + k + "\":\"" + jstr(v) + "\"" }.mkString("{", ",", "}")
     val total = results.values.sum
     val tps = if (kgSecs > 0) (kgTriples / kgSecs).round else 0L
     val tpsMed = if (kgMedSecs > 0) (kgTriples / kgMedSecs).round else 0L

@@ -21,20 +21,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ExpectedGen {
 
-  val ExpectedDir = "expected"
+  /** Absolute paths: the driver's DuckDB oracle (SparkEntry.oracleSql) reads
+    * these by absolute path from whatever cwd it runs in — generator, test
+    * gate, and oracle must agree on ONE location. */
+  val ExpectedDir = "/root/repo/expected"
   val TriplesFile = s"$ExpectedDir/kg_triples.parquet"
   val MarkersFile = s"$ExpectedDir/kg_markers.parquet"
 
   /** write df as exactly one parquet FILE at `file` (not a directory) */
   def writeSingle(df: DataFrame, file: String)(implicit spark: SparkSession): Unit = {
-    val tmp = Files.createTempDirectory("graft-expected").toString + "/t"
+    val tmpDir = Files.createTempDirectory("graft-expected")
+    val tmp = tmpDir.toString + "/t"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      finally listing.close()
     require(part.length == 1, s"expected one part file, got ${part.toSeq}")
     val dest = Paths.get(file)
     Files.createDirectories(dest.getParent)
     Files.copy(Paths.get(part.head), dest, StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp copy (a full parquet of the table per regeneration)
+    val walk = Files.walk(tmpDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,23 +38,25 @@ object AnnOps {
     * quantization multiplies in FLOAT (Spark's coercion for float·int), the
     * per-position product is exact in long, and the fold runs in array order
     * (deterministic). Null / length-mismatch positions contribute 0, matching
-    * the inner pos-join's drop semantics. Assumes FINITE values (ANSI CAST of
-    * ±Inf aborts) — acceptable because scoring only ever sees LSH candidates,
-    * and the candidate generator (BandedSig) is total on NaN/Inf, so garbage
-    * vectors can be filtered once, cheaply, before scoring. */
-  def quantDot(a: Column, b: Column): Column = {
-    def qz(x: Column) = floor(x * lit(1000)).cast("long")
+    * the inner pos-join's drop semantics — and so do NaN/±Inf/long-overflow
+    * positions (the TOTAL-function guard: under ANSI mode a bare
+    * CAST(Infinity AS BIGINT) would abort the whole job on one garbage
+    * embedding; finite in-range values take the identical floor path). */
+  private def qz(x: Column): Column = {
+    val d = (x * lit(1000)).cast("double") // float multiply, then widen — the quantized() arithmetic
+    when(isnan(d) || d < lit(-9.223372036854775e18) || d > lit(9.223372036854775e18), lit(0L))
+      .otherwise(floor(d).cast("long"))
+  }
+
+  def quantDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L),
       (acc, v) => acc + coalesce(v, lit(0L)))
-  }
 
   /** floor(|v|) over quantized elements, narrowly per row — the norm factor
     * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei)))). */
-  def quantNorm(a: Column): Column = {
-    def qz(x: Column) = floor(x * lit(1000)).cast("long")
+  def quantNorm(a: Column): Column =
     floor(sqrt(aggregate(a, lit(0L),
       (acc, x) => acc + coalesce(qz(x) * qz(x), lit(0L))).cast("double"))).cast("long")
-  }
 
   /** score candidate pairs by exact quantized dot: fetch both embedding
     * arrays via two equi joins on the id (broadcast or shuffled — Catalyst's
@@ -77,8 +79,9 @@ object AnnOps {
   //   * hyperplane weights are deterministic ±1 per (plane, dim), derived
   //     from the portable md5 hash — identical in Spark and DuckDB;
   //   * a per-(band, bucket) candidate cap bounds the in-bucket join
-  //     quadratically no matter how the corpus grows (the fixed-256-bucket
-  //     lshTopK above degrades to all-pairs at 10^9 vectors; this does not);
+  //     quadratically no matter how the corpus grows (a fixed-bucket scheme
+  //     degrades to all-pairs at 10^9 vectors; q16 runs this path at
+  //     nBands = 1 as the single-table configuration);
   //   * candidates are then scored integer-exactly (quantized dot).
   // Raising bitsPerBand scales the bucket space with corpus size
   // (log2(n / target_bucket_load)); the cap is the hard worst-case guard.
@@ -100,7 +103,11 @@ object AnnOps {
     * 10^9-vector scale the signature is a pure map stage. */
   def bandedSignature(df: DataFrame, id: String, emb: String,
                       nBands: Int, bitsPerBand: Int, dims: Int): DataFrame =
-    df.select(col(id).as("vid"),
+    // size > 0: an EMPTY embedding produces no signature rows in the
+    // relational build (nothing to explode), so it must be absent here too;
+    // all-NULL-element arrays match via BandedSig's zero-usable-elements rule
+    df.filter(size(col(emb)) > 0)
+      .select(col(id).as("vid"),
         posexplode(BandedSig(col(emb), nBands, bitsPerBand, dims)).as(Seq("band", "bucket")))
 
   /** the pre-round-3 relational signature build (posexplode → broadcast plane

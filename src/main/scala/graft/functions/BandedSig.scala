@@ -45,8 +45,10 @@ case class BandedSig(child: Expression, nBands: Int, bitsPerBand: Int, dims: Int
     val proj = new Array[Long](nPlanes)
     val n = math.min(dims, arr.numElements())
     var d = 0
+    var seen = 0
     while (d < n) {
       if (!arr.isNullAt(d)) {
+        seen += 1
         val ei = math.floor((arr.getFloat(d) * 1000.0f).toDouble).toLong
         var j = 0
         while (j < nPlanes) { proj(j) += w(j * dims + d) * ei; j += 1 }
@@ -54,13 +56,18 @@ case class BandedSig(child: Expression, nBands: Int, bitsPerBand: Int, dims: Int
       d += 1
     }
     val buckets = new Array[Long](nBands)
-    var b = 0
-    while (b < nBands) {
-      var v = 0L
-      var i = 0
-      while (i < bitsPerBand) { if (proj(b * bitsPerBand + i) >= 0) v |= 1L << i; i += 1 }
-      buckets(b) = v
-      b += 1
+    // zero usable elements => all buckets 0, matching the relational build
+    // (SUM over an all-NULL group is NULL, and its bucket CASE yields 0) —
+    // NOT the all-bits bucket that proj==0 would set
+    if (seen > 0) {
+      var b = 0
+      while (b < nBands) {
+        var v = 0L
+        var i = 0
+        while (i < bitsPerBand) { if (proj(b * bitsPerBand + i) >= 0) v |= 1L << i; i += 1 }
+        buckets(b) = v
+        b += 1
+      }
     }
     new GenericArrayData(buckets)
   }
@@ -77,21 +84,26 @@ case class BandedSig(child: Expression, nBands: Int, bitsPerBand: Int, dims: Int
       val b = ctx.freshName("b")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val seen = ctx.freshName("seen")
       s"""
          |long[] $proj = new long[$nPlanes];
          |int $n = java.lang.Math.min($dims, $c.numElements());
+         |int $seen = 0;
          |for (int $d = 0; $d < $n; $d++) {
          |  if (!$c.isNullAt($d)) {
+         |    $seen++;
          |    long $ei = (long) java.lang.Math.floor((double) ($c.getFloat($d) * 1000.0f));
          |    for (int $j = 0; $j < $nPlanes; $j++) $proj[$j] += $w[$j * $dims + $d] * $ei;
          |  }
          |}
          |long[] $buckets = new long[$nBands];
-         |for (int $b = 0; $b < $nBands; $b++) {
-         |  long $v = 0L;
-         |  for (int $i = 0; $i < $bitsPerBand; $i++)
-         |    if ($proj[$b * $bitsPerBand + $i] >= 0L) $v |= (1L << $i);
-         |  $buckets[$b] = $v;
+         |if ($seen > 0) {
+         |  for (int $b = 0; $b < $nBands; $b++) {
+         |    long $v = 0L;
+         |    for (int $i = 0; $i < $bitsPerBand; $i++)
+         |      if ($proj[$b * $bitsPerBand + $i] >= 0L) $v |= (1L << $i);
+         |    $buckets[$b] = $v;
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
        """.stripMargin

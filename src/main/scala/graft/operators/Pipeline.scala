@@ -249,13 +249,15 @@ object Pipeline {
       it.flatMap { ls0 =>
         val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
         if (ls.schema.isEmpty) {
-          // pre-schema aborts (the oversize mega-doc guard fires before the
-          // FILE_SCHEMA sniff) still surface their marker; everything else
-          // with no schema produces no output at all (reference behavior)
-          if (ls.abort && ls.keyword == Tokenizer.DocSentinel && ls.body.nonEmpty) {
+          // the oversize mega-doc guard fires BEFORE the FILE_SCHEMA sniff,
+          // so its marker must surface from here; every OTHER schema-less
+          // document produces no output at all (reference behavior) — keyed
+          // on the marker kind, not on abort, so a schema-less doc that also
+          // happens to have dangling refs stays silent like the reference
+          if (ls.keyword == Tokenizer.DocSentinel && ls.body.startsWith("oversize_doc:")) {
             val parts = ls.body.split(":", 2)
             Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
-              if (parts.length > 1) parts(1) else "", -1, PredIds.MarkerKd, -1L, -1, -1))
+              parts(1), -1, PredIds.MarkerKd, -1L, -1, -1))
           } else Iterator.empty
         }
         else if (!SchemaDict.available(ls.schema)) {

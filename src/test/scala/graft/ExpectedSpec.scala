@@ -7,8 +7,10 @@ package graft
   * `sbt "runMain graft.ExpectedGen"` fails HERE, not at the driver. */
 class ExpectedSpec extends SparkTestBase {
 
-  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.toSeq.mkString("")).toSet
+  // \u0001 separator prevents field-boundary aliasing ("ab"+"c" vs "a"+"bc");
+  // sorted Seq (not Set) keeps row multiplicities comparable
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("\u0001")).toSeq.sorted
 
   private lazy val result = {
     assume(graft.sources.FixtureDocs.available(), "reference fixtures not mounted")
@@ -21,8 +23,8 @@ class ExpectedSpec extends SparkTestBase {
     assume(new java.io.File(ExpectedGen.TriplesFile).exists(), "expected table missing")
     val actual = rowSet(result.triples)
     val expected = rowSet(spark.read.parquet(ExpectedGen.TriplesFile))
-    withClue(s"stale expected/kg_triples.parquet? missing=${(expected -- actual).take(3)} " +
-        s"extra=${(actual -- expected).take(3)} — regenerate with `sbt \"runMain graft.ExpectedGen\"`\n") {
+    withClue(s"stale expected/kg_triples.parquet? missing=${expected.diff(actual).take(3)} " +
+        s"extra=${actual.diff(expected).take(3)} — regenerate with `sbt \"runMain graft.ExpectedGen\"`\n") {
       assert(actual == expected)
     }
   }

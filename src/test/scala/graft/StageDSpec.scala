@@ -160,9 +160,9 @@ class StageDSpec extends SparkTestBase {
     import spark.implicits._
     val docs = spark.createDataset((0 until 12).map(i =>
       graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)))
-    def tripleSet(salt: Int): Set[String] = {
+    def tripleSet(salt: Int): Seq[String] = {
       val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI, salt = salt)
-      val out = r.triples.collect().map(_.toSeq.mkString("")).toSet
+      val out = r.triples.collect().map(_.toSeq.mkString("\u0001")).toSeq.sorted
       r.unpersist(); out
     }
     assert(tripleSet(1) == tripleSet(8))
