@@ -27,26 +27,8 @@ object Bench {
       if (sfDir.contains("sf0.1")) (20000, 100)
       else if (sfDir.contains("sf0.01")) (2000, 100)
       else (200, 100)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // same knobs as ScalingBench (the measurement protocol BASELINE.md pins):
-      // 1 shuffle task + 8 input slices per core, no locality stalls
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.default.parallelism", cpus * 8)
-      .config("spark.locality.wait", "0s")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      // Serialized sort shuffle writer + stream copy (TuneBench, interleaved
-      // min-of-3 on this host: 2.3-2.5x): the bypass-merge writer opens one
-      // file per reducer per map task and concatenates them with NIO
-      // transferTo, whose mmap/munmap cycles fire cross-core TLB shootdowns
-      // that dominate wall time at 32 threads (jstack-sampled).
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.file.transferTo", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the shared tuned measurement protocol BASELINE.md pins — see BenchSession
+    val spark = BenchSession.local("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark
 
@@ -155,7 +137,11 @@ object Bench {
     kgSecs = results("kg_uniform") + results("kg_skewed")
     val kgMedSecs = median(kgSamples("kg_uniform")) + median(kgSamples("kg_skewed"))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f interpolator uses the default JVM locale, and a
+    // comma-decimal locale would render 17,600 — an unparseable JSON line
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     // escape ALL control chars (<0x20) — any raw control byte from a parser/
     // native error message would make the single JSON line unparseable
     def jstr(s: String): String = s.flatMap {

@@ -30,25 +30,14 @@ object ClusterScalingBench {
     require(jar.isFile, s"app jar missing — run `sbt package` first (${jar.getPath})")
 
     def run(execs: Int, rep: Int): (Double, Long) = {
-      val spark = SparkSession.builder()
+      val spark = BenchSession.builder(s"graft-cluster-$execs", execs * cpe, execs * cpe * 8)
         .master(s"local-cluster[$execs,$cpe,$mem]")
-        .appName(s"graft-cluster-$execs")
         .config("spark.jars", jar.getPath)
-        .config("spark.sql.shuffle.partitions", execs * cpe)
-        .config("spark.default.parallelism", execs * cpe * 8)
-        .config("spark.locality.wait", "0s")
-        // serialized sort shuffle writer + stream copy — see Bench.scala
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-        .config("spark.file.transferTo", "false")
-        .config("spark.sql.adaptive.enabled", "true")
         // AQE must not broadcast-convert the (doc_id, line_id)-keyed joins:
         // their compressed shuffle stats look small but the hashed relation
         // does not fit executor task memory
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       implicit val s: SparkSession = spark

@@ -148,11 +148,21 @@ object IfcToRdf {
         // by the tokenizer's maxDocChars guard); serialization streams to
         // the file, so the task never also holds the full payload string
         val ts = it.toSeq
-        val w = Files.newBufferedWriter(Paths.get(out))
+        // write to a sibling temp file and rename on success: a task that
+        // dies mid-stream (disk full, I/O error) must not leave a truncated
+        // .ttl where a consumer of the output directory can read it
+        val dest = Paths.get(out)
+        val tmp = dest.resolveSibling(dest.getFileName.toString + ".inprogress")
+        val w = Files.newBufferedWriter(tmp)
         try {
           if (fmt == "nt") graft.sinks.NTriplesSink.writeTo(ts, w)
           else TurtleSink.writeTo(ts, w, base, ontNS)
-        } finally w.close()
+          w.close()
+          Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally {
+          w.close() // idempotent; covers the failure path
+          Files.deleteIfExists(tmp)
+        }
         (docId, out, ts.size)
       }
       .collect().sortBy(_._1)

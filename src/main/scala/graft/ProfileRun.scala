@@ -18,23 +18,13 @@ object ProfileRun {
     val cores = if (args.length > 2) args(2).toInt else 32
     val skew = args.length > 3 && args(3).toBoolean
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-profile")
+    // shared protocol with profiling overrides: 4 shuffle tasks per core
+    // (finer stage attribution) and env-selectable shuffle writer for A/B
+    val spark = BenchSession.local("graft-profile", cores)
       .config("spark.sql.shuffle.partitions", cores * 4)
-      .config("spark.default.parallelism", cores * 8)
-      .config("spark.locality.wait", "0s")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      // measured on this host (jstack sampling): the bypass-merge shuffle
-      // writer's per-reducer files + NIO transferTo concatenation (mmap/
-      // munmap => cross-core TLB shootdowns) dominate wall time at 32
-      // threads; the serialized sort writer with stream copy avoids both
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.file.transferTo", sys.env.getOrElse("GRAFT_TRANSFER_TO", "false"))
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark

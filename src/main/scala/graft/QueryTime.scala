@@ -15,18 +15,7 @@ object QueryTime {
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.default.parallelism", cpus * 8)
-      .config("spark.locality.wait", "0s")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.file.transferTo", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.local("graft-query-time", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     // warm-up (classload + codegen), uncounted

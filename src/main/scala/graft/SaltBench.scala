@@ -20,19 +20,7 @@ object SaltBench {
     val reps = if (args.length > 2) args(2).toInt else 5
     val cores = if (args.length > 3) args(3).toInt else 32
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-salt-bench")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.default.parallelism", cores * 8)
-      .config("spark.locality.wait", "0s")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.file.transferTo", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.local("graft-salt-bench", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark
 

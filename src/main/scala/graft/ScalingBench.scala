@@ -56,22 +56,7 @@ object ScalingBench {
     }
 
     def run(cores: Int, rep: Int): (Double, Long) = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.default.parallelism", cores * 8)
-        .config("spark.locality.wait", "0s")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-        // serialized sort shuffle writer + stream copy — see Bench.scala
-        // (bypass-merge + NIO transferTo = mmap/munmap TLB shootdowns)
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-        .config("spark.file.transferTo", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val spark = BenchSession.local(s"graft-scaling-$cores", cores).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       implicit val s: SparkSession = spark
       // warm-up (JIT + codegen), small

@@ -38,18 +38,11 @@ object TuneBench {
     }
 
     def run(v: Variant): Double = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"graft-tune-${v.name}")
+      // per-variant overrides of the shared protocol (later .config wins)
+      val spark = BenchSession.local(s"graft-tune-${v.name}", cores)
         .config("spark.sql.shuffle.partitions", v.parts)
-        .config("spark.default.parallelism", cores * 8)
-        .config("spark.locality.wait", "0s")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
         .config("spark.shuffle.sort.bypassMergeThreshold", v.bypass)
         .config("spark.file.transferTo", v.transferTo)
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       implicit val s: SparkSession = spark

@@ -132,10 +132,8 @@ object Battery {
       // ever arise within one document, so the narrow dedup makes the old
       // post-explode global .distinct() (a full shuffle) redundant
       val shAll = docs
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(filter(transform(sequence(0, size(tk)-3), " +
-            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])), x -> x <> ''))"))
-          .as("sh"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.shingleSet(col("tk"))).as("sh"))
       val rare = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= JaccardDfCap).select(col("sh"))
       val sh = shAll.join(rare, "sh")

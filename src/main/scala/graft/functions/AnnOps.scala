@@ -37,26 +37,36 @@ object AnnOps {
     * arithmetic to joining two `quantized` streams on pos and summing —
     * quantization multiplies in FLOAT (Spark's coercion for float·int), the
     * per-position product is exact in long, and the fold runs in array order
-    * (deterministic). Null / length-mismatch positions contribute 0, matching
-    * the inner pos-join's drop semantics — and so do NaN/±Inf/long-overflow
-    * positions (the TOTAL-function guard: under ANSI mode a bare
-    * CAST(Infinity AS BIGINT) would abort the whole job on one garbage
-    * embedding; finite in-range values take the identical floor path). */
+    * (deterministic). Null / length-mismatch positions contribute 0 — except
+    * when EVERY position is null, where the result is NULL: exactly SQL
+    * SUM-over-a-join semantics, so the narrow path agrees with the exploded
+    * relational build and the DuckDB oracle even on all-NULL garbage arrays
+    * (whose pairs then fail any threshold filter instead of scoring 0 >= 0).
+    * NaN/±Inf/long-overflow positions quantize to 0 (the TOTAL-function
+    * guard: under ANSI mode a bare CAST(Infinity AS BIGINT) would abort the
+    * whole job on one garbage embedding; finite in-range values take the
+    * identical floor path). */
   private def qz(x: Column): Column = {
     val d = (x * lit(1000)).cast("double") // float multiply, then widen — the quantized() arithmetic
     when(isnan(d) || d < lit(-9.223372036854775e18) || d > lit(9.223372036854775e18), lit(0L))
       .otherwise(floor(d).cast("long"))
   }
 
-  def quantDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L),
-      (acc, v) => acc + coalesce(v, lit(0L)))
+  def quantDot(a: Column, b: Column): Column = {
+    val prods = zip_with(a, b, (x, y) => qz(x) * qz(y))
+    when(exists(prods, v => v.isNotNull),
+      aggregate(prods, lit(0L), (acc, v) => acc + coalesce(v, lit(0L))))
+  }
 
   /** floor(|v|) over quantized elements, narrowly per row — the norm factor
-    * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei)))). */
-  def quantNorm(a: Column): Column =
-    floor(sqrt(aggregate(a, lit(0L),
-      (acc, x) => acc + coalesce(qz(x) * qz(x), lit(0L))).cast("double"))).cast("long")
+    * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei))), NULL
+    * for empty / all-NULL arrays like SQL SUM). */
+  def quantNorm(a: Column): Column = {
+    val sq = transform(a, x => qz(x) * qz(x))
+    when(exists(sq, v => v.isNotNull),
+      floor(sqrt(aggregate(sq, lit(0L),
+        (acc, v) => acc + coalesce(v, lit(0L))).cast("double"))).cast("long"))
+  }
 
   /** score candidate pairs by exact quantized dot: fetch both embedding
     * arrays via two equi joins on the id (broadcast or shuffled — Catalyst's

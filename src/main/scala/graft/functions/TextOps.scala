@@ -21,6 +21,13 @@ object TextOps {
     expr(s"transform(sequence(0, size(${tk.toString}) - $n), " +
       s"i -> concat_ws(' ', ${(0 until n).map(j => s"${tk.toString}[i + $j]").mkString(", ")}))")
 
+  /** the deduped word n-gram shingle SET of a token-array column, empties
+    * dropped — the one definition of the shingle transform shared by
+    * [[shingleHashes]], [[minhashSig]] and Battery q12 (a change here is a
+    * change everywhere, mirrored manually in the DuckDB oracle CTEs) */
+  def shingleSet(tk: Column, n: Int = 3): Column =
+    array_distinct(filter(shingles(tk, n), x => x =!= ""))
+
   /** exact-duplicate groups: (h, canonical, n) keyed on md5(text) */
   def exactDuplicates(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("h"))
@@ -32,8 +39,7 @@ object TextOps {
   def shingleHashes(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
     df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("doc"),
-        explode(array_distinct(filter(shingles(col("tk"), n), x => x =!= ""))).as("sh"))
+      .select(col("doc"), explode(shingleSet(col("tk"), n)).as("sh"))
       .select(col("doc"), h32(col("sh")).as("h"))
 
   /** Per-row MinHash signature over word n-gram shingles: (doc, mh0..mh{k-1})
@@ -49,11 +55,7 @@ object TextOps {
                  params: Seq[(Long, Long)], n: Int = 3): DataFrame = {
     val base = df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= n)
-    val shSql = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
-    val hs = expr(
-      s"transform(array_distinct(filter(transform(sequence(0, size(tk) - $n), " +
-        s"i -> concat_ws(' ', $shSql)), x -> x <> '')), " +
-        "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))")
+    val hs = transform(shingleSet(col("tk"), n), s => h32(s))
     base.select(col("doc"), hs.as("hs"))
       .select(col("doc") +: params.zipWithIndex.map { case ((a, b), i) =>
         expr(s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % 4294967291))").as(s"mh$i")

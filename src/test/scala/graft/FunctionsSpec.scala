@@ -229,6 +229,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(sig.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("quantDot/quantNorm are NULL on all-NULL or empty arrays (SQL SUM semantics)") {
+    import spark.implicits._
+    // the relational build and the DuckDB oracle compute SUM over a pos-join:
+    // an all-NULL (or empty) array yields NULL, and a NULL score FAILS the
+    // q23 threshold filter. The narrow path must agree, or a pair of garbage
+    // embeddings would score dot=0, na=nb=0 and pass 0 >= 0.
+    val rows = Seq(
+      (0L, Array[java.lang.Float](null, null, null, null)),
+      (1L, Array[java.lang.Float](null, null, null, null)),
+      (2L, Array[java.lang.Float]()),
+      (3L, Array[java.lang.Float](1.0f, null, 2.0f, null))
+    ).toDF("vec_id", "embedding")
+    val out = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        AnnOps.quantDot(col("a.embedding"), col("b.embedding")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(out((0L, 1L)).isEmpty)            // all-NULL x all-NULL -> NULL
+    assert(out((0L, 2L)).isEmpty)            // vs empty -> NULL
+    assert(out((0L, 3L)).isEmpty)            // null positions meet non-null -> still no usable product
+    assert(out((1L, 3L)).isEmpty)
+    val norms = rows.select(col("vec_id"), AnnOps.quantNorm(col("embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(norms(0L).isEmpty && norms(2L).isEmpty)
+    assert(norms(3L).contains(2236L)) // floor(sqrt(1000^2 + 2000^2))
+    // mixed arrays with >= 1 aligned non-null position still score
+    val d33 = rows.filter(col("vec_id") === 3)
+      .select(AnnOps.quantDot(col("embedding"), col("embedding"))).collect().head.getLong(0)
+    assert(d33 == 1000L * 1000L + 2000L * 2000L)
+  }
+
   test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
     import spark.implicits._
     val dims = 8
