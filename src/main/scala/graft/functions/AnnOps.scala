@@ -33,36 +33,45 @@ object AnnOps {
   }
 
   /** integer-quantized dot product of two embedding columns, computed
-    * narrowly per row (no posexplode, no pos-join, no shuffle): identical
-    * arithmetic to joining two `quantized` streams on pos and summing —
-    * quantization multiplies in FLOAT (Spark's coercion for float·int), the
-    * per-position product is exact in long, and the fold runs in array order
-    * (deterministic). Null / length-mismatch positions contribute 0 — except
-    * when EVERY position is null, where the result is NULL: exactly SQL
-    * SUM-over-a-join semantics, so the narrow path agrees with the exploded
-    * relational build and the DuckDB oracle even on all-NULL garbage arrays
-    * (whose pairs then fail any threshold filter instead of scoring 0 >= 0).
-    * NaN/±Inf/long-overflow positions quantize to 0 (the TOTAL-function
-    * guard: under ANSI mode a bare CAST(Infinity AS BIGINT) would abort the
-    * whole job on one garbage embedding; finite in-range values take the
-    * identical floor path). */
-  private def qz(x: Column): Column = {
+    * narrowly per row (no posexplode, no pos-join, no shuffle) by the native
+    * [[QuantDot]] codegen expression: identical arithmetic to joining two
+    * `quantized` streams on pos and summing — quantization multiplies in
+    * FLOAT (Spark's coercion for float·int), the per-position product is
+    * exact in long, and the fold runs in array order (deterministic).
+    * Null / length-mismatch positions contribute 0 — except when EVERY
+    * position is null, where the result is NULL: exactly SQL SUM-over-a-join
+    * semantics, so the narrow path agrees with the exploded relational build
+    * and the DuckDB oracle even on all-NULL garbage arrays (whose pairs then
+    * fail any threshold filter instead of scoring 0 >= 0). NaN / ±Inf /
+    * out-of-long-range positions quantize to 0 (the TOTAL-function guard:
+    * under ANSI mode a bare CAST(Infinity AS BIGINT) would abort the whole
+    * job on one garbage embedding). */
+  def quantDot(a: Column, b: Column): Column = QuantDot(a, b)
+
+  /** floor(|v|) over quantized elements, narrowly per row — the norm factor
+    * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei))), NULL
+    * for empty / all-NULL arrays like SQL SUM). Native [[QuantNorm]]. */
+  def quantNorm(a: Column): Column = QuantNorm(a)
+
+  /** the same two primitives composed from built-in higher-order functions —
+    * kept as the independent cross-check the suite pins the native
+    * expressions against (FunctionsSpec), not as a production path: the
+    * guard branches run through Catalyst trees and the NULL-iff-no-usable-
+    * position rule re-evaluates the product array, ~3x slower per pair. */
+  private def qzComposed(x: Column): Column = {
     val d = (x * lit(1000)).cast("double") // float multiply, then widen — the quantized() arithmetic
     when(isnan(d) || d < lit(-9.223372036854775e18) || d > lit(9.223372036854775e18), lit(0L))
       .otherwise(floor(d).cast("long"))
   }
 
-  def quantDot(a: Column, b: Column): Column = {
-    val prods = zip_with(a, b, (x, y) => qz(x) * qz(y))
+  def quantDotComposed(a: Column, b: Column): Column = {
+    val prods = zip_with(a, b, (x, y) => qzComposed(x) * qzComposed(y))
     when(exists(prods, v => v.isNotNull),
       aggregate(prods, lit(0L), (acc, v) => acc + coalesce(v, lit(0L))))
   }
 
-  /** floor(|v|) over quantized elements, narrowly per row — the norm factor
-    * of the q23 integer cosine rule (matches floor(sqrt(sum(ei*ei))), NULL
-    * for empty / all-NULL arrays like SQL SUM). */
-  def quantNorm(a: Column): Column = {
-    val sq = transform(a, x => qz(x) * qz(x))
+  def quantNormComposed(a: Column): Column = {
+    val sq = transform(a, x => qzComposed(x) * qzComposed(x))
     when(exists(sq, v => v.isNotNull),
       floor(sqrt(aggregate(sq, lit(0L),
         (acc, v) => acc + coalesce(v, lit(0L))).cast("double"))).cast("long"))

@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fnv64Descriptor)
     ext.injectFunction(GraftExtensions.bandedSigDescriptor)
+    ext.injectFunction(GraftExtensions.quantDotDescriptor)
+    ext.injectFunction(GraftExtensions.quantNormDescriptor)
   }
 }
 
@@ -90,11 +92,27 @@ object GraftExtensions {
         intLit(exprs(2), "bitsPerBand"), intLit(exprs(3), "dims"))
     })
 
+  /** SQL surfaces of the quantized scoring primitives (QuantOps.scala). */
+  val quantDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quant_dot"),
+    new ExpressionInfo(classOf[QuantDot].getName, "graft_quant_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_quant_dot(a, b) takes 2 arguments")
+      QuantDot(exprs.head, exprs(1))
+    })
+
+  val quantNormDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quant_norm"),
+    new ExpressionInfo(classOf[QuantNorm].getName, "graft_quant_norm"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_quant_norm(a) takes 1 argument")
+      QuantNorm(exprs.head)
+    })
+
   /** Register on an existing session (no spark.sql.extensions config needed). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      fnv64Descriptor._1, fnv64Descriptor._2, fnv64Descriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      bandedSigDescriptor._1, bandedSigDescriptor._2, bandedSigDescriptor._3)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(fnv64Descriptor, bandedSigDescriptor, quantDotDescriptor, quantNormDescriptor)
+      .foreach { d =>
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+      }
 }

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expressions for the integer-quantized embedding scoring
+  * primitives (the q23/q27 hot path: one evaluation per CANDIDATE PAIR).
+  *
+  * Bit-identical to the composed-builtins forms in [[AnnOps]]
+  * (`quantDotComposed` / `quantNormComposed`, kept as the cross-check the
+  * suite pins these against) and to the exploded relational build mirrored
+  * by the DuckDB oracle:
+  *   - quantization `floor(e * 1000)` multiplies in FLOAT then widens —
+  *     Spark's arithmetic for `col("e") * 1000` on a float column;
+  *   - NaN / out-of-long-range positions quantize to 0 (the TOTAL-function
+  *     guard — the literal bounds are the same doubles the composed form
+  *     compares against, so the cut-off point is identical);
+  *   - null positions are skipped; if NO usable position exists the result
+  *     is NULL — SQL SUM-over-a-join semantics, so all-NULL/empty garbage
+  *     arrays fail threshold filters instead of scoring 0;
+  *   - the fold runs in array order, all-long, so the result is exact and
+  *     aggregation-order-free (long overflow wraps like Java — it cannot
+  *     abort a job, unlike an ANSI-mode overflow in the composed form).
+  *
+  * The composed forms evaluate their guard branches through Catalyst
+  * expression trees and re-evaluate the product array for the NULL-iff-empty
+  * rule; these run one fused Java loop per row inside WholeStageCodegen —
+  * measured ~3x on q23's candidate scoring at sf0.1.
+  */
+object QuantOps {
+
+  /** the shared quantization step; same literals as the composed form so the
+    * out-of-range cut-off is bit-identical */
+  @inline def qz(x: Float): Long = {
+    val d = (x * 1000.0f).toDouble
+    if (java.lang.Double.isNaN(d) || d < -9.223372036854775e18 || d > 9.223372036854775e18) 0L
+    else math.floor(d).toLong
+  }
+
+  /** codegen fragment computing `qz` into `out` from float `in` */
+  private[functions] def qzJava(in: String, out: String): String =
+    s"""double ${out}_d = (double) ($in * 1000.0f);
+       |long $out = (java.lang.Double.isNaN(${out}_d)
+       |    || ${out}_d < -9.223372036854775E18 || ${out}_d > 9.223372036854775E18)
+       |  ? 0L : (long) java.lang.Math.floor(${out}_d);""".stripMargin
+}
+
+/** graft_quant_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>) → BIGINT (nullable):
+  * Σ qz(a_p)·qz(b_p) over positions where both are non-null; NULL if none. */
+case class QuantDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_quant_dot expects ARRAY<FLOAT> x2, got $l, $r")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // all-null arrays yield NULL even from non-null inputs
+  override def prettyName: String = "graft_quant_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var usable = 0
+    var p = 0
+    while (p < n) {
+      if (!x.isNullAt(p) && !y.isNullAt(p)) {
+        usable += 1
+        dot += QuantOps.qz(x.getFloat(p)) * QuantOps.qz(y.getFloat(p))
+      }
+      p += 1
+    }
+    if (usable == 0) null else java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val usable = ctx.freshName("usable")
+      val p = ctx.freshName("p")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |int $usable = 0;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  if (!$a.isNullAt($p) && !$b.isNullAt($p)) {
+         |    $usable++;
+         |    ${QuantOps.qzJava(s"$a.getFloat($p)", qa)}
+         |    ${QuantOps.qzJava(s"$b.getFloat($p)", qb)}
+         |    $dot += $qa * $qb;
+         |  }
+         |}
+         |if ($usable == 0) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantDot {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(QuantDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** graft_quant_norm(a ARRAY<FLOAT>) → BIGINT (nullable):
+  * floor(sqrt(Σ qz(a_p)²)) over non-null positions; NULL if none. */
+case class QuantNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_quant_norm expects ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quant_norm"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0L
+    var usable = 0
+    var p = 0
+    while (p < n) {
+      if (!x.isNullAt(p)) {
+        usable += 1
+        val q = QuantOps.qz(x.getFloat(p))
+        ss += q * q
+      }
+      p += 1
+    }
+    if (usable == 0) null
+    else java.lang.Long.valueOf(math.floor(math.sqrt(ss.toDouble)).toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val usable = ctx.freshName("usable")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $c.numElements();
+         |long $ss = 0L;
+         |int $usable = 0;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  if (!$c.isNullAt($p)) {
+         |    $usable++;
+         |    ${QuantOps.qzJava(s"$c.getFloat($p)", q)}
+         |    $ss += $q * $q;
+         |  }
+         |}
+         |if ($usable == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (long) java.lang.Math.floor(java.lang.Math.sqrt((double) $ss)); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantNorm = copy(newChild)
+}
+
+object QuantNorm {
+  def apply(a: Column): Column = GraftBridge.column(QuantNorm(GraftBridge.expression(a)))
+}

@@ -33,6 +33,14 @@ class FunctionsSpec extends SparkTestBase {
     val viaApi = vecs.select(graft.functions.BandedSig(col("embedding"), 2, 4, 8).as("sig"))
       .collect().head.getSeq[Long](0)
     assert(viaSql == viaApi && viaSql.length == 2)
+    // the quantized scoring primitives are registered too
+    val qd = spark.sql(
+      "SELECT graft_quant_dot(embedding, embedding) AS d, graft_quant_norm(embedding) AS n " +
+        "FROM bsig_probe").collect().head
+    val qdApi = vecs.select(
+      graft.functions.AnnOps.quantDot(col("embedding"), col("embedding")),
+      graft.functions.AnnOps.quantNorm(col("embedding"))).collect().head
+    assert(qd.getLong(0) == qdApi.getLong(0) && qd.getLong(1) == qdApi.getLong(1))
     // shape params must be literals
     val e = intercept[Exception](spark.sql(
       "SELECT graft_banded_sig(embedding, vec_id, 4, 8) FROM bsig_probe").collect())
@@ -241,23 +249,35 @@ class FunctionsSpec extends SparkTestBase {
       (2L, Array[java.lang.Float]()),
       (3L, Array[java.lang.Float](1.0f, null, 2.0f, null))
     ).toDF("vec_id", "embedding")
-    val out = rows.as("a").crossJoin(rows.as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
-        AnnOps.quantDot(col("a.embedding"), col("b.embedding")).as("dot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
-    assert(out((0L, 1L)).isEmpty)            // all-NULL x all-NULL -> NULL
-    assert(out((0L, 2L)).isEmpty)            // vs empty -> NULL
-    assert(out((0L, 3L)).isEmpty)            // null positions meet non-null -> still no usable product
-    assert(out((1L, 3L)).isEmpty)
-    val norms = rows.select(col("vec_id"), AnnOps.quantNorm(col("embedding")).as("n"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    assert(norms(0L).isEmpty && norms(2L).isEmpty)
-    assert(norms(3L).contains(2236L)) // floor(sqrt(1000^2 + 2000^2))
-    // mixed arrays with >= 1 aligned non-null position still score
-    val d33 = rows.filter(col("vec_id") === 3)
-      .select(AnnOps.quantDot(col("embedding"), col("embedding"))).collect().head.getLong(0)
-    assert(d33 == 1000L * 1000L + 2000L * 2000L)
+    // the native expression and the composed-builtins cross-check must agree
+    // on every edge case (native is the production path)
+    for (dot <- Seq(AnnOps.quantDot _, AnnOps.quantDotComposed _)) {
+      val out = rows.as("a").crossJoin(rows.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+          dot(col("a.embedding"), col("b.embedding")).as("dot"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+      assert(out((0L, 1L)).isEmpty)            // all-NULL x all-NULL -> NULL
+      assert(out((0L, 2L)).isEmpty)            // vs empty -> NULL
+      assert(out((0L, 3L)).isEmpty)            // null positions meet non-null -> still no usable product
+      assert(out((1L, 3L)).isEmpty)
+      // mixed arrays with >= 1 aligned non-null position still score
+      val d33 = rows.filter(col("vec_id") === 3)
+        .select(dot(col("embedding"), col("embedding"))).collect().head.getLong(0)
+      assert(d33 == 1000L * 1000L + 2000L * 2000L)
+    }
+    for (nrm <- Seq(AnnOps.quantNorm _, AnnOps.quantNormComposed _)) {
+      val norms = rows.select(col("vec_id"), nrm(col("embedding")).as("n"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(norms(0L).isEmpty && norms(2L).isEmpty)
+      assert(norms(3L).contains(2236L)) // floor(sqrt(1000^2 + 2000^2))
+    }
+    // NaN / ±Inf positions are usable (quantize to 0), not job-aborting
+    val garbage = Seq((9L, Array(Float.NaN, Float.PositiveInfinity, 1.5f))).toDF("vec_id", "embedding")
+    val g = garbage.select(
+      AnnOps.quantDot(col("embedding"), col("embedding")).as("d"),
+      AnnOps.quantNorm(col("embedding")).as("n")).collect().head
+    assert(g.getLong(0) == 1500L * 1500L && g.getLong(1) == 1500L)
   }
 
   test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
