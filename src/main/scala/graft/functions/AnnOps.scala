@@ -20,14 +20,20 @@ object AnnOps {
     df.select(col(id).as("vid"), posexplode(col(emb)).as(Seq("pos", "e")))
       .select(col("vid"), col("pos"), floor(col("e") * scale).cast("long").as("ei"))
 
-  /** exact top-k neighbors by quantized dot product for the query ids */
+  /** exact top-k neighbors by quantized dot product for the query ids.
+    * Narrow shape: the (small, bounded) query set is broadcast WITH its
+    * arrays and each corpus row scores all queries in one [[QuantDot]] pass —
+    * n·|Q| rows instead of the exploded pos-join's n·|Q|·d, no pre-score
+    * shuffle (the only shuffle left is the per-query top-k window). Empty
+    * arrays are dropped on both sides, matching the exploded build where a
+    * no-element vector never reaches the pos-join. */
   def bruteForceTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int): DataFrame = {
-    val el = quantized(df, id, emb)
-    val q = df.filter(isQuery).select(col(id).as("qid"))
-    val qe = el.join(q, el("vid") === q("qid")).select(col("vid").as("q"), col("pos"), col("ei").as("qe"))
-    val dots = qe.join(el.select(col("vid").as("c"), col("pos"), col("ei").as("ce")), Seq("pos"))
+    val nonEmpty = df.filter(size(col(emb)) > 0)
+    val q = nonEmpty.filter(isQuery).select(col(id).as("q"), col(emb).as("_qe"))
+    val dots = nonEmpty.select(col(id).as("c"), col(emb).as("_ce"))
+      .crossJoin(broadcast(q))
       .filter(col("q") =!= col("c"))
-      .groupBy(col("q"), col("c")).agg(sum(col("qe") * col("ce")).as("dot"))
+      .select(col("q"), col("c"), quantDot(col("_qe"), col("_ce")).as("dot"))
     val w = Window.partitionBy(col("q")).orderBy(col("dot").desc, col("c").asc)
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -197,13 +203,26 @@ object AnnOps {
 
   /** integer-exact squared-L2 assignment of every vector to its nearest
     * stride-seed centroid; returns (vid, cid, arank) where arank orders a
-    * vector's centroids by distance (1 = nearest) up to `maxRank` */
-  private def ivfAssign(el: DataFrame, seedStride: Int, maxRank: Int): DataFrame = {
-    val seeds = el.filter(col("vid") % seedStride === 0)
-      .select(col("vid").as("cid"), col("pos"), col("ei").as("ce"))
-    val d2 = el.join(seeds, Seq("pos"))
-      .groupBy(col("vid"), col("cid"))
-      .agg(sum((col("ei") - col("ce")) * (col("ei") - col("ce"))).as("d2"))
+    * vector's centroids by distance (1 = nearest) up to `maxRank`.
+    * Narrow shape: the K = n/seedStride centroids are broadcast WITH their
+    * arrays (at seedStride ~ √n that is √n·d floats — megabytes at 10^9
+    * vectors) and each vector computes all K distances in [[QuantL2]]
+    * passes: n·K rows instead of the exploded pos-join's n·K·d, and no
+    * pre-assignment shuffle. Empty arrays drop on both sides, matching the
+    * exploded build where a no-element vector never reached the pos-join. */
+  private def ivfAssign(df: DataFrame, id: String, emb: String,
+                        seedStride: Int, maxRank: Int,
+                        subjects: Column = lit(true)): DataFrame = {
+    val nonEmpty = df.filter(size(col(emb)) > 0)
+    val seeds = nonEmpty.filter(col(id) % seedStride === 0)
+      .select(col(id).as("cid"), col(emb).as("_ce"))
+    // `subjects` restricts WHICH vectors get assigned (seeds always come
+    // from the full table): probe-side assignment only needs the query set,
+    // so the n·K distance pass shrinks to |Q|·K there
+    val d2 = nonEmpty.filter(subjects)
+      .select(col(id).as("vid"), col(emb).as("_e"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vid"), col("cid"), QuantL2(col("_e"), col("_ce")).as("d2"))
     val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc, col("cid").asc)
     d2.withColumn("arank", row_number().over(w)).filter(col("arank") <= maxRank)
       .select(col("vid"), col("cid"), col("arank"))
@@ -214,14 +233,11 @@ object AnnOps {
     * exact quantized-dot scoring of probed members only */
   def ivfTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int,
               seedStride: Int, nProbe: Int, cap: Int): DataFrame = {
-    val el = quantized(df, id, emb)
-    val members0 = ivfAssign(el, seedStride, 1).select(col("vid"), col("cid"))
+    val members0 = ivfAssign(df, id, emb, seedStride, 1).select(col("vid"), col("cid"))
     val lw = Window.partitionBy(col("cid")).orderBy(col("vid"))
     val members = members0.withColumn("rn", row_number().over(lw))
       .filter(col("rn") <= cap).select(col("vid"), col("cid"))
-    val q = df.filter(isQuery).select(col(id).as("qid"))
-    val probes = ivfAssign(el, seedStride, nProbe)
-      .join(q, col("vid") === col("qid"))
+    val probes = ivfAssign(df, id, emb, seedStride, nProbe, subjects = isQuery)
       .select(col("vid").as("q"), col("cid"))
     val cand = probes.join(members.select(col("vid").as("c"), col("cid")), Seq("cid"))
       .filter(col("q") =!= col("c")).select(col("q"), col("c")).distinct()

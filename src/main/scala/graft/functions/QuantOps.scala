@@ -112,6 +112,72 @@ object QuantDot {
     GraftBridge.column(QuantDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
+/** graft_quant_l2(a ARRAY<FLOAT>, b ARRAY<FLOAT>) → BIGINT (nullable):
+  * Σ (qz(a_p) - qz(b_p))² over positions where both are non-null; NULL if
+  * none — the IVF assignment distance (integer-exact squared L2). */
+case class QuantL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_quant_l2 expects ARRAY<FLOAT> x2, got $l, $r")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quant_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ss = 0L
+    var usable = 0
+    var p = 0
+    while (p < n) {
+      if (!x.isNullAt(p) && !y.isNullAt(p)) {
+        usable += 1
+        val d = QuantOps.qz(x.getFloat(p)) - QuantOps.qz(y.getFloat(p))
+        ss += d * d
+      }
+      p += 1
+    }
+    if (usable == 0) null else java.lang.Long.valueOf(ss)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val usable = ctx.freshName("usable")
+      val p = ctx.freshName("p")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $ss = 0L;
+         |int $usable = 0;
+         |for (int $p = 0; $p < $n; $p++) {
+         |  if (!$a.isNullAt($p) && !$b.isNullAt($p)) {
+         |    $usable++;
+         |    ${QuantOps.qzJava(s"$a.getFloat($p)", qa)}
+         |    ${QuantOps.qzJava(s"$b.getFloat($p)", qb)}
+         |    long $diff = $qa - $qb;
+         |    $ss += $diff * $diff;
+         |  }
+         |}
+         |if ($usable == 0) { ${ev.isNull} = true; } else { ${ev.value} = $ss; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantL2 {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(QuantL2(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
 /** graft_quant_norm(a ARRAY<FLOAT>) → BIGINT (nullable):
   * floor(sqrt(Σ qz(a_p)²)) over non-null positions; NULL if none. */
 case class QuantNorm(child: Expression) extends UnaryExpression {
