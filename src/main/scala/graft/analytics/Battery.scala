@@ -126,20 +126,29 @@ object Battery {
       // Jaccard universe is the informative shingles only: df <= DfCap,
       // applied consistently to sizes AND intersections (mirrored in the
       // oracle). Pair fan-out is now bounded by DfCap^2 per shingle.
-      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 3)
-      // per-doc array_distinct BEFORE the explode: (doc, sh) duplicates only
-      // ever arise within one document, so the narrow dedup makes the old
-      // post-explode global .distinct() (a full shuffle) redundant
-      val shAll = docs
-        .select(col("doc_id"),
-          explode(graft.functions.TextOps.shingleSet(col("tk"))).as("sh"))
-      val rare = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= JaccardDfCap).select(col("sh"))
-      val sh = shAll.join(rare, "sh")
+      // the Jaccard universe is the 32-bit shingle HASH, not the shingle
+      // string (standard practice — MinHash literature hashes shingles):
+      // every downstream shuffle (df groupBy, rarity semi-join, pair
+      // self-join) ships and compares 8-byte longs instead of ~30-char
+      // strings. Collisions merge shingles identically in both engines (the
+      // oracle hashes with the same portable md5-derived h32), so results
+      // stay deterministic and cross-checked. Per-doc array_distinct runs
+      // BEFORE hashing on both sides (a cross-shingle hash collision within
+      // one doc keeps its multiplicity in both engines).
+      val shAll = graft.functions.TextOps
+        .shingleHashes(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+      // df-cap as a WINDOW count over h, not groupBy+semi-join: the scan +
+      // shingle + md5 subtree is computed once into a single h-partitioned
+      // exchange, which Catalyst then REUSES for the sizes aggregate and
+      // BOTH sides of the pair self-join (identical subtrees => one
+      // ReusedExchange instead of three recomputations of the hash pass)
+      val sh = shAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("df") <= JaccardDfCap).drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("inter"))
       pairs
@@ -493,15 +502,16 @@ object Battery {
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
               FROM documents
               WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
-       sh_all AS (SELECT DISTINCT doc_id, sh FROM (
+       sh_all AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+              FROM (SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-                FROM tk) WHERE sh <> ''),
-       sh AS (SELECT doc_id, sh FROM sh_all
-              WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $JaccardDfCap)),
+                FROM tk) WHERE sh <> '')),
+       sh AS (SELECT doc_id, h FROM sh_all
+              WHERE h IN (SELECT h FROM sh_all GROUP BY h HAVING COUNT(*) <= $JaccardDfCap)),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
                  GROUP BY 1, 2)
        SELECT a, b, inter, sa.sz AS sa, sb.sz AS sb
        FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
