@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * shuffles disappear; at 10^9-vector scale the signature becomes a pure map
   * stage. Semantics are bit-identical to the relational path (pinned by
   * FunctionsSpec):
-  *   - quantization `floor(e * 1000)` performed in FLOAT then widened, the
-  *     exact arithmetic Spark uses for `col("e") * 1000` on a float column;
+  *   - quantization `floor(e * 1000)` widens to DOUBLE before multiplying —
+  *     Spark 4's ANSI coercion for `col("e") * 1000` on a float column
+  *     promotes float·int to double (AnsiTypeCoercion), as does DuckDB; a
+  *     float multiply rounds differently near integer boundaries;
   *   - plane weights ±1 derived from the portable md5 hash
   *     h32("hp<j>:<pos>") — identical in Spark, DuckDB, and here;
   *   - proj(j) = Σ_d w(j,d)·ei(d); bucket(b) = Σ_i [proj(b·bits+i) ≥ 0]·2^i.
@@ -49,7 +51,7 @@ case class BandedSig(child: Expression, nBands: Int, bitsPerBand: Int, dims: Int
     while (d < n) {
       if (!arr.isNullAt(d)) {
         seen += 1
-        val ei = math.floor((arr.getFloat(d) * 1000.0f).toDouble).toLong
+        val ei = math.floor(arr.getFloat(d).toDouble * 1000.0).toLong
         var j = 0
         while (j < nPlanes) { proj(j) += w(j * dims + d) * ei; j += 1 }
       }
@@ -92,7 +94,7 @@ case class BandedSig(child: Expression, nBands: Int, bitsPerBand: Int, dims: Int
          |for (int $d = 0; $d < $n; $d++) {
          |  if (!$c.isNullAt($d)) {
          |    $seen++;
-         |    long $ei = (long) java.lang.Math.floor((double) ($c.getFloat($d) * 1000.0f));
+         |    long $ei = (long) java.lang.Math.floor(((double) $c.getFloat($d)) * 1000.0);
          |    for (int $j = 0; $j < $nPlanes; $j++) $proj[$j] += $w[$j * $dims + $d] * $ei;
          |  }
          |}

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * (`quantDotComposed` / `quantNormComposed`, kept as the cross-check the
   * suite pins these against) and to the exploded relational build mirrored
   * by the DuckDB oracle:
-  *   - quantization `floor(e * 1000)` multiplies in FLOAT then widens —
-  *     Spark's arithmetic for `col("e") * 1000` on a float column;
+  *   - quantization `floor(e * 1000)` widens to DOUBLE before multiplying
+  *     (see [[QuantOps.qz]] — Spark 4 ANSI coercion and DuckDB both promote
+  *     float·int to double);
   *   - NaN / out-of-long-range positions quantize to 0 (the TOTAL-function
   *     guard — the literal bounds are the same doubles the composed form
   *     compares against, so the cut-off point is identical);
@@ -34,17 +35,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 object QuantOps {
 
-  /** the shared quantization step; same literals as the composed form so the
-    * out-of-range cut-off is bit-identical */
+  /** The shared quantization step. The multiply WIDENS TO DOUBLE first:
+    * Spark 4's ANSI type coercion promotes float·int to DOUBLE (not float —
+    * AnsiTypeCoercion, unlike the legacy tightest-common-type rule), and
+    * DuckDB does the same, so a float multiply would round differently on
+    * values near an integer boundary (e.g. -0.0010000001f: float product
+    * rounds to exactly -1.0 → floor -1, double product -1.0000000475 →
+    * floor -2). Same guard literals as the composed form so the
+    * out-of-range cut-off is bit-identical. */
   @inline def qz(x: Float): Long = {
-    val d = (x * 1000.0f).toDouble
+    val d = x.toDouble * 1000.0
     if (java.lang.Double.isNaN(d) || d < -9.223372036854775e18 || d > 9.223372036854775e18) 0L
     else math.floor(d).toLong
   }
 
   /** codegen fragment computing `qz` into `out` from float `in` */
   private[functions] def qzJava(in: String, out: String): String =
-    s"""double ${out}_d = (double) ($in * 1000.0f);
+    s"""double ${out}_d = ((double) $in) * 1000.0;
        |long $out = (java.lang.Double.isNaN(${out}_d)
        |    || ${out}_d < -9.223372036854775E18 || ${out}_d > 9.223372036854775E18)
        |  ? 0L : (long) java.lang.Math.floor(${out}_d);""".stripMargin

@@ -216,8 +216,18 @@ class FunctionsSpec extends SparkTestBase {
       val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
       def sigSet(d: org.apache.spark.sql.DataFrame) =
         d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-      sigSet(AnnOps.bandedSignature(df, "vec_id", "embedding", 2, 4, 8)) ==
-        sigSet(AnnOps.bandedSignatureRelational(df, "vec_id", "embedding", 2, 4, 8))
+      // the native quantized scorers must agree with the composed-builtins
+      // forms on the same adversarial floats (q23's decision rule inputs)
+      val scores = df.as("a").crossJoin(df.as("b"))
+        .select(
+          AnnOps.quantDot(col("a.embedding"), col("b.embedding")).as("nd"),
+          AnnOps.quantDotComposed(col("a.embedding"), col("b.embedding")).as("cd"),
+          AnnOps.quantNorm(col("a.embedding")).as("nn"),
+          AnnOps.quantNormComposed(col("a.embedding")).as("cn"))
+        .collect()
+      scores.forall(r => r.get(0) == r.get(1) && r.get(2) == r.get(3)) &&
+      (sigSet(AnnOps.bandedSignature(df, "vec_id", "embedding", 2, 4, 8)) ==
+        sigSet(AnnOps.bandedSignatureRelational(df, "vec_id", "embedding", 2, 4, 8)))
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)

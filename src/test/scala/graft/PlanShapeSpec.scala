@@ -51,4 +51,28 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains("SortAggregate"), "string-group dedup must not demote to SortAggregate")
     }
   }
+
+  test("q12: the shingle-hash subtree is computed once and its exchange reused") {
+    val p = plan("q12_dedup_jaccard")
+    withClue(p) {
+      // the df-cap window, the sizes aggregate, and both pair self-join
+      // sides all hang off ONE h-partitioned exchange of the scan+shingle+
+      // md5 pass — recomputing it per consumer was the 2x q12 regression
+      assert(p.contains("ReusedExchange"),
+        "shingle-hash exchange must be reused, not recomputed per branch")
+    }
+  }
+
+  test("q23/q28: ANN candidate generation has no exploded pos-join") {
+    for (q <- Seq("q23_dedup_embcos", "q28_ann_ivf")) {
+      val p = plan(q)
+      withClue(s"$q:\n$p") {
+        // signatures/distances are narrow per-row expressions (BandedSig /
+        // QuantL2 over broadcast arrays); a Generate(posexplode) before the
+        // candidate join would mean the d-fold row explosion came back
+        assert(!p.contains("posexplode(embedding"),
+          "no per-element explosion of the embedding column")
+      }
+    }
+  }
 }
