@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnOps {
 
-  /** integer-quantized embedding elements: (id, pos, ei) */
+  /** integer-quantized embedding elements: (id, pos, ei) — the exploded
+    * building block of the relational cross-checks (and the literal mirror
+    * of the DuckDB oracle CTEs); production paths score narrowly via the
+    * native [[QuantDot]]/[[QuantNorm]]/[[QuantL2]] instead */
   def quantized(df: DataFrame, id: String, emb: String, scale: Int = 1000): DataFrame =
     df.select(col(id).as("vid"), posexplode(col(emb)).as(Seq("pos", "e")))
       .select(col("vid"), col("pos"), floor(col("e") * scale).cast("long").as("ei"))
@@ -65,7 +68,7 @@ object AnnOps {
     * guard branches run through Catalyst trees and the NULL-iff-no-usable-
     * position rule re-evaluates the product array, ~3x slower per pair. */
   private def qzComposed(x: Column): Column = {
-    val d = (x * lit(1000)).cast("double") // float multiply, then widen — the quantized() arithmetic
+    val d = (x * lit(1000)).cast("double") // ANSI coercion multiplies float·int in DOUBLE (the quantized() arithmetic; the native qz widens identically)
     when(isnan(d) || d < lit(-9.223372036854775e18) || d > lit(9.223372036854775e18), lit(0L))
       .otherwise(floor(d).cast("long"))
   }
