@@ -257,9 +257,15 @@ object Battery {
         expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))").as("tok_chars"))
     }),
     "q19_tokencount" -> ((s, d) => {
+      // three estimators: whitespace tokens, chars/4 (the classic BPE rule
+      // of thumb), and a BPE-ish regex segmentation (letter runs / digit
+      // runs / punctuation runs — ASCII classes only, so Java regex and
+      // DuckDB's RE2 tokenize identically)
       t(s, d, "documents").select(col("doc_id"),
         size(toks(col("text"))).as("ws_tokens"),
-        floor((col("n_chars") + 3) / 4).cast("long").as("bpe_approx"))
+        floor((col("n_chars") + 3) / 4).cast("long").as("bpe_approx"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), lit(0))).as("re_tokens"))
     }),
     "q20_fingerprint" -> ((s, d) =>
       // order-sensitive rolling document fingerprint (position-weighted hash)
@@ -644,7 +650,8 @@ object Battery {
     "q19_tokencount" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
-         CAST(FLOOR((n_chars + 3) / 4) AS BIGINT) AS bpe_approx
+         CAST(FLOOR((n_chars + 3) / 4) AS BIGINT) AS bpe_approx,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS INT) AS re_tokens
          FROM documents""",
     "q20_fingerprint" ->
       """SELECT doc_id,
