@@ -44,9 +44,10 @@ object AnnOps {
   /** integer-quantized dot product of two embedding columns, computed
     * narrowly per row (no posexplode, no pos-join, no shuffle) by the native
     * [[QuantDot]] codegen expression: identical arithmetic to joining two
-    * `quantized` streams on pos and summing — quantization multiplies in
-    * FLOAT (Spark's coercion for float·int), the per-position product is
-    * exact in long, and the fold runs in array order (deterministic).
+    * `quantized` streams on pos and summing — quantization widens to DOUBLE
+    * before multiplying (Spark 4 ANSI coercion for float·int, see
+    * [[QuantOps.qz]]), the per-position product is exact in long, and the
+    * fold runs in array order (deterministic).
     * Null / length-mismatch positions contribute 0 — except when EVERY
     * position is null, where the result is NULL: exactly SQL SUM-over-a-join
     * semantics, so the narrow path agrees with the exploded relational build
