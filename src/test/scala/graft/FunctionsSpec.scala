@@ -247,6 +247,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(sig.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("float*int coerces to DOUBLE (the arithmetic the native quantizers mirror)") {
+    import spark.implicits._
+    // QuantOps.qz / BandedSig widen to double before multiplying because
+    // Spark 4's ANSI coercion types float*int as DOUBLE (and DuckDB agrees).
+    // If this session ever ran with the legacy tightest-common-type rule
+    // (float multiply), the relational builds and oracles would round
+    // differently near integer boundaries — catch that here, not in a
+    // hash-mismatch three layers up.
+    val t = Seq(0.5f).toDF("x").select(col("x") * lit(1000)).schema.head.dataType
+    assert(t == org.apache.spark.sql.types.DoubleType,
+      s"float*int coerced to $t — native quantizers assume DOUBLE (ANSI rule)")
+    // and the value-level consequence on a boundary float:
+    val q = Seq(-0.0010000001f).toDF("x")
+      .select(floor(col("x") * lit(1000)).cast("long")).collect().head.getLong(0)
+    assert(q == -2L && graft.functions.QuantOps.qz(-0.0010000001f) == -2L)
+  }
+
   test("quantDot/quantNorm are NULL on all-NULL or empty arrays (SQL SUM semantics)") {
     import spark.implicits._
     // the relational build and the DuckDB oracle compute SUM over a pos-join:
