@@ -172,7 +172,13 @@ object Battery {
       val bands = sig.select(col("doc_id"),
           explode(expr(s"array($bandStructs)")).as("t"))
         .select(col("doc_id"), col("t.band").as("band"), col("t.m0").as("m0"), col("t.m1").as("m1"))
-      bands.as("x").join(bands.as("y"),
+      // SHUFFLE_HASH hint: left to stats, Catalyst broadcasts one side of
+      // the self-join, which RECOMPUTES the whole scan+shingle+md5 signature
+      // pass to build the hashed relation; a shuffle hash join makes the
+      // two sides identical h-partitioned exchanges, so the signature is
+      // computed once and the second side is a ReusedExchange — and a
+      // corpus-sized bands table could never broadcast at scale anyway
+      bands.as("x").hint("shuffle_hash").join(bands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
             col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
