@@ -156,14 +156,19 @@ object AnnOps {
   }
 
   /** candidate near-dup pairs (a < b) that share >= 1 (band, bucket), with a
-    * deterministic per-bucket candidate cap (row_number by vid) */
+    * deterministic per-bucket candidate cap (row_number by vid).
+    * SHUFFLE_HASH hints on the self-join: left to stats, Catalyst broadcasts
+    * one side, RECOMPUTING the signature + cap-window subtree to build the
+    * hashed relation; shuffle-hashing both (identical) sides computes it
+    * once — and a corpus-sized signature table could never broadcast at
+    * scale anyway. */
   def bandedCandidatePairs(df: DataFrame, id: String, emb: String, nBands: Int,
                            bitsPerBand: Int, dims: Int, cap: Int): DataFrame = {
     val sig = bandedSignature(df, id, emb, nBands, bitsPerBand, dims)
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("vid"))
     val kept = sig.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
       .select(col("vid"), col("band"), col("bucket"))
-    kept.as("x").join(kept.as("y"),
+    kept.as("x").hint("shuffle_hash").join(kept.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("a"), col("y.vid").as("b")).distinct()
