@@ -147,13 +147,21 @@ object Battery {
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= JaccardDfCap).drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = sh.as("x").join(sh.as("y"),
+      // SHUFFLE_HASH everywhere a broadcast build side would RECOMPUTE the
+      // scan+shingle+md5+window subtree to fill its hashed relation (the
+      // q13/banded-LSH defect: stats-driven broadcasts of self-join or
+      // aggregate sides re-run the expensive pass; shuffled sides land in
+      // reusable exchanges instead, and none of these could broadcast at
+      // corpus scale anyway)
+      val pairs = sh.as("x").hint("shuffle_hash").join(sh.as("y").hint("shuffle_hash"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("inter"))
       pairs
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa")
+          .hint("shuffle_hash"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb")
+          .hint("shuffle_hash"), "b")
         // Jaccard >= 0.2  <=>  5*inter >= sa+sb-inter (integers only)
         .filter(col("inter") * 5 >= col("sa") + col("sb") - col("inter"))
         .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"))
