@@ -148,11 +148,16 @@ object IfcToRdf {
         // by the tokenizer's maxDocChars guard); serialization streams to
         // the file, so the task never also holds the full payload string
         val ts = it.toSeq
-        // write to a sibling temp file and rename on success: a task that
-        // dies mid-stream (disk full, I/O error) must not leave a truncated
-        // .ttl where a consumer of the output directory can read it
+        // write to an ATTEMPT-UNIQUE sibling temp file and rename on
+        // success: a task that dies mid-stream (disk full, I/O error) must
+        // not leave a truncated .ttl where a consumer of the output
+        // directory can read it, and concurrent attempts of the same task
+        // (speculation, zombie retry on a shared mount) must not interleave
+        // into one temp file or delete each other's
         val dest = Paths.get(out)
-        val tmp = dest.resolveSibling(dest.getFileName.toString + ".inprogress")
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId.toString).getOrElse(java.util.UUID.randomUUID.toString)
+        val tmp = dest.resolveSibling(s"${dest.getFileName}.inprogress-$attempt")
         val w = Files.newBufferedWriter(tmp)
         try {
           if (fmt == "nt") graft.sinks.NTriplesSink.writeTo(ts, w)
@@ -160,7 +165,10 @@ object IfcToRdf {
           w.close()
           Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         } finally {
-          w.close() // idempotent; covers the failure path
+          // close flushes and can itself throw on the failure path — swallow
+          // it so the ORIGINAL exception propagates and the temp still gets
+          // cleaned (on success close() is an idempotent no-op)
+          try w.close() catch { case _: java.io.IOException => }
           Files.deleteIfExists(tmp)
         }
         (docId, out, ts.size)

@@ -24,7 +24,11 @@ object AnnOps {
       .select(col("vid"), col("pos"), floor(col("e") * scale).cast("long").as("ei"))
 
   /** exact top-k neighbors by quantized dot product for the query ids.
-    * Narrow shape: the (small, bounded) query set is broadcast WITH its
+    * CONTRACT: `isQuery` must select a SMALL query set (it is broadcast with
+    * its arrays — a corpus-sized predicate belongs on [[bandedTopK]] /
+    * [[ivfTopK]], whose candidate generation is sub-quadratic; this is the
+    * exact/baseline path).
+    * Narrow shape: the query set is broadcast WITH its
     * arrays and each corpus row scores all queries in one [[QuantDot]] pass —
     * n·|Q| rows instead of the exploded pos-join's n·|Q|·d, no pre-score
     * shuffle (the only shuffle left is the per-query top-k window). Empty
@@ -219,9 +223,9 @@ object AnnOps {
     * passes: n·K rows instead of the exploded pos-join's n·K·d, and no
     * pre-assignment shuffle. Empty arrays drop on both sides, matching the
     * exploded build where a no-element vector never reached the pos-join. */
-  private def ivfAssign(df: DataFrame, id: String, emb: String,
-                        seedStride: Int, maxRank: Int,
-                        subjects: Column = lit(true)): DataFrame = {
+  def ivfAssign(df: DataFrame, id: String, emb: String,
+                seedStride: Int, maxRank: Int,
+                subjects: Column = lit(true)): DataFrame = {
     val nonEmpty = df.filter(size(col(emb)) > 0)
     val seeds = nonEmpty.filter(col(id) % seedStride === 0)
       .select(col(id).as("cid"), col(emb).as("_ce"))
@@ -232,7 +236,11 @@ object AnnOps {
       .select(col(id).as("vid"), col(emb).as("_e"))
       .crossJoin(broadcast(seeds))
       .select(col("vid"), col("cid"), QuantL2(col("_e"), col("_ce")).as("d2"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc, col("cid").asc)
+    // asc_nulls_last: Spark's plain ASC is NULLS FIRST but DuckDB's default
+    // is NULLS LAST — without this, an all-NULL-element CENTROID (d2 = NULL
+    // against everything) would win arank 1 for the entire corpus in Spark
+    // while ranking dead last in the oracle
+    val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc_nulls_last, col("cid").asc)
     d2.withColumn("arank", row_number().over(w)).filter(col("arank") <= maxRank)
       .select(col("vid"), col("cid"), col("arank"))
   }

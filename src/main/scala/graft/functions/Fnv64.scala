@@ -61,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bandedSigDescriptor)
     ext.injectFunction(GraftExtensions.quantDotDescriptor)
     ext.injectFunction(GraftExtensions.quantNormDescriptor)
+    ext.injectFunction(GraftExtensions.quantL2Descriptor)
   }
 }
 
@@ -109,9 +110,18 @@ object GraftExtensions {
       QuantNorm(exprs.head)
     })
 
+  val quantL2Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quant_l2"),
+    new ExpressionInfo(classOf[QuantL2].getName, "graft_quant_l2"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_quant_l2(a, b) takes 2 arguments")
+      QuantL2(exprs.head, exprs(1))
+    })
+
   /** Register on an existing session (no spark.sql.extensions config needed). */
   def register(spark: SparkSession): Unit =
-    Seq(fnv64Descriptor, bandedSigDescriptor, quantDotDescriptor, quantNormDescriptor)
+    Seq(fnv64Descriptor, bandedSigDescriptor, quantDotDescriptor,
+        quantNormDescriptor, quantL2Descriptor)
       .foreach { d =>
         spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
       }

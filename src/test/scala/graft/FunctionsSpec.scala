@@ -307,6 +307,36 @@ class FunctionsSpec extends SparkTestBase {
     assert(g.getLong(0) == 1500L * 1500L && g.getLong(1) == 1500L)
   }
 
+  test("IVF: an all-NULL-element centroid ranks last (NULLS LAST like the oracle), not first") {
+    import spark.implicits._
+    // Spark's plain ASC window ordering is NULLS FIRST; the DuckDB oracle's
+    // ORDER BY d2 ASC is NULLS LAST. Without asc_nulls_last a garbage
+    // centroid whose distances are all NULL would win arank 1 for EVERY
+    // vector, capturing the whole corpus into one capped list.
+    val dims = 8
+    val a = Array(1.0f, -0.3f, 0.5f, 0.2f, -1.0f, 0.1f, 0.5f, -0.2f)
+    val nullVec: Array[java.lang.Float] = Array.fill[java.lang.Float](dims)(null)
+    val rows: Seq[(Long, Array[java.lang.Float])] =
+      Seq(0L -> a.map(java.lang.Float.valueOf), 6L -> a.map(java.lang.Float.valueOf)) ++
+        (1L to 5L).map(i => i -> Array.tabulate(dims)(d =>
+          java.lang.Float.valueOf((((i * 31 + d * 17) % 7).toFloat - 3f) / 3f))) ++
+        Seq(10L -> nullVec) ++ // a CENTROID position (10 % 10 == 0), all-NULL
+        (11L to 30L).filter(_ != 20).map(i => i -> Array.tabulate(dims)(d =>
+          java.lang.Float.valueOf((((i * 13 + d * 29) % 11).toFloat - 5f) / 5f))) ++
+        Seq(20L -> Array.tabulate(dims)(d =>
+          java.lang.Float.valueOf((((20 * 13 + d * 29) % 11).toFloat - 5f) / 5f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    // with NULLS FIRST the garbage centroid's NULL distance would beat every
+    // real distance and win arank 1 for EVERY vector; with the oracle's
+    // NULLS LAST it must win none (vectors with at least one real centroid
+    // distance always prefer the real one)
+    val nearest = AnnOps.ivfAssign(vecs, "vec_id", "embedding", 10, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!nearest.exists { case (vid, cid) => cid == 10L && vid != 10L },
+      s"garbage centroid 10 captured real vectors: $nearest")
+    assert(nearest(0L) == 0L && nearest(6L) == 0L) // the duplicate pair shares its real list
+  }
+
   test("AnnOps IVF: exact duplicate lands in the same list and ranks first") {
     import spark.implicits._
     val dims = 8
