@@ -318,6 +318,14 @@ object Battery {
       graft.operators.Pipeline.finish(kgEmitted(s), "http://b/")(s)
         .select(graft.sinks.NTriplesSink.line().as("line"))),
 
+    "q30_ivf_assign" -> ((s, d) =>
+      // the IVF build's nearest-centroid assignment as a standalone public
+      // API (AnnOps.ivfAssign): oracle-checks the integer-exact L2 argmin
+      // INCLUDING its NULLS-LAST distance ordering (DuckDB's default; Spark
+      // needs asc_nulls_last or a garbage all-NULL centroid captures all)
+      graft.functions.AnnOps.ivfAssign(t(s, d, "embeddings"), "vec_id", "embedding",
+        IvfSeedStride, 1).select(col("vid"), col("cid"))),
+
     // --- training-data pipeline: multimodal stub ---
     "q21_media_stub" -> ((s, d) => {
       // opaque-binary plumbing: decode step is a deterministic fake (this
@@ -641,6 +649,17 @@ object Battery {
        SELECT q, CAST(rank AS INT) AS rank, c, dot FROM (
          SELECT q, c, dot, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dot DESC, c ASC) AS rank
          FROM dots) WHERE rank <= 3""",
+    "q30_ivf_assign" ->
+      s"""WITH el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       seeds AS (SELECT vid AS cid, pos, ei AS ce FROM el WHERE vid % $IvfSeedStride = 0),
+       d2 AS (SELECT e.vid, s.cid, SUM((e.ei - s.ce) * (e.ei - s.ce)) AS d2
+              FROM el e JOIN seeds s ON e.pos = s.pos GROUP BY 1, 2)
+       SELECT vid, cid FROM (
+         SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS arank
+         FROM d2) WHERE arank = 1""",
     "q17_langid" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
               FROM documents),
