@@ -49,12 +49,19 @@ object QuantOps {
     else math.floor(d).toLong
   }
 
-  /** codegen fragment computing `qz` into `out` from float `in` */
+  /** codegen fragment computing `qz` into `out` from float `in`.
+    *
+    * Every physical line is a complete statement: Spark's codegen `Block`
+    * machinery treats a leading `|` on any line of an interpolated fragment
+    * as a margin to strip, so a multi-line expression whose continuation
+    * line begins with `||` reaches Janino with the operator eaten
+    * ("Expression ... is not a type"). Statement-per-line keeps the
+    * fragment immune to that stripping. Pinned by FunctionsSpec's
+    * CODEGEN_ONLY suite. */
   private[functions] def qzJava(in: String, out: String): String =
     s"""double ${out}_d = ((double) $in) * 1000.0;
-       |long $out = (java.lang.Double.isNaN(${out}_d)
-       |    || ${out}_d < -9.223372036854775E18 || ${out}_d > 9.223372036854775E18)
-       |  ? 0L : (long) java.lang.Math.floor(${out}_d);""".stripMargin
+       |long $out = 0L;
+       |if (!java.lang.Double.isNaN(${out}_d) && ${out}_d >= -9.223372036854775E18 && ${out}_d <= 9.223372036854775E18) { $out = (long) java.lang.Math.floor(${out}_d); }""".stripMargin
 }
 
 /** graft_quant_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>) → BIGINT (nullable):
