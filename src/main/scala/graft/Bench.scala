@@ -118,12 +118,16 @@ object Bench {
     val kgSamples = scala.collection.mutable.LinkedHashMap[String, List[Double]](
       "kg_uniform" -> List(results("kg_uniform")),
       "kg_skewed" -> List(results("kg_skewed")))
-    val escapeReps = 2
-    // full spacing only at the headline sf (smoke runs shouldn't idle)
-    val escapeSpacingMs = sys.env.getOrElse("SPARK_GRAFT_ESCAPE_SPACING_MS",
-      if (sfDir.contains("sf0.1")) "90000" else "1000").toLong
-    for (_ <- 1 to escapeReps; (name, docs) <- Seq("kg_uniform" -> uniformDocs, "kg_skewed" -> skewedDocs)) {
-      Thread.sleep(escapeSpacingMs)
+    val escapeReps = 3
+    // ESCALATING spacing (base, 2x, 4x): round 3's fixed 2x90s demonstrably
+    // failed to escape a slow window (all three kg_uniform samples 82+s
+    // inside ~8 min while same-day dry runs measured 17-40s) — the samples
+    // must span more wall clock than a window lasts, so later reps back off.
+    // Full spacing only at the headline sf (smoke runs shouldn't idle).
+    val escapeBaseMs = sys.env.getOrElse("SPARK_GRAFT_ESCAPE_SPACING_MS",
+      if (sfDir.contains("sf0.1")) "60000" else "1000").toLong
+    for (rep <- 1 to escapeReps; (name, docs) <- Seq("kg_uniform" -> uniformDocs, "kg_skewed" -> skewedDocs)) {
+      Thread.sleep(escapeBaseMs << (rep - 1))
       val t0 = System.nanoTime()
       val r = Pipeline.run(docs, SynthCorpus.BaseURI)
       r.triples.count(); r.unpersist()
@@ -155,7 +159,16 @@ object Bench {
     val total = results.values.sum
     val tps = if (kgSecs > 0) (kgTriples / kgSecs).round else 0L
     val tpsMed = if (kgMedSecs > 0) (kgTriples / kgMedSecs).round else 0L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed}"""
+    println(json)
+    // ALSO write the line to a bare file: the stdout line reaches the driver
+    // wrapped in sbt's [info] prefix inside a long log tail (BENCH_r03 showed
+    // "parsed": null) — a structured consumer can read this file instead.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

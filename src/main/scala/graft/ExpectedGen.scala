@@ -23,8 +23,12 @@ object ExpectedGen {
 
   /** Absolute paths: the driver's DuckDB oracle (SparkEntry.oracleSql) reads
     * these by absolute path from whatever cwd it runs in — generator, test
-    * gate, and oracle must agree on ONE location. */
-  val ExpectedDir = "/root/repo/expected"
+    * gate, and oracle must agree on ONE location, resolved HERE. A checkout
+    * at a non-default location sets GRAFT_EXPECTED_DIR (or the
+    * graft.expected.dir system property). */
+  val ExpectedDir: String = sys.props.get("graft.expected.dir")
+    .orElse(sys.env.get("GRAFT_EXPECTED_DIR"))
+    .getOrElse("/root/repo/expected")
   val TriplesFile = s"$ExpectedDir/kg_triples.parquet"
   val MarkersFile = s"$ExpectedDir/kg_markers.parquet"
 

@@ -163,7 +163,15 @@ object IfcToRdf {
           if (fmt == "nt") graft.sinks.NTriplesSink.writeTo(ts, w)
           else TurtleSink.writeTo(ts, w, base, ontNS)
           w.close()
-          Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // prefer an atomic same-directory rename — REPLACE_EXISTING alone
+          // does not guarantee a reader can't observe a partially-moved
+          // destination on every filesystem
+          try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
         } finally {
           // close flushes and can itself throw on the failure path — swallow
           // it so the ORIGINAL exception propagates and the temp still gets

@@ -34,9 +34,20 @@ object AnnOps {
     * shuffle (the only shuffle left is the per-query top-k window). Empty
     * arrays are dropped on both sides, matching the exploded build where a
     * no-element vector never reaches the pos-join. */
+  /** Fail-fast bound on the broadcast query set (rows). A corpus-sized
+    * `isQuery` predicate would otherwise surface as an opaque broadcast OOM
+    * mid-job; the `limit(max+1).count()` probe terminates early on huge sets
+    * and costs one cheap scan of the filtered side. */
+  val MaxBruteForceQueries: Long = 100000L
+
   def bruteForceTopK(df: DataFrame, id: String, emb: String, isQuery: Column, k: Int): DataFrame = {
     val nonEmpty = df.filter(size(col(emb)) > 0)
     val q = nonEmpty.filter(isQuery).select(col(id).as("q"), col(emb).as("_qe"))
+    val probed = q.limit((MaxBruteForceQueries + 1).toInt).count()
+    require(probed <= MaxBruteForceQueries,
+      s"bruteForceTopK query set exceeds $MaxBruteForceQueries rows — it is " +
+        "broadcast with its embedding arrays; use bandedTopK/ivfTopK for " +
+        "corpus-sized query sets")
     val dots = nonEmpty.select(col(id).as("c"), col(emb).as("_ce"))
       .crossJoin(broadcast(q))
       .filter(col("q") =!= col("c"))

@@ -100,8 +100,10 @@ object Tokenizer {
     // oversize guard BEFORE text assembly (the span sizes are already known;
     // assembling would double the heap first). The sentinel rides the normal
     // in-band abort channel; Stage C surfaces it as an `oversize_doc` marker.
+    // Exact bound: assembleText concatenates text-kind spans with NO
+    // separator, so summing text-span lengths IS the assembled length.
     val docChars = doc.spans.iterator.map(s =>
-      (if (s.text != null) s.text.length.toLong else 0L)).sum
+      (if (s.kind == "text" && s.text != null) s.text.length.toLong else 0L)).sum
     if (docChars > maxDocChars)
       return Iterator.single(Stmt(doc.doc_id, "", -1L, -1L, DocSentinel,
         s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L))
