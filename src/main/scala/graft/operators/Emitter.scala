@@ -33,6 +33,15 @@ final class Emitter(dict: SchemaDict, baseURI: String,
   private val HAS_CONTENTS = LIST_NS + "hasContents"
   private val HAS_NEXT = LIST_NS + "hasNext"
 
+  /** Per-schema dictionary-encoding cache (shared per JVM): every predicate
+    * and static-vocabulary object the emitter can produce is a static
+    * function of the dictionary, so the int ids are resolved ONCE here
+    * instead of per triple (the old path built `ontNS + prop` / `classIri`
+    * strings and hashed them through PredIds/VocabIds maps on every tri()
+    * call — measured as a top allocation + hashing cost of the Stage-C
+    * profile at 26M triples). */
+  private val ids = Emitter.idCache(dict)
+
   def classIri(key: String): String = dict.classIri(key)
 
   // ---------------------------------------------------------------- helpers
@@ -122,8 +131,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
   /** the 2 per-document ontology header triples (RDFWriter.java:121-122);
     * subj "" = the baseURI itself after prefix restoration */
   private def headerTriples(doc: String): Seq[TripleRow] = Seq(
-    mkTriple(doc, -1L, "", RDF_TYPE, OWL_NS + "Ontology", "iri", "", -1, -1),
-    mkTriple(doc, -1L, "", OWL_NS + "imports", ontNS, "iri", "", -1, -1))
+    TripleRow(doc, "", ids.rdfTypeId, "", ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1),
+    TripleRow(doc, "", ids.owlImportsId, "", ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1))
 
   private final case class EmitStmt(ls: LinkedStmt, args: Seq[Tok0]) {
     def doc_id: String = ls.doc_id
@@ -137,10 +146,44 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     val markers = ArrayBuffer[Marker]()
     val doc = st.doc_id
     val line = st.line_id
+    val IriKd = graft.schema.PredIds.IriKd
 
     def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
             slot: Int, wcls: Int = -1): Unit =
       triples += mkTriple(doc, line, subj, pred, obj, kind, dt, slot, wcls)
+
+    // dictionary-encoded fast paths (same rows mkTriple would build, with the
+    // pred/vocab ids resolved through the per-schema IdCache instead of
+    // per-triple IRI string building + hashing)
+    /** IRI object already vocab-encoded */
+    def triV(subj: String, predId: Int, vid: Int, slot: Int, wcls: Int = -1): Unit =
+      triples += TripleRow(doc, subj, predId, "", vid, IriKd, line, slot, wcls)
+    /** instance-local (baseURI-relative) IRI object */
+    def triL(subj: String, predId: Int, objLocal: String, slot: Int): Unit =
+      triples += TripleRow(doc, subj, predId, objLocal, -1, IriKd, line, slot, -1)
+    /** literal object with a precomputed kd */
+    def triLit(subj: String, predId: Int, lexical: String, kd: Int, slot: Int): Unit =
+      triples += TripleRow(doc, subj, predId, lexical, -1, kd, line, slot, -1)
+    /** rdf:type with a dict local-name object; falls back to the generic
+      * (string-building) path when the name is outside the cache universe —
+      * identical rows either way */
+    def triType(subj: String, local: String, slot: Int): Unit = {
+      val vid = ids.localVid.get(local)
+      if (vid != null) triV(subj, ids.rdfTypeId, vid, slot)
+      else tri(subj, RDF_TYPE, ontNS + local, "iri", "", slot)
+    }
+    /** rdf:type with a class-key object (cell/wrapper type rows) */
+    def triClassType(subj: String, rangeKey: String, slot: Int): Unit = {
+      val t = ids.classVid.get(rangeKey)
+      if (t != null) triV(subj, ids.rdfTypeId, t._1, slot)
+      else tri(subj, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
+    }
+    /** attribute property (ontNS + prop) with an instance-local object */
+    def triProp(subj: String, propLocal: String, objLocal: String, slot: Int): Unit = {
+      val pid = ids.propPredId.get(propLocal)
+      if (pid != null) triL(subj, pid, objLocal, slot)
+      else tri(subj, ontNS + propLocal, objLocal, "iri", "", slot)
+    }
 
     def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
 
@@ -162,7 +205,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     }
     val typeName = entOpt.map(_.name).getOrElse(typOpt.get.name)
     val subj = typeName + "_" + line // baseURI-relative local
-    tri(subj, RDF_TYPE, ontNS + typeName, "iri", "", -1)
+    triType(subj, typeName, -1)
 
     val targets: Map[Long, RefTarget] =
       st.targets.iterator.filter(_.keyword != null).map(t => t.ref -> t).toMap
@@ -181,31 +224,36 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       * rdf:type row. Returns the wrapper IRI.
       */
     def wrapperFor(rangeKey: String, xsd: String, lexical: String, slot: Int): Option[String] = {
-      val xsdCap = xsd.substring(0, 1).toUpperCase + xsd.substring(1)
-      val valueProp = EXPRESS_NS + "has" + xsdCap
+      val (valueProp, valuePredId) = ids.valueProp.get(xsd) match {
+        case null => // not derivable from dict.classes xsd kinds — loud, like PredIds.id
+          val iri = EXPRESS_NS + "has" + xsd.substring(0, 1).toUpperCase + xsd.substring(1)
+          (iri, Integer.valueOf(graft.schema.PredIds.id(iri)))
+        case t => t
+      }
       // the reference's propertyResourceMap key (RDFWriter.java:807): the
       // range class is deliberately NOT part of it — wrappers are shared
       // across ranges with the same value property + lexical form
       val wkey = valueProp + ":" + xsd + ":" + lexical
       val wiri = mint(doc, "w|" + wkey)
-      tri(wiri, RDF_TYPE, classIri(rangeKey), "iri", "", slot,
+      val cv = ids.classVid.get(rangeKey)
+      if (cv != null) triV(wiri, ids.rdfTypeId, cv._1, slot, wcls = cv._2)
+      else tri(wiri, RDF_TYPE, classIri(rangeKey), "iri", "", slot,
         wcls = graft.schema.ClassIds.id(classIri(rangeKey)))
       // addLiteralToResource (RDFWriter.java:674-704)
       xsd match {
-        case "integer"   => tri(wiri, valueProp, lexical, "literal", XSD_NS + "integer", slot)
-        case "double"    => tri(wiri, valueProp, lexical, "literal", XSD_NS + "double", slot)
-        case "hexBinary" => tri(wiri, valueProp, lexical, "literal", XSD_NS + "hexBinary", slot)
+        case "integer"   => triLit(wiri, valuePredId, lexical, ids.kdInteger, slot)
+        case "double"    => triLit(wiri, valuePredId, lexical, ids.kdDouble, slot)
+        case "hexBinary" => triLit(wiri, valuePredId, lexical, ids.kdHexBinary, slot)
         case "boolean" =>
-          if (lexical.equalsIgnoreCase(".F.")) tri(wiri, valueProp, "false", "literal", XSD_NS + "boolean", slot)
-          else if (lexical.equalsIgnoreCase(".T.")) tri(wiri, valueProp, "true", "literal", XSD_NS + "boolean", slot)
+          if (lexical.equalsIgnoreCase(".F.")) triLit(wiri, valuePredId, "false", ids.kdBoolean, slot)
+          else if (lexical.equalsIgnoreCase(".T.")) triLit(wiri, valuePredId, "true", ids.kdBoolean, slot)
           else mark("warn", s"odd boolean: $lexical")
         case "logical" =>
-          if (lexical.equalsIgnoreCase(".F.")) tri(wiri, valueProp, EXPRESS_NS + "FALSE", "iri", "", slot)
-          else if (lexical.equalsIgnoreCase(".T.")) tri(wiri, valueProp, EXPRESS_NS + "TRUE", "iri", "", slot)
-          else if (lexical.equalsIgnoreCase(".U.")) tri(wiri, valueProp, EXPRESS_NS + "UNKNOWN", "iri", "", slot)
+          if (lexical.equalsIgnoreCase(".F.")) triV(wiri, valuePredId, ids.exprFalseVid, slot)
+          else if (lexical.equalsIgnoreCase(".T.")) triV(wiri, valuePredId, ids.exprTrueVid, slot)
+          else if (lexical.equalsIgnoreCase(".U.")) triV(wiri, valuePredId, ids.exprUnknownVid, slot)
           else mark("warn", s"odd logical: $lexical")
-        case "string" => tri(wiri, valueProp, lexical, "literal", XSD_NS + "string", slot)
-        case _        => tri(wiri, valueProp, lexical, "literal", XSD_NS + "string", slot)
+        case _ => triLit(wiri, valuePredId, lexical, ids.kdString, slot)
       }
       Some(wiri)
     }
@@ -219,7 +267,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         mark("warn", s"ERROR1 no xsd for $rangeKey")
       } else {
         wrapperFor(rangeKey, xsd, lexical, slot).foreach { wiri =>
-          tri(s, ontNS + propLocal, wiri, "iri", "", slot)
+          triProp(s, propLocal, wiri, slot)
         }
       }
     }
@@ -229,8 +277,12 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     def addEnum(s: String, propLocal: String, rangeKey: String, lit: String, slot: Int): Unit = {
       val lbl = filterPoints(lit).toUpperCase(java.util.Locale.ROOT)
       dict.enumLabels.get(rangeKey).flatMap(_.get(lbl)) match {
-        case Some(local) => tri(s, ontNS + propLocal, ontNS + local, "iri", "", slot)
-        case None        => mark("enum_miss", s"$lit in ${dict.classLocal(rangeKey)}")
+        case Some(local) =>
+          val pid = ids.propPredId.get(propLocal)
+          val vid = ids.localVid.get(local)
+          if (pid != null && vid != null) triV(s, pid, vid, slot)
+          else tri(s, ontNS + propLocal, ontNS + local, "iri", "", slot)
+        case None => mark("enum_miss", s"$lit in ${dict.classLocal(rangeKey)}")
       }
     }
 
@@ -256,9 +308,9 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       var i = 0
       while (i < cells.length) {
         wrapperFor(contentKey, xsd, els(i), slot).foreach { wiri =>
-          tri(cells(i), HAS_CONTENTS, wiri, "iri", "", slot)
+          triL(cells(i), ids.hasContentsId, wiri, slot)
         }
-        if (i < els.length - 1) tri(cells(i), HAS_NEXT, cells(i + 1), "iri", "", slot)
+        if (i < els.length - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
         i += 1
       }
     }
@@ -283,7 +335,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         if (i == 0) head
         else {
           val c = mint(doc, s"dl|$line|$slot|$arm|$i")
-          tri(c, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
+          triClassType(c, rangeKey, slot)
           c
         }
       }
@@ -294,11 +346,11 @@ final class Emitter(dict: SchemaDict, baseURI: String,
           targetName(refEls(i)) match {
             case Some(nm) =>
               val robj = nm + "_" + refEls(i).line
-              tri(robj, RDF_TYPE, ontNS + nm, "iri", "", slot)
-              tri(cells(i), HAS_CONTENTS, robj, "iri", "", slot)
+              triType(robj, nm, slot)
+              triL(cells(i), ids.hasContentsId, robj, slot)
             case None => mark("crash", s"list ref to unknown ${refEls(i).keyword}")
           }
-          if (i < n - 1) tri(cells(i), HAS_NEXT, cells(i + 1), "iri", "", slot)
+          if (i < n - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
           i += 1
         }
       }
@@ -315,8 +367,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       if (dict.classInfo(contentKey).isList) { mark("warn", "WARNING28 unhandled ListOfList"); return }
       val cells = els.indices.map { ii =>
         val c = mint(doc, s"rl|$line|$slot|${armCounter}|$ii")
-        tri(c, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
-        if (ii == 0) tri(s, ontNS + attr.prop, c, "iri", "", slot)
+        triClassType(c, rangeKey, slot)
+        if (ii == 0) triProp(s, attr.prop, c, slot)
         c
       }
       armCounter += 1
@@ -329,8 +381,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       val rangeKey = attr.rangeKey
       val cells = members.indices.map { i =>
         val c = mint(doc, s"cl|$line|$slot|$i")
-        tri(c, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
-        if (i == 0) tri(s, ontNS + attr.prop, c, "iri", "", slot)
+        triClassType(c, rangeKey, slot)
+        if (i == 0) triProp(s, attr.prop, c, slot)
         c
       }
       var i = 0
@@ -338,11 +390,11 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         targetName(members(i)) match {
           case Some(nm) =>
             val robj = nm + "_" + members(i).line
-            tri(robj, RDF_TYPE, ontNS + nm, "iri", "", slot)
-            tri(cells(i), HAS_CONTENTS, robj, "iri", "", slot)
+            triType(robj, nm, slot)
+            triL(cells(i), ids.hasContentsId, robj, slot)
           case None => mark("crash", s"list ref to unknown ${members(i).keyword}")
         }
-        if (i < cells.length - 1) tri(cells(i), HAS_NEXT, cells(i + 1), "iri", "", slot)
+        if (i < cells.length - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
         i += 1
       }
     }
@@ -355,11 +407,11 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       if (content.isEmpty) return // reference skips silently when no content type
       heads.indices.foreach { i =>
         val r2 = mint(doc, s"ol|$line|$slot|$i")
-        tri(r2, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
-        if (i == 0) tri(s, ontNS + attr.prop, r2, "iri", "", slot)
-        tri(r2, HAS_CONTENTS, heads(i), "iri", "", slot)
+        triClassType(r2, rangeKey, slot)
+        if (i == 0) triProp(s, attr.prop, r2, slot)
+        triL(r2, ids.hasContentsId, heads(i), slot)
         if (i < heads.length - 1)
-          tri(r2, HAS_NEXT, mint(doc, s"ol|$line|$slot|${i + 1}"), "iri", "", slot)
+          triL(r2, ids.hasNextId, mint(doc, s"ol|$line|$slot|${i + 1}"), slot)
       }
     }
 
@@ -399,8 +451,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
             dict.entities.get(formatClassName(t.keyword)) match {
               case Some(e) =>
                 val robj = e.name + "_" + t.line
-                tri(robj, RDF_TYPE, ontNS + e.name, "iri", "", ptr)
-                tri(subj, ontNS + attr.prop, robj, "iri", "", ptr)
+                triType(robj, e.name, ptr)
+                triProp(subj, attr.prop, robj, ptr)
               case None =>
                 // reference would NPE (ent.get(...).getName(), :306-309) → abort
                 mark("crash", s"ref to non-entity ${t.keyword}")
@@ -450,8 +502,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   dict.entities.get(formatClassName(t.keyword)) match {
                     case Some(e) =>
                       val robj = e.name + "_" + t.line
-                      tri(robj, RDF_TYPE, ontNS + e.name, "iri", "", ptr)
-                      tri(subj, ontNS + attr.prop, robj, "iri", "", ptr)
+                      triType(robj, e.name, ptr)
+                      triProp(subj, attr.prop, robj, ptr)
                     case None => mark("crash", s"set ref to non-entity ${t.keyword}")
                   }
                 }
@@ -471,7 +523,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   if (evoAttrs.size > ptr) {
                     val rem = remembrance.get
                     val head = mint(doc, s"run|$line|$ptr|$armCounter")
-                    tri(head, RDF_TYPE, ontNS + rem.name, "iri", "", ptr)
+                    triType(head, rem.name, ptr)
                     // listrange from the last token of the EXPRESS underlying
                     // type (RDFWriter.java:446-448)
                     val contentKey =
@@ -502,7 +554,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                 if (ci.isList) {
                   val innerKey = ci.listContentKey // <X>_List_List → <X>_List
                   val head = mint(doc, s"in|$line|$ptr|$armCounter")
-                  tri(head, RDF_TYPE, classIri(innerKey), "iri", "", ptr)
+                  triClassType(head, innerKey, ptr)
                   val contentKey = dict.classInfo(innerKey).listContentKey
                   if (ifcVOs.nonEmpty)
                     directRegularList(head, innerKey, contentKey, IndexedSeq.empty,
@@ -587,6 +639,80 @@ object Emitter {
   val RDF_TYPE: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val XSD_NS: String = "http://www.w3.org/2001/XMLSchema#"
   val OWL_NS: String = "http://www.w3.org/2002/07/owl#"
+
+  /** Precomputed int ids for every predicate / static-vocab object /
+    * kd value an Emitter over this dictionary can mint. Keys are the dict's
+    * own locals (attribute prop names, class keys, CamelCase names, enum
+    * individual locals), so the per-triple hot path does a single small-map
+    * lookup instead of building and hashing a 50-90 byte IRI string.
+    * All ids come from the same PredIds/VocabIds/ClassIds universes the
+    * generic path uses — outputs are bit-identical. */
+  private[operators] final class IdCache(dict: graft.schema.SchemaDict) {
+    import graft.schema.{ClassIds, PredIds, VocabIds}
+    import graft.schema.SchemaDict.{EXPRESS_NS, LIST_NS}
+    private val ontNS = dict.ontNS
+
+    val rdfTypeId: Int = PredIds.id(RDF_TYPE)
+    val owlImportsId: Int = PredIds.id(OWL_NS + "imports")
+    val hasContentsId: Int = PredIds.id(LIST_NS + "hasContents")
+    val hasNextId: Int = PredIds.id(LIST_NS + "hasNext")
+    val owlOntologyVid: Int = VocabIds.id(OWL_NS + "Ontology")
+    val ontNSVid: Int = VocabIds.id(ontNS)
+    val exprTrueVid: Int = VocabIds.id(EXPRESS_NS + "TRUE")
+    val exprFalseVid: Int = VocabIds.id(EXPRESS_NS + "FALSE")
+    val exprUnknownVid: Int = VocabIds.id(EXPRESS_NS + "UNKNOWN")
+
+    // kd codes of the closed literal-datatype universe (addLiteralToResource arms)
+    val kdString: Int = PredIds.kdOf("literal", XSD_NS + "string")
+    val kdInteger: Int = PredIds.kdOf("literal", XSD_NS + "integer")
+    val kdDouble: Int = PredIds.kdOf("literal", XSD_NS + "double")
+    val kdHexBinary: Int = PredIds.kdOf("literal", XSD_NS + "hexBinary")
+    val kdBoolean: Int = PredIds.kdOf("literal", XSD_NS + "boolean")
+
+    /** attr prop local -> PredIds id of ontNS + prop */
+    val propPredId: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      dict.entities.valuesIterator.foreach(_.attrs.foreach { a =>
+        if (!m.containsKey(a.prop)) m.put(a.prop, PredIds.id(ontNS + a.prop))
+      })
+      m
+    }
+    /** xsd kind -> (express:hasX IRI, its PredIds id) — wrapperFor needs the
+      * IRI string too (it is part of the wrapper mint hash input). */
+    val valueProp: java.util.HashMap[String, (String, Integer)] = {
+      val m = new java.util.HashMap[String, (String, Integer)]()
+      dict.classes.valuesIterator.map(_.xsd).filter(_.nonEmpty).foreach { x =>
+        if (!m.containsKey(x)) {
+          val iri = EXPRESS_NS + "has" + x.substring(0, 1).toUpperCase + x.substring(1)
+          m.put(x, (iri, PredIds.id(iri)))
+        }
+      }
+      m
+    }
+    /** class key -> (VocabIds id of classIri(key), ClassIds id of classIri(key)) */
+    val classVid: java.util.HashMap[String, (Integer, Integer)] = {
+      val m = new java.util.HashMap[String, (Integer, Integer)]()
+      dict.classes.keysIterator.foreach { k =>
+        val iri = dict.classIri(k)
+        m.put(k, (VocabIds.id(iri), ClassIds.id(iri)))
+      }
+      m
+    }
+    /** local name (entity/type CamelName or enum individual) -> VocabIds id
+      * of ontNS + local */
+    val localVid: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      def add(l: String): Unit = if (!m.containsKey(l)) m.put(l, VocabIds.id(ontNS + l))
+      dict.entities.valuesIterator.foreach(e => add(e.name))
+      dict.types.valuesIterator.foreach(t => add(t.name))
+      dict.enumLabels.valuesIterator.foreach(_.valuesIterator.foreach(add))
+      m
+    }
+  }
+
+  private val idCaches = new java.util.concurrent.ConcurrentHashMap[String, IdCache]()
+  private[operators] def idCache(dict: graft.schema.SchemaDict): IdCache =
+    idCaches.computeIfAbsent(dict.version, _ => new IdCache(dict))
 
   /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free content hash. */
   def fnv64(s: String): Long = {

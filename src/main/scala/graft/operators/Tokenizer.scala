@@ -134,7 +134,7 @@ object Tokenizer {
             }
             sb.toString.substring(1)
           }
-        val st = parseStatement(doc.doc_id, schema, seq, stmtText).stmt
+        val st = scanStatement(doc.doc_id, schema, seq, stmtText)
         linemap(st.line_id) = st
         seq += 1L
       }
@@ -174,29 +174,30 @@ object Tokenizer {
   private def toLong(s: String): Long =
     try s.toLong catch { case _: NumberFormatException => Long.MinValue }
 
-  // mutable parse tree
-  private sealed trait Node
-  private final case class SNode(v: String) extends Node
-  private final case class RNode(id: Long, raw: String) extends Node
-  private final class LNode(val children: ArrayBuffer[Node] = ArrayBuffer()) extends Node
+  // mutable parse tree — Stage C's emitter walks these nodes DIRECTLY
+  // (converting to the immutable Tok0..Tok3 encoding copied the whole tree
+  // per statement; the Tok view remains for tokenTable / tests)
+  private[operators] sealed trait Node
+  private[operators] final case class SNode(v: String) extends Node
+  private[operators] final case class RNode(id: Long, raw: String) extends Node
+  private[operators] final class LNode(val children: ArrayBuffer[Node] = ArrayBuffer()) extends Node
 
-  def parseStatement(docId: String, schema: String, seq: Long, line: String): Parsed = {
-    val body = line.substring(line.indexOf('=') + 1)
-    var lineNum = Long.MinValue
+  /** States 1..3 of the statement automaton (keyword, args with paren/comma
+    * structure, quote bodies) over the text AFTER '='. Returns the raw
+    * keyword and the top-level argument nodes. */
+  private[operators] def parseArgs(body: String): (String, ArrayBuffer[Node]) = {
     var keyword = ""
     val root = new LNode()
     var current = root
     val stack = ArrayBuffer[LNode]()
-    var state = 0
+    var state = 1
     val sb = new StringBuilder
-
-    def depth: Int = stack.length
 
     def flush(): Unit = {
       val t = sb.toString.trim
       if (t.nonEmpty) {
         // refs resolve at depths 0..2 (top-level, list, list-of-list) only
-        if (t.charAt(0) == '#' && depth <= 2)
+        if (t.charAt(0) == '#' && stack.length <= 2)
           current.children += RNode(toLong(t.substring(1)), t)
         else current.children += SNode(t)
       }
@@ -205,13 +206,9 @@ object Tokenizer {
 
     var i = 0
     var end = false
-    while (i < line.length && !end) {
-      val ch = line.charAt(i)
+    while (i < body.length && !end) {
+      val ch = body.charAt(i)
       state match {
-        case 0 =>
-          if (ch == '=') {
-            lineNum = toLong(sb.toString); sb.setLength(0); state = 1
-          } else if (ch.isDigit) sb.append(ch)
         case 1 =>
           if (ch == '(') { keyword = sb.toString; sb.setLength(0); state = 2 }
           else if (ch == ';') { keyword = sb.toString; sb.setLength(0); end = true }
@@ -230,15 +227,60 @@ object Tokenizer {
             else { current = stack.remove(stack.length - 1) }
           } else if (ch == ',') flush()
           else sb.append(ch)
-        case 3 =>
+        case _ => // 3: inside quotes
           if (ch == '\'') state = 2
           else sb.append(ch)
-        case _ => end = true
       }
       i += 1
     }
+    (keyword, root.children)
+  }
 
-    // convert: root.children are the top-level objectList elements (depth 0)
+  /** pre-order RNode ids (all RNodes sit at depths 0..2 by construction) */
+  private def collectRefs(nodes: ArrayBuffer[Node], out: ArrayBuffer[Long]): Unit = {
+    var i = 0
+    while (i < nodes.length) {
+      nodes(i) match {
+        case RNode(id, _) => out += id
+        case l: LNode     => collectRefs(l.children, out)
+        case _            => ()
+      }
+      i += 1
+    }
+  }
+
+  /** digits before the first '=' (the reference collects every digit it sees
+    * in line-number state, IfcSpfParser.java:73); Long.MinValue when
+    * unparseable (IfcSpfParser.java:261-267) */
+  private def scanLineNum(line: String, eqIdx: Int): Long = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < eqIdx) { val ch = line.charAt(i); if (ch.isDigit) sb.append(ch); i += 1 }
+    toLong(sb.toString)
+  }
+
+  /** Stage-A statement scan: the flat [[Stmt]] only — no Tok tree copy. */
+  private def scanStatement(docId: String, schema: String, seq: Long, line: String): Stmt = {
+    val eqIdx = line.indexOf('=')
+    if (eqIdx < 0) // no '=': the automaton never leaves line-number state
+      return Stmt(docId, schema, seq, Long.MinValue, "", line, Nil, abort = false, bad_line = -1L)
+    val body = line.substring(eqIdx + 1)
+    val (keyword, nodes) = parseArgs(body)
+    val refs = ArrayBuffer[Long]()
+    collectRefs(nodes, refs)
+    Stmt(docId, schema, seq, scanLineNum(line, eqIdx), keyword, body,
+      refs.distinct.toSeq, abort = false, bad_line = -1L)
+  }
+
+  def parseStatement(docId: String, schema: String, seq: Long, line: String): Parsed = {
+    val eqIdx = line.indexOf('=')
+    if (eqIdx < 0)
+      return Parsed(Stmt(docId, schema, seq, Long.MinValue, "", line, Nil,
+        abort = false, bad_line = -1L), Nil)
+    val body = line.substring(eqIdx + 1)
+    val (keyword, nodes) = parseArgs(body)
+
+    // convert: root children are the top-level objectList elements (depth 0)
     def leaf3(n: Node): Tok3 = n match {
       case SNode(v) => Tok3("S", v)
       case RNode(_, raw) => Tok3("S", raw) // depth-3 refs stay strings
@@ -259,22 +301,12 @@ object Tokenizer {
       case RNode(id, _) => Tok0("R", id.toString, Nil)
       case l: LNode => Tok0("L", "", l.children.map(tok1).toSeq)
     }
-    val args = root.children.map(tok0).toSeq
+    val args = nodes.map(tok0).toSeq
 
     val refs = ArrayBuffer[Long]()
-    args.foreach {
-      case Tok0("R", v, _) => refs += v.toLong
-      case Tok0("L", _, sub) => sub.foreach {
-        case Tok1("R", v, _) => refs += v.toLong
-        case Tok1("L", _, sub2) => sub2.foreach {
-          case Tok2("R", v, _) => refs += v.toLong
-          case _ => ()
-        }
-        case _ => ()
-      }
-      case _ => ()
-    }
+    collectRefs(nodes, refs)
 
-    Parsed(Stmt(docId, schema, seq, lineNum, keyword, body, refs.distinct.toSeq, abort = false, bad_line = -1L), args)
+    Parsed(Stmt(docId, schema, seq, scanLineNum(line, eqIdx), keyword, body,
+      refs.distinct.toSeq, abort = false, bad_line = -1L), args)
   }
 }
