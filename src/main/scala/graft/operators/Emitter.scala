@@ -69,8 +69,12 @@ final class Emitter(dict: SchemaDict, baseURI: String,
   /** Content-hash IRI for a synthesized intermediate — returned as the
     * baseURI-relative LOCAL name (TripleRow ships locals across the Stage-D
     * shuffle; the prefix is restored post-aggregate). The hash input never
-    * included baseURI, so minted names are unchanged. */
-  private def mint(docId: String, parts: String): String =
+    * included baseURI, so minted names are unchanged.
+    *
+    * This is the CANONICAL definition; the hot path uses the incremental
+    * equivalents (mint3/mint4/mintW in the companion, pinned byte-identical
+    * by MintHashSpec) that skip the concat + getBytes per call. */
+  private[operators] def mint(docId: String, parts: String): String =
     "n" + java.lang.Long.toUnsignedString(fnv64(docId + "\u0000" + parts), 16)
 
   // ---------------------------------------------------------------- emit
@@ -98,11 +102,13 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       else (Nil, Nil)
     }
     // re-tokenize the flat body locally (the token tree is deliberately not
-    // shuffled through Stage B; see LinkedStmt)
+    // shuffled through Stage B; see LinkedStmt). The emitter walks the
+    // parser's mutable Node tree DIRECTLY — converting it to the immutable
+    // Tok0..Tok3 encoding copied the whole tree per statement (measured in
+    // the Stage-C profile); the Tok view remains for tokenTable / tests.
     val st =
       if (ls.keyword == Tokenizer.DocSentinel) EmitStmt(ls, Nil)
-      else EmitStmt(ls, Tokenizer.parseStatement(ls.doc_id, ls.schema, 0,
-        ls.line_id.toString + "=" + ls.body).args)
+      else EmitStmt(ls, Tokenizer.parseArgs(ls.body)._2)
     emitTokens(st)
   }
 
@@ -134,7 +140,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     TripleRow(doc, "", ids.rdfTypeId, "", ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1),
     TripleRow(doc, "", ids.owlImportsId, "", ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1))
 
-  private final case class EmitStmt(ls: LinkedStmt, args: Seq[Tok0]) {
+  private final case class EmitStmt(ls: LinkedStmt, args: scala.collection.Seq[Tokenizer.Node]) {
     def doc_id: String = ls.doc_id
     def line_id: Long = ls.line_id
     def keyword: String = ls.keyword
@@ -147,6 +153,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     val doc = st.doc_id
     val line = st.line_id
     val IriKd = graft.schema.PredIds.IriKd
+    // doc prefix of every mint hash, computed once per statement
+    val mintBase = mintBaseOf(doc)
 
     def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
             slot: Int, wcls: Int = -1): Unit =
@@ -233,8 +241,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       // the reference's propertyResourceMap key (RDFWriter.java:807): the
       // range class is deliberately NOT part of it — wrappers are shared
       // across ranges with the same value property + lexical form
-      val wkey = valueProp + ":" + xsd + ":" + lexical
-      val wiri = mint(doc, "w|" + wkey)
+      val wiri = mintW(mintBase, valueProp, xsd, lexical)
       val cv = ids.classVid.get(rangeKey)
       if (cv != null) triV(wiri, ids.rdfTypeId, cv._1, slot, wcls = cv._2)
       else tri(wiri, RDF_TYPE, classIri(rangeKey), "iri", "", slot,
@@ -334,7 +341,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       val cells = (0 until n).map { i =>
         if (i == 0) head
         else {
-          val c = mint(doc, s"dl|$line|$slot|$arm|$i")
+          val c = mint4(mintBase, "dl", line, slot, arm, i)
           triClassType(c, rangeKey, slot)
           c
         }
@@ -366,7 +373,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       if (contentKey.isEmpty) { mark("warn", "ERROR14 unknown list content"); return }
       if (dict.classInfo(contentKey).isList) { mark("warn", "WARNING28 unhandled ListOfList"); return }
       val cells = els.indices.map { ii =>
-        val c = mint(doc, s"rl|$line|$slot|${armCounter}|$ii")
+        val c = mint4(mintBase, "rl", line, slot, armCounter, ii)
         triClassType(c, rangeKey, slot)
         if (ii == 0) triProp(s, attr.prop, c, slot)
         c
@@ -380,7 +387,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     def classInstanceList(s: String, attr: AttrSlot, members: IndexedSeq[RefTarget], slot: Int): Unit = {
       val rangeKey = attr.rangeKey
       val cells = members.indices.map { i =>
-        val c = mint(doc, s"cl|$line|$slot|$i")
+        val c = mint3(mintBase, "cl", line, slot, i)
         triClassType(c, rangeKey, slot)
         if (i == 0) triProp(s, attr.prop, c, slot)
         c
@@ -406,12 +413,12 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       val content = dict.classInfo(rangeKey).listContentKey
       if (content.isEmpty) return // reference skips silently when no content type
       heads.indices.foreach { i =>
-        val r2 = mint(doc, s"ol|$line|$slot|$i")
+        val r2 = mint3(mintBase, "ol", line, slot, i)
         triClassType(r2, rangeKey, slot)
         if (i == 0) triProp(s, attr.prop, r2, slot)
         triL(r2, ids.hasContentsId, heads(i), slot)
         if (i < heads.length - 1)
-          triL(r2, ids.hasNextId, mint(doc, s"ol|$line|$slot|${i + 1}"), slot)
+          triL(r2, ids.hasNextId, mint3(mintBase, "ol", line, slot, i + 1), slot)
       }
     }
 
@@ -464,16 +471,17 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     }
 
     /** fillPropertiesHandleListObject(evo) (RDFWriter.java:323-557). */
-    def handleList(evoAttrs: Vector[AttrSlot], sub: Seq[Tok1], ptr: Int): Int = {
+    def handleList(evoAttrs: Vector[AttrSlot], subIdx: scala.collection.Seq[Tokenizer.Node],
+                   ptr: Int): Int = {
+      import Tokenizer.{LNode, RNode, SNode}
       val literals = ArrayBuffer[String]()
       val ifcVOs = ArrayBuffer[RefTarget]()
       val listHeads = ArrayBuffer[String]()
       var j = 0
-      val subIdx = sub.toIndexedSeq
       var break = false
       while (j < subIdx.length && !break) {
         subIdx(j) match {
-          case Tok1("S", v, _) =>
+          case SNode(v) =>
             dict.types.get(formatClassName(v)) match {
               case Some(t) if remembrance.isEmpty => remembrance = Some(t)
               case Some(t) =>
@@ -481,7 +489,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   mark("warn", "WARNING37 two types in one list")
               case None => literals += filterExtras(v)
             }
-          case Tok1("R", v, _) =>
+          case RNode(rid, _) =>
             if (evoAttrs.size > ptr) {
               val attr = evoAttrs(ptr)
               val ci = dict.classInfo(attr.rangeKey)
@@ -490,15 +498,15 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                 val inner = dict.classInfo(ci.listContentKey)
                 if (inner.isList) mark("warn", "ERROR22 unexpected ListOfList")
                 else {
-                  val members = subIdx.collect { case Tok1("R", rv, _) =>
-                    targets.getOrElse(rv.toLong, RefTarget(rv.toLong, rv.toLong, ""))
-                  }
+                  val members = subIdx.collect { case RNode(rv, _) =>
+                    targets.getOrElse(rv, RefTarget(rv, rv, ""))
+                  }.toIndexedSeq
                   classInstanceList(subj, attr, members, ptr)
                 }
                 break = true // reference: j = tmpList.size()-1 (RDFWriter.java:375)
               } else {
                 // EXPRESS SET: one direct triple per member (RDFWriter.java:377-389)
-                targets.get(v.toLong).foreach { t =>
+                targets.get(rid).foreach { t =>
                   dict.entities.get(formatClassName(t.keyword)) match {
                     case Some(e) =>
                       val robj = e.name + "_" + t.line
@@ -509,20 +517,24 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                 }
               }
             } else mark("warn", "WARNING13 list ref beyond attribute list")
-          case Tok1("L", _, sub2) =>
+          case l1: LNode =>
+            val sub2 = l1.children
             if (remembrance.isDefined) {
-              // typed-wrapper runs (RDFWriter.java:394-464, golden test19)
+              // typed-wrapper runs (RDFWriter.java:394-464, golden test19).
+              // Depth-3 refs stay strings (the reference resolves exactly
+              // three levels), so RNode at depth 3 contributes its raw form.
               sub2.foreach {
-                case Tok2("S", v2, _) => literals += filterExtras(v2)
-                case Tok2("R", _, _)  => mark("warn", "WARNING30 entity in typed list")
-                case Tok2("L", _, sub3) =>
-                  sub3.foreach {
-                    case Tok3("S", v3) => literals += filterExtras(v3)
-                    case _             => mark("warn", "WARNING31/35 over-deep content")
+                case SNode(v2)   => literals += filterExtras(v2)
+                case RNode(_, _) => mark("warn", "WARNING30 entity in typed list")
+                case l2: LNode =>
+                  l2.children.foreach {
+                    case SNode(v3)     => literals += filterExtras(v3)
+                    case RNode(_, raw) => literals += filterExtras(raw)
+                    case _: LNode      => mark("warn", "WARNING31/35 over-deep content")
                   }
                   if (evoAttrs.size > ptr) {
                     val rem = remembrance.get
-                    val head = mint(doc, s"run|$line|$ptr|$armCounter")
+                    val head = mint3(mintBase, "run", line, ptr, armCounter)
                     triType(head, rem.name, ptr)
                     // listrange from the last token of the EXPRESS underlying
                     // type (RDFWriter.java:446-448)
@@ -537,23 +549,21 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   }
                   remembrance = None
                   literals.clear()
-                case _ => mark("warn", "unexpected token in typed list")
               }
             } else {
               // untyped inner list (RDFWriter.java:465-512)
               sub2.foreach {
-                case Tok2("S", v2, _) => literals += filterExtras(v2)
-                case Tok2("R", rv, _) =>
-                  targets.get(rv.toLong).foreach(ifcVOs += _)
-                case Tok2("L", _, _) => mark("warn", "ERROR19 list of list of list")
-                case _               => mark("warn", "WARNING32 unexpected token")
+                case SNode(v2) => literals += filterExtras(v2)
+                case RNode(rv, _) =>
+                  targets.get(rv).foreach(ifcVOs += _)
+                case _: LNode => mark("warn", "ERROR19 list of list of list")
               }
               if (evoAttrs.size > ptr) {
                 val attr = evoAttrs(ptr)
                 val ci = dict.classInfo(attr.rangeKey)
                 if (ci.isList) {
                   val innerKey = ci.listContentKey // <X>_List_List → <X>_List
-                  val head = mint(doc, s"in|$line|$ptr|$armCounter")
+                  val head = mint3(mintBase, "in", line, ptr, armCounter)
                   triClassType(head, innerKey, ptr)
                   val contentKey = dict.classInfo(innerKey).listContentKey
                   if (ifcVOs.nonEmpty)
@@ -569,7 +579,6 @@ final class Emitter(dict: SchemaDict, baseURI: String,
               literals.clear()
               ifcVOs.clear()
             }
-          case _ => mark("warn", "ERROR11 unexpected element")
         }
         j += 1
       }
@@ -609,10 +618,9 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         // ENTITY line (RDFWriter.java:215-244)
         var ptr = 0
         st.args.foreach {
-          case Tok0("S", v, _)   => ptr = handleString(evo.attrs, v, ptr)
-          case Tok0("R", v, _)   => ptr = handleRef(evo.attrs, v.toLong, ptr)
-          case Tok0("L", _, sub) => ptr = handleList(evo.attrs, sub, ptr)
-          case _                 => mark("warn", "unexpected top-level token")
+          case Tokenizer.SNode(v)     => ptr = handleString(evo.attrs, v, ptr)
+          case Tokenizer.RNode(id, _) => ptr = handleRef(evo.attrs, id, ptr)
+          case l: Tokenizer.LNode     => ptr = handleList(evo.attrs, l.children, ptr)
         }
       case None =>
         // standalone TYPE line (RDFWriter.java:192-213): string/ref args are
@@ -620,9 +628,9 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         // "interpret parse" block at :599-627 only acts on an EMPTY literal
         // list, where it expands an empty list — i.e., no value triples).
         st.args.foreach {
-          case Tok0("L", _, sub) =>
-            sub.foreach {
-              case Tok1("S", v, _) =>
+          case l: Tokenizer.LNode =>
+            l.children.foreach {
+              case Tokenizer.SNode(v) =>
                 if (dict.types.contains(formatClassName(v)) && remembrance.isEmpty)
                   remembrance = dict.types.get(formatClassName(v))
               case _ => ()
@@ -725,5 +733,97 @@ object Emitter {
       i += 1
     }
     h
+  }
+
+  // ---- incremental FNV-1a mint hashing (Stage-C hot path) ----
+  // The old mint path built `docId + "\u0000" + parts` (parts itself an
+  // s-interpolation) and then re-encoded the whole concat to a byte[] per
+  // call. These helpers hash the same byte stream incrementally — the doc
+  // prefix once per statement, components without any intermediate string.
+  // MintHashSpec pins byte-for-byte equivalence against the concat form.
+
+  private[operators] val FnvBasis = 0xcbf29ce484222325L
+
+  @inline private def fnvByte(h0: Long, b: Int): Long = (h0 ^ (b & 0xffL)) * 0x100000001b3L
+
+  /** Continue h0 over the UTF-8 bytes of s — identical to hashing
+    * s.getBytes(UTF_8), including the '?' replacement Java's encoder applies
+    * to unpaired surrogates. */
+  private[operators] def fnvStr(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) h = fnvByte(h, c)
+      else if (c < 0x800) {
+        h = fnvByte(h, 0xc0 | (c >> 6))
+        h = fnvByte(h, 0x80 | (c & 0x3f))
+      } else if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1))
+        h = fnvByte(h, 0xf0 | (cp >> 18))
+        h = fnvByte(h, 0x80 | ((cp >> 12) & 0x3f))
+        h = fnvByte(h, 0x80 | ((cp >> 6) & 0x3f))
+        h = fnvByte(h, 0x80 | (cp & 0x3f))
+        i += 1
+      } else if (Character.isSurrogate(c)) {
+        h = fnvByte(h, '?')
+      } else {
+        h = fnvByte(h, 0xe0 | (c >> 12))
+        h = fnvByte(h, 0x80 | ((c >> 6) & 0x3f))
+        h = fnvByte(h, 0x80 | (c & 0x3f))
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** Continue h0 over the decimal digits of v (== fnvStr(h0, v.toString)). */
+  private[operators] def fnvLong(h0: Long, v: Long): Long = {
+    if (v < 0) return fnvStr(h0, java.lang.Long.toString(v)) // Long.MinValue line ids etc.
+    var div = 1L
+    while (v / div >= 10) div *= 10
+    var h = h0
+    var rest = v
+    while (div > 0) {
+      h = fnvByte(h, '0' + (rest / div).toInt)
+      rest %= div
+      div /= 10
+    }
+    h
+  }
+
+  /** fnv state after `docId + "\u0000"` — computed once per statement. */
+  private[operators] def mintBaseOf(docId: String): Long = fnvByte(fnvStr(FnvBasis, docId), 0)
+
+  @inline private def mintFin(h: Long): String = "n" + java.lang.Long.toUnsignedString(h, 16)
+
+  /** == mint(doc, s"$tag|$a|$b|$c") */
+  private[operators] def mint3(base: Long, tag: String, a: Long, b: Long, c: Long): String = {
+    var h = fnvStr(base, tag)
+    h = fnvByte(h, '|'); h = fnvLong(h, a)
+    h = fnvByte(h, '|'); h = fnvLong(h, b)
+    h = fnvByte(h, '|'); h = fnvLong(h, c)
+    mintFin(h)
+  }
+
+  /** == mint(doc, s"$tag|$a|$b|$c|$d") */
+  private[operators] def mint4(base: Long, tag: String, a: Long, b: Long, c: Long, d: Long): String = {
+    var h = fnvStr(base, tag)
+    h = fnvByte(h, '|'); h = fnvLong(h, a)
+    h = fnvByte(h, '|'); h = fnvLong(h, b)
+    h = fnvByte(h, '|'); h = fnvLong(h, c)
+    h = fnvByte(h, '|'); h = fnvLong(h, d)
+    mintFin(h)
+  }
+
+  /** == mint(doc, "w|" + valueProp + ":" + xsd + ":" + lexical) — the E6
+    * shared-wrapper key (RDFWriter.java:807). */
+  private[operators] def mintW(base: Long, valueProp: String, xsd: String, lexical: String): String = {
+    var h = fnvStr(base, "w|")
+    h = fnvStr(h, valueProp); h = fnvByte(h, ':')
+    h = fnvStr(h, xsd); h = fnvByte(h, ':')
+    h = fnvStr(h, lexical)
+    mintFin(h)
   }
 }
