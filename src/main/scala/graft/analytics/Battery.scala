@@ -371,7 +371,10 @@ object Battery {
       expr("CASE WHEN i % 4 = 0 THEN 'w' WHEN i % 4 = 1 THEN " +
         "(CASE WHEN i % 8 = 1 THEN '' ELSE concat('L', CAST(i % 13 AS STRING)) END) " +
         "ELSE concat('o', CAST(i % 11 AS STRING)) END").as("obj"),
-      lit(-1).as("obj_id"), // synthetic objs are instance-space/literals
+      // synthetic subj/obj stay in the Raw string columns (tag 0): the
+      // encoded Named/Mint/Vocab fast paths are pinned by the kg_triples
+      // expectation tables + goldens; this oracle pins the Raw/dedup core
+      lit(0).as("so_tag"), lit(-1L).as("subj_val"), lit(-1L).as("obj_val"),
       expr("CASE WHEN i % 4 = 1 THEN 2 ELSE 0 END").as("kd"),
       expr("i % 29").as("src_line"),
       expr("CAST(i % 6 AS INT) - 1").as("slot"),

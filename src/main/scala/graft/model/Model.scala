@@ -78,16 +78,20 @@ final case class LinkedStmt(
     targets: Seq[RefTarget])
 
 /** One emitted RDF triple (or candidate; Stage D filters/dedups).
-  * Dictionary-encoded for the Stage-D shuffle (the pipeline's one wide
+  * FULLY dictionary-encoded for the Stage-D shuffle (the pipeline's one wide
   * edge): pred_id is the global predicate id (schema.PredIds — the
   * predicate vocabulary is a static function of the compiled dictionaries),
   * kd packs obj_kind + obj_datatype (-1 marker / 0 iri / 1+dtIdx literal,
-  * PredIds.kdOf). subj is the baseURI-relative local name (all minted
-  * instance IRIs live under the run's baseURI; markers carry their kind
-  * here instead). obj_id >= 0 means the object is a static-vocabulary IRI
-  * (schema.VocabIds) and obj is ""; obj_id = -1 means obj is either the
-  * baseURI-relative local of an instance IRI (kd = 0) or a literal lexical
-  * form (kd > 0). All IRIs are restored after the fused aggregate via
+  * PredIds.kdOf).
+  *
+  * Subject and object each travel as a (tag, long) pair — see [[TripleRow$]]
+  * for the tag codes — so the common instance-IRI forms
+  * (`<CamelName>_<line>` and the content-hash `n<hex16>` mints) cross the
+  * wire as fixed-width longs instead of strings; so_tag packs both tags
+  * (subjTag * 8 + objTag). The string columns carry only what cannot encode:
+  * `subj` holds Raw subject locals (and the marker kind on marker rows),
+  * `obj` holds literal lexical forms, absolute IRIs (AbsIriKd) and Raw
+  * object locals. All IRIs are restored after the fused aggregate via
   * broadcast dimensions; the reference's typed-literal emission is
   * RDFWriter.java:674-704.
   * wcls: >= 0 marks the per-use candidate rdf:type row of a literal wrapper
@@ -100,11 +104,34 @@ final case class TripleRow(
     subj: String,
     pred_id: Int,
     obj: String,
-    obj_id: Int,
+    so_tag: Int,
+    subj_val: Long,
+    obj_val: Long,
     kd: Int,
     src_line: Long,
     slot: Int,
     wcls: Int)
+
+/** Subject/object encoding tags of [[TripleRow]] (so_tag = subjTag * 8 +
+  * objTag). `Named` packs (VocabIds id of the instance's ontology-class IRI,
+  * line) into one long — valid only for 0 <= line < 2^40 and id < 2^23, both
+  * far beyond the compiled universes; anything else ships Raw. `Mint` carries
+  * the 64-bit FNV content hash whose local form is `n` + unsigned hex. */
+object TripleRow {
+  /** payload in the string column (subj/obj local, literal lexical, abs IRI) */
+  val Raw = 0
+  /** val = (VocabIds id of ontNS#Name) << LineBits | line — local `Name_line` */
+  val Named = 1
+  /** val = 64-bit FNV-1a content hash — local `n<hex>` */
+  val Mint = 2
+  /** subject only: the baseURI itself (header triples) */
+  val Base = 3
+  /** object only: val = VocabIds id of a static-vocabulary IRI */
+  val Vocab = 4
+  val LineBits = 40
+  val LineMask: Long = (1L << LineBits) - 1
+  @inline def tag(subjTag: Int, objTag: Int): Int = subjTag * 8 + objTag
+}
 
 /** Final output row of the pipeline (Stage D), lineage columns included. */
 final case class FinalTriple(

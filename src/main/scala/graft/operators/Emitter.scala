@@ -112,33 +112,14 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     emitTokens(st)
   }
 
-  /** pred/kind/dt/vocab-obj are dictionary-encoded here, at mint time
-    * (PredIds/VocabIds), and instance IRIs travel as baseURI-relative
-    * locals: the row crosses the Stage-D shuffle with no namespace bytes.
-    * Static-vocabulary objects (class IRIs, enum individuals, express
-    * constants) become a 4-byte id. An ABSOLUTE IRI object outside the
-    * compiled VocabIds universe (or a urn:-shaped one — the same schemes
-    * Turtle.parseIriRef recognizes) is shipped whole under AbsIriKd and
-    * restored verbatim — a data condition, not a task-aborting bug (one odd
-    * IRI must not kill a 10^12-doc job, and it must NOT be corrupted into
-    * baseURI + "urn:..."). Everything else in the object slot is a
-    * baseURI-relative local or a literal lexical form. */
-  private def mkTriple(doc: String, line: Long, subj: String, pred: String, obj: String,
-                       kind: String, dt: String, slot: Int, wcls: Int): TripleRow = {
-    val absolute = kind == "iri" && (obj.startsWith("http") || obj.startsWith("urn:"))
-    val vid = if (absolute) graft.schema.VocabIds.iriToId.get(obj) else None
-    val kd =
-      if (absolute && vid.isEmpty) graft.schema.PredIds.AbsIriKd
-      else graft.schema.PredIds.kdOf(kind, dt)
-    TripleRow(doc, subj, graft.schema.PredIds.id(pred),
-      if (vid.isDefined) "" else obj, vid.getOrElse(-1), kd, line, slot, wcls)
-  }
-
   /** the 2 per-document ontology header triples (RDFWriter.java:121-122);
-    * subj "" = the baseURI itself after prefix restoration */
-  private def headerTriples(doc: String): Seq[TripleRow] = Seq(
-    TripleRow(doc, "", ids.rdfTypeId, "", ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1),
-    TripleRow(doc, "", ids.owlImportsId, "", ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1))
+    * subject tag Base = the baseURI itself after prefix restoration */
+  private def headerTriples(doc: String): Seq[TripleRow] = {
+    val bt = TripleRow.tag(TripleRow.Base, TripleRow.Vocab)
+    Seq(
+      TripleRow(doc, "", ids.rdfTypeId, "", bt, -1L, ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1),
+      TripleRow(doc, "", ids.owlImportsId, "", bt, -1L, ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1))
+  }
 
   private final case class EmitStmt(ls: LinkedStmt, args: scala.collection.Seq[Tokenizer.Node]) {
     def doc_id: String = ls.doc_id
@@ -156,42 +137,75 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     // doc prefix of every mint hash, computed once per statement
     val mintBase = mintBaseOf(doc)
 
-    def tri(subj: String, pred: String, obj: String, kind: String, dt: String,
-            slot: Int, wcls: Int = -1): Unit =
-      triples += mkTriple(doc, line, subj, pred, obj, kind, dt, slot, wcls)
+    import TripleRow.{Base => TBase, Mint => TMint, Named => TNamed, Raw => TRaw, Vocab => TVocab}
 
-    // dictionary-encoded fast paths (same rows mkTriple would build, with the
-    // pred/vocab ids resolved through the per-schema IdCache instead of
-    // per-triple IRI string building + hashing)
-    /** IRI object already vocab-encoded */
-    def triV(subj: String, predId: Int, vid: Int, slot: Int, wcls: Int = -1): Unit =
-      triples += TripleRow(doc, subj, predId, "", vid, IriKd, line, slot, wcls)
-    /** instance-local (baseURI-relative) IRI object */
-    def triL(subj: String, predId: Int, objLocal: String, slot: Int): Unit =
-      triples += TripleRow(doc, subj, predId, objLocal, -1, IriKd, line, slot, -1)
-    /** literal object with a precomputed kd */
-    def triLit(subj: String, predId: Int, lexical: String, kd: Int, slot: Int): Unit =
-      triples += TripleRow(doc, subj, predId, lexical, -1, kd, line, slot, -1)
-    /** rdf:type with a dict local-name object; falls back to the generic
-      * (string-building) path when the name is outside the cache universe —
-      * identical rows either way */
-    def triType(subj: String, local: String, slot: Int): Unit = {
+    // ---- fully-encoded row builders: subjects and objects travel as
+    // (tag, long) pairs — the common instance forms (<Name>_<line>, minted
+    // n<hex>) never materialize as strings in Stage C at all; the Stage-D
+    // decode restores them after the wide edge.
+
+    /** append one row; subject and object pre-encoded by the caller */
+    def row(stg: Int, sv: Long, sraw: String, predId: Int, otg: Int, ov: Long,
+            oraw: String, okd: Int, slot: Int, wcls: Int): Unit =
+      triples += TripleRow(doc, sraw, predId, oraw, TripleRow.tag(stg, otg), sv, ov, okd, line, slot, wcls)
+
+    /** generic fallback for predicates/objects outside the id caches. An
+      * ABSOLUTE IRI object outside the compiled VocabIds universe (or a
+      * urn:-shaped one — the same schemes Turtle.parseIriRef recognizes) is
+      * shipped whole under AbsIriKd and restored verbatim — a data
+      * condition, not a task-aborting bug (one odd IRI must not kill a
+      * 10^12-doc job, and it must NOT be corrupted into baseURI +
+      * "urn:..."). */
+    def gen(stg: Int, sv: Long, sraw: String, pred: String, obj: String,
+            kind: String, dt: String, slot: Int, wcls: Int = -1): Unit = {
+      val absolute = kind == "iri" && (obj.startsWith("http") || obj.startsWith("urn:"))
+      val vid = if (absolute) graft.schema.VocabIds.iriToId.get(obj) else None
+      val kd =
+        if (absolute && vid.isEmpty) graft.schema.PredIds.AbsIriKd
+        else graft.schema.PredIds.kdOf(kind, dt)
+      if (vid.isDefined)
+        row(stg, sv, sraw, graft.schema.PredIds.id(pred), TVocab, vid.get.toLong, "", kd, slot, wcls)
+      else
+        row(stg, sv, sraw, graft.schema.PredIds.id(pred), TRaw, -1L, obj, kd, slot, wcls)
+    }
+
+    /** does (vid, ln) pack into one Named long? (ln < 2^40; ids are small) */
+    @inline def inR(ln: Long): Boolean = ln >= 0 && ln < (1L << TripleRow.LineBits)
+    @inline def pk(vid: Integer, ln: Long): Long = (vid.longValue << TripleRow.LineBits) | ln
+
+    /** rdf:type row for instance (nm, ln): subj nm_ln, obj ontNS#nm */
+    def typeRow(nm: String, ln: Long, slot: Int): Unit = {
+      val vid = ids.localVid.get(nm)
+      if (vid == null) gen(TRaw, -1L, nm + "_" + ln, RDF_TYPE, ontNS + nm, "iri", "", slot)
+      else if (inR(ln)) row(TNamed, pk(vid, ln), "", ids.rdfTypeId, TVocab, vid.longValue, "", IriKd, slot, -1)
+      else row(TRaw, -1L, nm + "_" + ln, ids.rdfTypeId, TVocab, vid.longValue, "", IriKd, slot, -1)
+    }
+
+    /** rdf:type row for a MINTED subject with a dict local-name object
+      * (typed-run heads, RDFWriter.java:431) */
+    def mintTypeRow(h: Long, local: String, slot: Int): Unit = {
       val vid = ids.localVid.get(local)
-      if (vid != null) triV(subj, ids.rdfTypeId, vid, slot)
-      else tri(subj, RDF_TYPE, ontNS + local, "iri", "", slot)
+      if (vid != null) row(TMint, h, "", ids.rdfTypeId, TVocab, vid.longValue, "", IriKd, slot, -1)
+      else gen(TMint, h, "", RDF_TYPE, ontNS + local, "iri", "", slot)
     }
-    /** rdf:type with a class-key object (cell/wrapper type rows) */
-    def triClassType(subj: String, rangeKey: String, slot: Int): Unit = {
+
+    /** rdf:type row for a MINTED subject with a class-key object (list cells) */
+    def mintClassTypeRow(h: Long, rangeKey: String, slot: Int): Unit = {
       val t = ids.classVid.get(rangeKey)
-      if (t != null) triV(subj, ids.rdfTypeId, t._1, slot)
-      else tri(subj, RDF_TYPE, classIri(rangeKey), "iri", "", slot)
+      if (t != null) row(TMint, h, "", ids.rdfTypeId, TVocab, t._1.longValue, "", IriKd, slot, -1)
+      else gen(TMint, h, "", RDF_TYPE, classIri(rangeKey), "iri", "", slot)
     }
-    /** attribute property (ontNS + prop) with an instance-local object */
-    def triProp(subj: String, propLocal: String, objLocal: String, slot: Int): Unit = {
-      val pid = ids.propPredId.get(propLocal)
-      if (pid != null) triL(subj, pid, objLocal, slot)
-      else tri(subj, ontNS + propLocal, objLocal, "iri", "", slot)
+
+    /** list:hasContents from a minted cell to an instance ref (nm, ln) */
+    def contentsRef(cell: Long, nm: String, ln: Long, slot: Int): Unit = {
+      val vid = ids.localVid.get(nm)
+      if (vid != null && inR(ln)) row(TMint, cell, "", ids.hasContentsId, TNamed, pk(vid, ln), "", IriKd, slot, -1)
+      else row(TMint, cell, "", ids.hasContentsId, TRaw, -1L, nm + "_" + ln, IriKd, slot, -1)
     }
+
+    /** mint -> mint link (hasContents to wrappers, hasNext chains) */
+    def mintLink(cell: Long, predId: Int, objH: Long, slot: Int): Unit =
+      row(TMint, cell, "", predId, TMint, objH, "", IriKd, slot, -1)
 
     def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
 
@@ -212,8 +226,12 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       return (triples.toSeq, markers.toSeq)
     }
     val typeName = entOpt.map(_.name).getOrElse(typOpt.get.name)
-    val subj = typeName + "_" + line // baseURI-relative local
-    triType(subj, typeName, -1)
+    // the statement subject (the reference's typeName_line local), encoded once
+    val sjVid = ids.localVid.get(typeName)
+    val (sjTag, sjVal, sjRaw) =
+      if (sjVid != null && inR(line)) (TNamed, pk(sjVid, line), "")
+      else (TRaw, -1L, typeName + "_" + line)
+    typeRow(typeName, line, -1)
 
     val targets: Map[Long, RefTarget] =
       st.targets.iterator.filter(_.keyword != null).map(t => t.ref -> t).toMap
@@ -223,6 +241,22 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     var remembrance: Option[TypeDef] = None
     var armCounter = 0
 
+    /** attribute property row (ontNS + prop) from the statement subject */
+    def propRow(propLocal: String, otg: Int, ov: Long, oraw: String, slot: Int): Unit = {
+      val pid = ids.propPredId.get(propLocal)
+      if (pid != null) row(sjTag, sjVal, sjRaw, pid.intValue, otg, ov, oraw, IriKd, slot, -1)
+      else row(sjTag, sjVal, sjRaw, graft.schema.PredIds.id(ontNS + propLocal), otg, ov, oraw, IriKd, slot, -1)
+    }
+    /** prop row to an instance ref (nm, ln) */
+    def propRef(propLocal: String, nm: String, ln: Long, slot: Int): Unit = {
+      val vid = ids.localVid.get(nm)
+      if (vid != null && inR(ln)) propRow(propLocal, TNamed, pk(vid, ln), "", slot)
+      else propRow(propLocal, TRaw, -1L, nm + "_" + ln, slot)
+    }
+    /** prop row to a minted node */
+    def propMint(propLocal: String, h: Long, slot: Int): Unit =
+      propRow(propLocal, TMint, h, "", slot)
+
     // ------------------------------------------------------------ wrappers
 
     /** E6 literal-wrapper mint with doc-global sharing. The reference keys its
@@ -231,7 +265,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       * wrapper typed with the first-seen range; Stage D picks that canonical
       * rdf:type row. Returns the wrapper IRI.
       */
-    def wrapperFor(rangeKey: String, xsd: String, lexical: String, slot: Int): Option[String] = {
+    def wrapperFor(rangeKey: String, xsd: String, lexical: String, slot: Int): Option[Long] = {
       val (valueProp, valuePredId) = ids.valueProp.get(xsd) match {
         case null => // not derivable from dict.classes xsd kinds — loud, like PredIds.id
           val iri = EXPRESS_NS + "has" + xsd.substring(0, 1).toUpperCase + xsd.substring(1)
@@ -243,30 +277,33 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       // across ranges with the same value property + lexical form
       val wiri = mintW(mintBase, valueProp, xsd, lexical)
       val cv = ids.classVid.get(rangeKey)
-      if (cv != null) triV(wiri, ids.rdfTypeId, cv._1, slot, wcls = cv._2)
-      else tri(wiri, RDF_TYPE, classIri(rangeKey), "iri", "", slot,
-        wcls = graft.schema.ClassIds.id(classIri(rangeKey)))
+      if (cv != null) row(TMint, wiri, "", ids.rdfTypeId, TVocab, cv._1.longValue, "", IriKd, slot, cv._2)
+      else gen(TMint, wiri, "", RDF_TYPE, classIri(rangeKey), "iri", "", slot,
+        graft.schema.ClassIds.id(classIri(rangeKey)))
+      def lit(lex: String, kd: Int): Unit = row(TMint, wiri, "", valuePredId, TRaw, -1L, lex, kd, slot, -1)
+      def voc(vid: Int): Unit = row(TMint, wiri, "", valuePredId, TVocab, vid, "", IriKd, slot, -1)
       // addLiteralToResource (RDFWriter.java:674-704)
       xsd match {
-        case "integer"   => triLit(wiri, valuePredId, lexical, ids.kdInteger, slot)
-        case "double"    => triLit(wiri, valuePredId, lexical, ids.kdDouble, slot)
-        case "hexBinary" => triLit(wiri, valuePredId, lexical, ids.kdHexBinary, slot)
+        case "integer"   => lit(lexical, ids.kdInteger)
+        case "double"    => lit(lexical, ids.kdDouble)
+        case "hexBinary" => lit(lexical, ids.kdHexBinary)
         case "boolean" =>
-          if (lexical.equalsIgnoreCase(".F.")) triLit(wiri, valuePredId, "false", ids.kdBoolean, slot)
-          else if (lexical.equalsIgnoreCase(".T.")) triLit(wiri, valuePredId, "true", ids.kdBoolean, slot)
+          if (lexical.equalsIgnoreCase(".F.")) lit("false", ids.kdBoolean)
+          else if (lexical.equalsIgnoreCase(".T.")) lit("true", ids.kdBoolean)
           else mark("warn", s"odd boolean: $lexical")
         case "logical" =>
-          if (lexical.equalsIgnoreCase(".F.")) triV(wiri, valuePredId, ids.exprFalseVid, slot)
-          else if (lexical.equalsIgnoreCase(".T.")) triV(wiri, valuePredId, ids.exprTrueVid, slot)
-          else if (lexical.equalsIgnoreCase(".U.")) triV(wiri, valuePredId, ids.exprUnknownVid, slot)
+          if (lexical.equalsIgnoreCase(".F.")) voc(ids.exprFalseVid)
+          else if (lexical.equalsIgnoreCase(".T.")) voc(ids.exprTrueVid)
+          else if (lexical.equalsIgnoreCase(".U.")) voc(ids.exprUnknownVid)
           else mark("warn", s"odd logical: $lexical")
-        case _ => triLit(wiri, valuePredId, lexical, ids.kdString, slot)
+        case _ => lit(lexical, ids.kdString)
       }
       Some(wiri)
     }
 
-    /** createLiteralProperty (RDFWriter.java:799-827). */
-    def createLiteralProperty(s: String, propLocal: String, rangeKey: String,
+    /** createLiteralProperty (RDFWriter.java:799-827); subject is always the
+      * statement subject. */
+    def createLiteralProperty(propLocal: String, rangeKey: String,
                               lexical: String, slot: Int): Unit = {
       val xsd = dict.classInfo(rangeKey).xsd
       if (xsd.isEmpty) {
@@ -274,50 +311,50 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         mark("warn", s"ERROR1 no xsd for $rangeKey")
       } else {
         wrapperFor(rangeKey, xsd, lexical, slot).foreach { wiri =>
-          triProp(s, propLocal, wiri, slot)
+          propMint(propLocal, wiri, slot)
         }
       }
     }
 
     /** addEnumProperty (RDFWriter.java:659-672): case-insensitive rdfs:label
       * match among the range's individuals; miss → *ERROR 9*, skip + continue. */
-    def addEnum(s: String, propLocal: String, rangeKey: String, lit: String, slot: Int): Unit = {
+    def addEnum(propLocal: String, rangeKey: String, lit: String, slot: Int): Unit = {
       val lbl = filterPoints(lit).toUpperCase(java.util.Locale.ROOT)
       dict.enumLabels.get(rangeKey).flatMap(_.get(lbl)) match {
         case Some(local) =>
           val pid = ids.propPredId.get(propLocal)
           val vid = ids.localVid.get(local)
-          if (pid != null && vid != null) triV(s, pid, vid, slot)
-          else tri(s, ontNS + propLocal, ontNS + local, "iri", "", slot)
+          if (pid != null && vid != null) row(sjTag, sjVal, sjRaw, pid.intValue, TVocab, vid.longValue, "", IriKd, slot, -1)
+          else gen(sjTag, sjVal, sjRaw, ontNS + propLocal, ontNS + local, "iri", "", slot)
         case None => mark("enum_miss", s"$lit in ${dict.classLocal(rangeKey)}")
       }
     }
 
     /** addSinglePropertyFromTypeRemembrance (RDFWriter.java:634-657). */
-    def addSingleFromRemembrance(s: String, propLocal: String, rem: TypeDef,
+    def addSingleFromRemembrance(propLocal: String, rem: TypeDef,
                                  lit: String, slot: Int): Unit = {
       val rangeKey = "i:" + rem.name
       val ci = dict.classInfo(rangeKey)
-      if (ci.isEnum) addEnum(s, propLocal, rangeKey, lit, slot)
-      else if (ci.isSelect) createLiteralProperty(s, propLocal, rangeKey, lit, slot)
+      if (ci.isEnum) addEnum(propLocal, rangeKey, lit, slot)
+      else if (ci.isSelect) createLiteralProperty(propLocal, rangeKey, lit, slot)
       else if (ci.isList) mark("warn", "WARNING24 list range in single-from-remembrance")
-      else createLiteralProperty(s, propLocal, rangeKey, lit, slot)
+      else createLiteralProperty(propLocal, rangeKey, lit, slot)
     }
 
     // ------------------------------------------------------------ lists
 
     /** addListInstanceProperties (RDFWriter.java:938-980): hasContents to
       * shared wrappers + hasNext chain over pre-minted cells. */
-    def listInstanceProps(cells: IndexedSeq[String], els: IndexedSeq[String],
+    def listInstanceProps(cells: IndexedSeq[Long], els: IndexedSeq[String],
                           contentKey: String, slot: Int): Unit = {
       val xsd = dict.classInfo(contentKey).xsd
       if (xsd.isEmpty) { mark("warn", s"ERROR5 no xsd for list content $contentKey"); return }
       var i = 0
       while (i < cells.length) {
         wrapperFor(contentKey, xsd, els(i), slot).foreach { wiri =>
-          triL(cells(i), ids.hasContentsId, wiri, slot)
+          mintLink(cells(i), ids.hasContentsId, wiri, slot)
         }
-        if (i < els.length - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
+        if (i < els.length - 1) mintLink(cells(i), ids.hasNextId, cells(i + 1), slot)
         i += 1
       }
     }
@@ -332,7 +369,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
 
     /** addDirectRegularListProperty (RDFWriter.java:707-761): head cell given,
       * extra cells minted, contents are literals (sw=0) or entity refs (sw=1). */
-    def directRegularList(head: String, rangeKey: String, contentKey: String,
+    def directRegularList(head: Long, rangeKey: String, contentKey: String,
                           litEls: IndexedSeq[String], refEls: IndexedSeq[RefTarget],
                           sw: Int, arm: Int, slot: Int): Unit = {
       if (contentKey.isEmpty) { mark("warn", "null listrange"); return }
@@ -342,7 +379,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         if (i == 0) head
         else {
           val c = mint4(mintBase, "dl", line, slot, arm, i)
-          triClassType(c, rangeKey, slot)
+          mintClassTypeRow(c, rangeKey, slot)
           c
         }
       }
@@ -352,12 +389,11 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         while (i < cells.length) {
           targetName(refEls(i)) match {
             case Some(nm) =>
-              val robj = nm + "_" + refEls(i).line
-              triType(robj, nm, slot)
-              triL(cells(i), ids.hasContentsId, robj, slot)
+              typeRow(nm, refEls(i).line, slot)
+              contentsRef(cells(i), nm, refEls(i).line, slot)
             case None => mark("crash", s"list ref to unknown ${refEls(i).keyword}")
           }
-          if (i < n - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
+          if (i < n - 1) mintLink(cells(i), ids.hasNextId, cells(i + 1), slot)
           i += 1
         }
       }
@@ -365,7 +401,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
 
     /** addRegularListProperty (RDFWriter.java:763-797): all cells minted,
       * first linked from the subject. */
-    def regularList(s: String, attr: AttrSlot, els: IndexedSeq[String],
+    def regularList(attr: AttrSlot, els: IndexedSeq[String],
                     overrideRem: Option[TypeDef], slot: Int): Unit = {
       val rangeKey = attr.rangeKey
       val contentKey = overrideRem.map("i:" + _.name)
@@ -374,8 +410,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       if (dict.classInfo(contentKey).isList) { mark("warn", "WARNING28 unhandled ListOfList"); return }
       val cells = els.indices.map { ii =>
         val c = mint4(mintBase, "rl", line, slot, armCounter, ii)
-        triClassType(c, rangeKey, slot)
-        if (ii == 0) triProp(s, attr.prop, c, slot)
+        mintClassTypeRow(c, rangeKey, slot)
+        if (ii == 0) propMint(attr.prop, c, slot)
         c
       }
       armCounter += 1
@@ -384,41 +420,40 @@ final class Emitter(dict: SchemaDict, baseURI: String,
 
     /** fillClassInstanceList + addClassInstanceListProperties
       * (RDFWriter.java:876-936): one cell per IFCVO member of the slot list. */
-    def classInstanceList(s: String, attr: AttrSlot, members: IndexedSeq[RefTarget], slot: Int): Unit = {
+    def classInstanceList(attr: AttrSlot, members: IndexedSeq[RefTarget], slot: Int): Unit = {
       val rangeKey = attr.rangeKey
       val cells = members.indices.map { i =>
         val c = mint3(mintBase, "cl", line, slot, i)
-        triClassType(c, rangeKey, slot)
-        if (i == 0) triProp(s, attr.prop, c, slot)
+        mintClassTypeRow(c, rangeKey, slot)
+        if (i == 0) propMint(attr.prop, c, slot)
         c
       }
       var i = 0
       while (i < cells.length) {
         targetName(members(i)) match {
           case Some(nm) =>
-            val robj = nm + "_" + members(i).line
-            triType(robj, nm, slot)
-            triL(cells(i), ids.hasContentsId, robj, slot)
+            typeRow(nm, members(i).line, slot)
+            contentsRef(cells(i), nm, members(i).line, slot)
           case None => mark("crash", s"list ref to unknown ${members(i).keyword}")
         }
-        if (i < cells.length - 1) triL(cells(i), ids.hasNextId, cells(i + 1), slot)
+        if (i < cells.length - 1) mintLink(cells(i), ids.hasNextId, cells(i + 1), slot)
         i += 1
       }
     }
 
     /** addListPropertyToGivenEntities (RDFWriter.java:829-874): outer
       * list-of-list chain over previously built inner-list heads. */
-    def listPropertyToEntities(s: String, attr: AttrSlot, heads: IndexedSeq[String], slot: Int): Unit = {
+    def listPropertyToEntities(attr: AttrSlot, heads: IndexedSeq[Long], slot: Int): Unit = {
       val rangeKey = attr.rangeKey
       val content = dict.classInfo(rangeKey).listContentKey
       if (content.isEmpty) return // reference skips silently when no content type
       heads.indices.foreach { i =>
         val r2 = mint3(mintBase, "ol", line, slot, i)
-        triClassType(r2, rangeKey, slot)
-        if (i == 0) triProp(s, attr.prop, r2, slot)
-        triL(r2, ids.hasContentsId, heads(i), slot)
+        mintClassTypeRow(r2, rangeKey, slot)
+        if (i == 0) propMint(attr.prop, r2, slot)
+        mintLink(r2, ids.hasContentsId, heads(i), slot)
         if (i < heads.length - 1)
-          triL(r2, ids.hasNextId, mint3(mintBase, "ol", line, slot, i + 1), slot)
+          mintLink(r2, ids.hasNextId, mint3(mintBase, "ol", line, slot, i + 1), slot)
       }
     }
 
@@ -441,10 +476,10 @@ final class Emitter(dict: SchemaDict, baseURI: String,
           val lit = filterExtras(v)
           val ci = dict.classInfo(attr.rangeKey)
           if (attr.rangeKey.isEmpty) mark("warn", s"no range for ${attr.prop}")
-          else if (ci.isEnum) addEnum(subj, attr.prop, attr.rangeKey, lit, ptr)
-          else if (ci.isSelect) createLiteralProperty(subj, attr.prop, attr.rangeKey, lit, ptr) // *OK 25*
+          else if (ci.isEnum) addEnum(attr.prop, attr.rangeKey, lit, ptr)
+          else if (ci.isSelect) createLiteralProperty(attr.prop, attr.rangeKey, lit, ptr) // *OK 25*
           else if (ci.isList) mark("warn", s"WARNING5 bare literal for LIST ${attr.prop}") // dropped
-          else createLiteralProperty(subj, attr.prop, attr.rangeKey, lit, ptr)
+          else createLiteralProperty(attr.prop, attr.rangeKey, lit, ptr)
           ptr + 1
       }
     }
@@ -457,9 +492,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
           case Some(t) =>
             dict.entities.get(formatClassName(t.keyword)) match {
               case Some(e) =>
-                val robj = e.name + "_" + t.line
-                triType(robj, e.name, ptr)
-                triProp(subj, attr.prop, robj, ptr)
+                typeRow(e.name, t.line, ptr)
+                propRef(attr.prop, e.name, t.line, ptr)
               case None =>
                 // reference would NPE (ent.get(...).getName(), :306-309) → abort
                 mark("crash", s"ref to non-entity ${t.keyword}")
@@ -476,7 +510,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       import Tokenizer.{LNode, RNode, SNode}
       val literals = ArrayBuffer[String]()
       val ifcVOs = ArrayBuffer[RefTarget]()
-      val listHeads = ArrayBuffer[String]()
+      val listHeads = ArrayBuffer[Long]()
       var j = 0
       var break = false
       while (j < subIdx.length && !break) {
@@ -501,7 +535,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   val members = subIdx.collect { case RNode(rv, _) =>
                     targets.getOrElse(rv, RefTarget(rv, rv, ""))
                   }.toIndexedSeq
-                  classInstanceList(subj, attr, members, ptr)
+                  classInstanceList(attr, members, ptr)
                 }
                 break = true // reference: j = tmpList.size()-1 (RDFWriter.java:375)
               } else {
@@ -509,9 +543,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                 targets.get(rid).foreach { t =>
                   dict.entities.get(formatClassName(t.keyword)) match {
                     case Some(e) =>
-                      val robj = e.name + "_" + t.line
-                      triType(robj, e.name, ptr)
-                      triProp(subj, attr.prop, robj, ptr)
+                      typeRow(e.name, t.line, ptr)
+                      propRef(attr.prop, e.name, t.line, ptr)
                     case None => mark("crash", s"set ref to non-entity ${t.keyword}")
                   }
                 }
@@ -535,7 +568,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                   if (evoAttrs.size > ptr) {
                     val rem = remembrance.get
                     val head = mint3(mintBase, "run", line, ptr, armCounter)
-                    triType(head, rem.name, ptr)
+                    mintTypeRow(head, rem.name, ptr)
                     // listrange from the last token of the EXPRESS underlying
                     // type (RDFWriter.java:446-448)
                     val contentKey =
@@ -564,7 +597,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
                 if (ci.isList) {
                   val innerKey = ci.listContentKey // <X>_List_List → <X>_List
                   val head = mint3(mintBase, "in", line, ptr, armCounter)
-                  triClassType(head, innerKey, ptr)
+                  mintClassTypeRow(head, innerKey, ptr)
                   val contentKey = dict.classInfo(innerKey).listContentKey
                   if (ifcVOs.nonEmpty)
                     directRegularList(head, innerKey, contentKey, IndexedSeq.empty,
@@ -594,20 +627,20 @@ final class Emitter(dict: SchemaDict, baseURI: String,
           val ci = dict.classInfo(attr.rangeKey)
           remembrance match {
             case Some(rem) =>
-              if (ci.isList) regularList(subj, attr, literals.toIndexedSeq, Some(rem), ptr)
+              if (ci.isList) regularList(attr, literals.toIndexedSeq, Some(rem), ptr)
               else {
-                addSingleFromRemembrance(subj, attr.prop, rem, literals.head, ptr)
+                addSingleFromRemembrance(attr.prop, rem, literals.head, ptr)
                 if (literals.size > 1) mark("warn", "WARNING37 extra literals ignored")
               }
               remembrance = None
             case None =>
-              if (ci.isList) regularList(subj, attr, literals.toIndexedSeq, None, ptr)
-              else literals.foreach(createLiteralProperty(subj, attr.prop, attr.rangeKey, _, ptr))
+              if (ci.isList) regularList(attr, literals.toIndexedSeq, None, ptr)
+              else literals.foreach(createLiteralProperty(attr.prop, attr.rangeKey, _, ptr))
           }
         }
       }
       if (listHeads.nonEmpty && evoAttrs.size > ptr)
-        listPropertyToEntities(subj, evoAttrs(ptr), listHeads.toIndexedSeq, ptr)
+        listPropertyToEntities(evoAttrs(ptr), listHeads.toIndexedSeq, ptr)
       ptr + 1
     }
 
@@ -796,34 +829,36 @@ object Emitter {
   /** fnv state after `docId + "\u0000"` — computed once per statement. */
   private[operators] def mintBaseOf(docId: String): Long = fnvByte(fnvStr(FnvBasis, docId), 0)
 
-  @inline private def mintFin(h: Long): String = "n" + java.lang.Long.toUnsignedString(h, 16)
+  /** hash -> baseURI-relative local form (what mint() returns; the Stage-D
+    * decode reproduces this with concat('n', lower(hex(subj_val)))) */
+  private[operators] def mintLocal(h: Long): String = "n" + java.lang.Long.toUnsignedString(h, 16)
 
-  /** == mint(doc, s"$tag|$a|$b|$c") */
-  private[operators] def mint3(base: Long, tag: String, a: Long, b: Long, c: Long): String = {
+  /** hash of mint(doc, s"$tag|$a|$b|$c") */
+  private[operators] def mint3(base: Long, tag: String, a: Long, b: Long, c: Long): Long = {
     var h = fnvStr(base, tag)
     h = fnvByte(h, '|'); h = fnvLong(h, a)
     h = fnvByte(h, '|'); h = fnvLong(h, b)
     h = fnvByte(h, '|'); h = fnvLong(h, c)
-    mintFin(h)
+    h
   }
 
-  /** == mint(doc, s"$tag|$a|$b|$c|$d") */
-  private[operators] def mint4(base: Long, tag: String, a: Long, b: Long, c: Long, d: Long): String = {
+  /** hash of mint(doc, s"$tag|$a|$b|$c|$d") */
+  private[operators] def mint4(base: Long, tag: String, a: Long, b: Long, c: Long, d: Long): Long = {
     var h = fnvStr(base, tag)
     h = fnvByte(h, '|'); h = fnvLong(h, a)
     h = fnvByte(h, '|'); h = fnvLong(h, b)
     h = fnvByte(h, '|'); h = fnvLong(h, c)
     h = fnvByte(h, '|'); h = fnvLong(h, d)
-    mintFin(h)
+    h
   }
 
-  /** == mint(doc, "w|" + valueProp + ":" + xsd + ":" + lexical) — the E6
+  /** hash of mint(doc, "w|" + valueProp + ":" + xsd + ":" + lexical) — the E6
     * shared-wrapper key (RDFWriter.java:807). */
-  private[operators] def mintW(base: Long, valueProp: String, xsd: String, lexical: String): String = {
+  private[operators] def mintW(base: Long, valueProp: String, xsd: String, lexical: String): Long = {
     var h = fnvStr(base, "w|")
     h = fnvStr(h, valueProp); h = fnvByte(h, ':')
     h = fnvStr(h, xsd); h = fnvByte(h, ':')
     h = fnvStr(h, lexical)
-    mintFin(h)
+    h
   }
 }

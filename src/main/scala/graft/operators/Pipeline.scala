@@ -105,6 +105,7 @@ object Pipeline {
     */
   def finish(data: DataFrame, baseURI: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    import graft.model.{TripleRow => TR}
     import graft.schema.{ClassIds, PredIds, VocabIds}
     val classDim = broadcast(
       ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
@@ -115,6 +116,15 @@ object Pipeline {
     val vocabDim = broadcast(
       VocabIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
         .toDF("v_id", "v_iri"))
+    // Named-tag decode dims: VocabIds id -> IRI local name. The Named
+    // encoding packs (id of ontNS#CamelName, line); the local after '#'/'/'
+    // IS that CamelName, so one static dim serves both sides of the triple.
+    val localPairs = VocabIds.idToIri.zipWithIndex.map { case (iri, i) =>
+      val cut = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1
+      (i, iri.substring(cut))
+    }.toSeq
+    val subjLocalDim = broadcast(localPairs.toDF("sl_id", "sl_local"))
+    val objLocalDim = broadcast(localPairs.toDF("olm_id", "olm_local"))
     // kd decode is a pure expression (6-entry closed datatype universe)
     val dtArr = array(PredIds.Datatypes.map(lit): _*)
     // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
@@ -126,30 +136,52 @@ object Pipeline {
     // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
     // never by an obj sentinel: a real empty-string IFC literal ('' is common
     // in real files) must keep obj = "" and not be rewritten to a class IRI
-    // group on the fully-encoded key (ints + locals; no namespace bytes),
-    // then restore IRIs: subj = baseURI + local; obj = wrapper class IRI
-    // (classDim), static-vocab IRI (vocabDim), baseURI + instance local, or
-    // the literal lexical form as-is
-    // NOTE the wrapper-row group key neutralizes BOTH obj carriers (og and
-    // oid): candidate classes differ per use, and the canonical one is
-    // re-derived from min(prio)'s class field — not from the group key
+    // group on the fully-encoded key (tag + long pairs + the residual
+    // strings; no namespace bytes, no instance-local strings), then restore
+    // IRIs: subj = baseURI + decoded local; obj = wrapper class IRI
+    // (classDim), static-vocab IRI (vocabDim), baseURI + decoded instance
+    // local, or the literal lexical form as-is. The Named/Mint locals decode
+    // through shifts + two tiny broadcast local-name dims; `n` + lower(hex())
+    // reproduces Long.toUnsignedString(h, 16) exactly (no zero-padding on
+    // positives, 16 digits on negatives — pinned by StageDSpec).
+    // NOTE the wrapper-row group key neutralizes ALL THREE obj carriers
+    // (og, otg, ov): candidate classes differ per use, and the canonical one
+    // is re-derived from min(prio)'s class field — not from the group key
     data
-      .groupBy($"doc_id", $"subj", $"pred_id", ($"wcls" >= 0).as("is_wtype"),
+      .groupBy($"doc_id", $"subj", shiftright($"so_tag", 3).as("stg"), $"subj_val",
+        $"pred_id", ($"wcls" >= 0).as("is_wtype"),
         when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"),
-        when($"wcls" >= 0, lit(-1)).otherwise($"obj_id").as("oid"), $"kd")
+        when($"wcls" >= 0, lit(0)).otherwise($"so_tag" % 8).as("otg"),
+        when($"wcls" >= 0, lit(-1L)).otherwise($"obj_val").as("ov"), $"kd")
       .agg(min(prio).as("m"))
       .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
       // LEFT join + loud decode: an unmapped pred_id must SURFACE (this is a
       // public seam fed caller-built frames), consistent with PredIds.id's
       // loud-on-miss posture — an inner join would silently drop the row
       .join(predDim, $"pred_id" === $"p_id", "left")
-      .join(vocabDim, $"oid" === $"v_id", "left")
-      .select($"doc_id", concat(lit(baseURI), $"subj").as("subj"),
+      .join(vocabDim, $"otg" === TR.Vocab && $"ov" === $"v_id", "left")
+      .join(subjLocalDim,
+        $"stg" === TR.Named && shiftright($"subj_val", TR.LineBits).cast("int") === $"sl_id", "left")
+      .join(objLocalDim,
+        $"otg" === TR.Named && shiftright($"ov", TR.LineBits).cast("int") === $"olm_id", "left")
+      .select($"doc_id",
+        concat(lit(baseURI),
+          when($"stg" === TR.Named,
+            concat($"sl_local", lit("_"), $"subj_val".bitwiseAND(TR.LineMask).cast("string")))
+            .when($"stg" === TR.Mint, concat(lit("n"), lower(hex($"subj_val"))))
+            // Base rows ship subj = "" (the baseURI itself), so the Raw
+            // fallthrough covers them too
+            .otherwise($"subj")).as("subj"),
         when($"p_iri".isNull, raise_error(concat(lit("pred_id not in PredIds universe: "),
           $"pred_id".cast("string")))).otherwise($"p_iri").as("pred"),
         when($"is_wtype", $"w_iri")
-          .otherwise(when($"oid" >= 0, $"v_iri")
-            .otherwise(when($"kd" === PredIds.IriKd, concat(lit(baseURI), $"og"))
+          .otherwise(when($"otg" === TR.Vocab, $"v_iri")
+            .otherwise(when($"kd" === PredIds.IriKd,
+              concat(lit(baseURI),
+                when($"otg" === TR.Named,
+                  concat($"olm_local", lit("_"), $"ov".bitwiseAND(TR.LineMask).cast("string")))
+                  .when($"otg" === TR.Mint, concat(lit("n"), lower(hex($"ov"))))
+                  .otherwise($"og")))
               .otherwise($"og"))).as("obj"),
         when($"kd" === PredIds.IriKd || $"kd" === PredIds.AbsIriKd, "iri")
           .otherwise("literal").as("obj_kind"),
@@ -257,20 +289,20 @@ object Pipeline {
           if (ls.keyword == Tokenizer.DocSentinel && ls.body.startsWith("oversize_doc:")) {
             val parts = ls.body.split(":", 2)
             Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
-              parts(1), -1, PredIds.MarkerKd, -1L, -1, -1))
+              parts(1), 0, -1L, -1L, PredIds.MarkerKd, -1L, -1, -1))
           } else Iterator.empty
         }
         else if (!SchemaDict.available(ls.schema)) {
           if (ls.keyword == Tokenizer.DocSentinel)
             Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
-              ls.schema, -1, PredIds.MarkerKd, ls.line_id, -1, -1))
+              ls.schema, 0, -1L, -1L, PredIds.MarkerKd, ls.line_id, -1, -1))
           else Iterator.empty
         } else {
           val em = emitters.getOrElseUpdate(ls.schema,
             new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
           val (ts, ms) = em.emit(ls)
           ts.iterator ++ ms.iterator.map(m =>
-            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, -1, PredIds.MarkerKd, m.line_id, -1, -1))
+            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
         }
       }
     })

@@ -43,14 +43,14 @@ class StageDSpec extends SparkTestBase {
     val df = Seq(
       // same wrapper subject, two candidate classes; (src_line, slot) order
       // must decide, not class id order (9 wins: line 3 < line 7)
-      ("d", "w1", 0, iri2, -1, 0, 3L, 0, 9),
-      ("d", "w1", 0, iri1, -1, 0, 7L, 0, 5),
+      ("d", "w1", 0, iri2, 0, -1L, -1L, 0, 3L, 0, 9),
+      ("d", "w1", 0, iri1, 0, -1L, -1L, 0, 7L, 0, 5),
       // duplicate plain triples collapse to min (src_line, slot)
-      ("d", "s1", 1, "o", -1, 0, 9L, 2, -1),
-      ("d", "s1", 1, "o", -1, 0, 4L, 1, -1),
+      ("d", "s1", 1, "o", 0, -1L, -1L, 0, 9L, 2, -1),
+      ("d", "s1", 1, "o", 0, -1L, -1L, 0, 4L, 1, -1),
       // empty-string literal is its own group and keeps obj = ""
-      ("d", "s1", 1, "", -1, 2, 2L, 0, -1)
-    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+      ("d", "s1", 1, "", 0, -1L, -1L, 2, 2L, 0, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "so_tag", "subj_val", "obj_val", "kd", "src_line", "slot", "wcls")
     val out = Pipeline.finish(df, "").collect().map(r =>
       (r.getString(1), r.getString(3), r.getString(4), r.getLong(6), r.getInt(7))).toSet
     assert(out == Set(
@@ -62,9 +62,9 @@ class StageDSpec extends SparkTestBase {
   test("finish: prio encoding clamps huge src_line without Long overflow") {
     import spark.implicits._
     val df = Seq(
-      ("d", "s", 0, "a", -1, 0, Long.MaxValue / 2, 0, -1),
-      ("d", "s", 0, "a", -1, 0, 5L, 1, -1)
-    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+      ("d", "s", 0, "a", 0, -1L, -1L, 0, Long.MaxValue / 2, 0, -1),
+      ("d", "s", 0, "a", 0, -1L, -1L, 0, 5L, 1, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "so_tag", "subj_val", "obj_val", "kd", "src_line", "slot", "wcls")
     val out = Pipeline.finish(df, "").collect()
     assert(out.length == 1)
     // the unclamped row (line 5) must win the min — a clamped row overflowing
@@ -109,17 +109,17 @@ class StageDSpec extends SparkTestBase {
     val df = Seq(
       // a urn:-shaped absolute IRI object outside VocabIds: shipped whole,
       // restored with NO baseURI prefix, obj_kind = iri
-      ("d", "s", 0, "urn:uuid:12ab", -1, abs, 1L, 0, -1),
-      ("d", "s", 0, "local9", -1, 0, 2L, 0, -1)
-    ).toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+      ("d", "s", 0, "urn:uuid:12ab", 0, -1L, -1L, abs, 1L, 0, -1),
+      ("d", "s", 0, "local9", 0, -1L, -1L, 0, 2L, 0, -1)
+    ).toDF("doc_id", "subj", "pred_id", "obj", "so_tag", "subj_val", "obj_val", "kd", "src_line", "slot", "wcls")
     val out = Pipeline.finish(df, "http://b/").collect()
       .map(r => r.getString(3) -> r.getString(4)).toMap
     assert(out("urn:uuid:12ab") == "iri") // NOT corrupted to http://b/urn:uuid:12ab
     assert(out.contains("http://b/local9"))
     // a pred_id outside the universe must surface, not vanish (left join +
     // raise_error, consistent with PredIds.id's loud-on-miss posture)
-    val bad = Seq(("d", "s", -99, "o", -1, 0, 1L, 0, -1))
-      .toDF("doc_id", "subj", "pred_id", "obj", "obj_id", "kd", "src_line", "slot", "wcls")
+    val bad = Seq(("d", "s", -99, "o", 0, -1L, -1L, 0, 1L, 0, -1))
+      .toDF("doc_id", "subj", "pred_id", "obj", "so_tag", "subj_val", "obj_val", "kd", "src_line", "slot", "wcls")
     val e = intercept[Exception](Pipeline.finish(bad, "http://b/").collect())
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
