@@ -35,6 +35,12 @@ object Bench {
     var kgTriples = 0L
     var kgSecs = 0.0
 
+    // Substrate probes: what the HOST is delivering right now (the sandbox
+    // swings up to ~20x on noisy-neighbor memory-bandwidth contention, in
+    // multi-minute windows) — taken before and after the run so a reader can
+    // normalize throughput by window instead of guessing. See Substrate.
+    val (cpu1a, cpuNa, bwA) = Substrate.probe(cpus)
+
     // The sandbox host swings multi-x over minutes (measured: the identical
     // 26M-triple job at 11s and 326s within one JVM), so every query is
     // timed as a BUDGETED MIN-OF-N: extra reps run only while the budget
@@ -159,7 +165,10 @@ object Bench {
     val total = results.values.sum
     val tps = if (kgSecs > 0) (kgTriples / kgSecs).round else 0L
     val tpsMed = if (kgMedSecs > 0) (kgTriples / kgMedSecs).round else 0L
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed}"""
+    val (cpu1b, cpuNb, bwB) = Substrate.probe(cpus)
+    def r1(x: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+    val sub = s"""{"cpu1_mhps":[${r1(cpu1a)},${r1(cpu1b)}],"cpuN_mhps":[${r1(cpuNa)},${r1(cpuNb)}],"membw_gibps":[${r1(bwA)},${r1(bwB)}]}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed,"substrate":$sub}"""
     println(json)
     // ALSO write the line to a bare file: the stdout line reaches the driver
     // wrapped in sbt's [info] prefix inside a long log tail (BENCH_r03 showed

@@ -133,53 +133,88 @@ object IfcToRdf {
     val result = Pipeline.run(docs, baseURI,
       Pipeline.Options(removeDuplicates = removeDuplicates, schemaOverride = schemaOv))
 
-    // Distributed serialization: each document's triples are grouped onto one
-    // executor task and its .ttl written from there — no driver-side collect
-    // of the triple stream (a whole-batch collect would bottleneck the driver
-    // when --dir points at a large corpus). In local mode the executor shares
-    // the filesystem; on a cluster, point outputs at a shared mount.
+    // Distributed serialization with O(1) task state: the per-doc (subj,
+    // pred, obj) presentation sort rides the shuffle frame — repartition by
+    // doc_id, sortWithinPartitions — so a task streams each document's
+    // already-ordered triples straight into its .ttl/.nt writer one row at a
+    // time. No `it.toSeq`: a mega-doc export never holds its triple set on
+    // one heap (the old bound was the maxDocChars guard; now it's a single
+    // row + write buffer). No driver-side collect of the triple stream
+    // either (only the tiny per-doc summary tuples come back). In local
+    // mode the executor shares the filesystem; on a cluster, point outputs
+    // at a shared mount.
+    // Ordering note: Spark sorts strings by UTF-8 bytes (= code points),
+    // the old in-heap sortBy by UTF-16 code units — byte-identical output
+    // except for supplementary-plane characters in literals.
     val base = baseURI
     val fmt = format
+    import org.apache.spark.sql.functions.col
     val written = result.triples.as[FinalTriple]
-      .groupByKey(_.doc_id)
-      .mapGroups { (docId, it) =>
-        val (out, ontNS) = meta(docId)
-        // the Seq is needed for the per-doc sorted output (envelope bounded
-        // by the tokenizer's maxDocChars guard); serialization streams to
-        // the file, so the task never also holds the full payload string
-        val ts = it.toSeq
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "subj", "pred", "obj")
+      .as[FinalTriple]
+      .mapPartitions { rows =>
         // write to an ATTEMPT-UNIQUE sibling temp file and rename on
         // success: a task that dies mid-stream (disk full, I/O error) must
         // not leave a truncated .ttl where a consumer of the output
         // directory can read it, and concurrent attempts of the same task
         // (speculation, zombie retry on a shared mount) must not interleave
         // into one temp file or delete each other's
-        val dest = Paths.get(out)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId.toString).getOrElse(java.util.UUID.randomUUID.toString)
-        val tmp = dest.resolveSibling(s"${dest.getFileName}.inprogress-$attempt")
-        val w = Files.newBufferedWriter(tmp)
-        try {
-          if (fmt == "nt") graft.sinks.NTriplesSink.writeTo(ts, w)
-          else TurtleSink.writeTo(ts, w, base, ontNS)
-          w.close()
-          // prefer an atomic same-directory rename — REPLACE_EXISTING alone
-          // does not guarantee a reader can't observe a partially-moved
-          // destination on every filesystem
-          try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          catch {
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
-              Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val summaries = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+        var cur: String = null
+        var dest: Path = null
+        var tmp: Path = null
+        var w: java.io.Writer = null
+        var ttl: TurtleSink.Streamed = null
+        var n = 0
+        def finish(): Unit = if (cur != null) {
+          try {
+            w.close()
+            // prefer an atomic same-directory rename — REPLACE_EXISTING
+            // alone does not guarantee a reader can't observe a partially-
+            // moved destination on every filesystem
+            try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+            summaries += ((cur, dest.toString, n))
+          } finally {
+            // close flushes and can itself throw on the failure path —
+            // swallow it so the ORIGINAL exception propagates and the temp
+            // still gets cleaned (on success close() is an idempotent no-op)
+            try w.close() catch { case _: java.io.IOException => }
+            Files.deleteIfExists(tmp)
+            cur = null
           }
-        } finally {
-          // close flushes and can itself throw on the failure path — swallow
-          // it so the ORIGINAL exception propagates and the temp still gets
-          // cleaned (on success close() is an idempotent no-op)
-          try w.close() catch { case _: java.io.IOException => }
-          Files.deleteIfExists(tmp)
         }
-        (docId, out, ts.size)
+        try {
+          rows.foreach { t =>
+            if (t.doc_id != cur) {
+              finish()
+              val (out, ontNS) = meta(t.doc_id)
+              cur = t.doc_id
+              dest = Paths.get(out)
+              tmp = dest.resolveSibling(s"${dest.getFileName}.inprogress-$attempt")
+              w = Files.newBufferedWriter(tmp)
+              ttl = if (fmt == "nt") null else new TurtleSink.Streamed(w, base, ontNS)
+              n = 0
+            }
+            if (fmt == "nt") graft.sinks.NTriplesSink.writeOne(t, w)
+            else ttl.write(t)
+            n += 1
+          }
+          finish()
+        } catch {
+          // mid-doc failure: drop the in-progress temp, then rethrow
+          case e: Throwable =>
+            if (cur != null) { try w.close() catch { case _: Exception => }; Files.deleteIfExists(tmp) }
+            throw e
+        }
+        summaries.iterator
       }
       .collect().sortBy(_._1)
 

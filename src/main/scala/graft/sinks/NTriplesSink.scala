@@ -56,7 +56,12 @@ object NTriplesSink {
 
   /** Stream serialization into `w` (sorted per doc; the row Seq is the only
     * thing held — no whole-payload string next to it). */
-  def writeTo(triples: Seq[graft.model.FinalTriple], w: java.io.Writer): Unit = {
+  def writeTo(triples: Seq[graft.model.FinalTriple], w: java.io.Writer): Unit =
+    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach(t => writeOne(t, w))
+
+  /** One line in caller-supplied order — the O(1)-state streaming unit the
+    * corpus export loops over (same bytes as `writeTo`, which sorts first). */
+  def writeOne(t: graft.model.FinalTriple, w: java.io.Writer): Unit = {
     def escS(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -65,12 +70,10 @@ object NTriplesSink {
       case '\t' => "\\t"
       case c => c.toString
     }
-    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach { t =>
-      val o =
-        if (t.obj_kind == "iri") s"<${t.obj}>"
-        else if (t.obj_datatype.isEmpty || t.obj_datatype == XsdString) s""""${escS(t.obj)}""""
-        else s""""${escS(t.obj)}"^^<${t.obj_datatype}>"""
-      w.write(s"<${t.subj}> <${t.pred}> $o .\n")
-    }
+    val o =
+      if (t.obj_kind == "iri") s"<${t.obj}>"
+      else if (t.obj_datatype.isEmpty || t.obj_datatype == XsdString) s""""${escS(t.obj)}""""
+      else s""""${escS(t.obj)}"^^<${t.obj_datatype}>"""
+    w.write(s"<${t.subj}> <${t.pred}> $o .\n")
   }
 }

@@ -25,30 +25,25 @@ object TurtleSink {
     sw.toString
   }
 
-  /** Stream the serialization into `w` instead of building the whole payload
-    * string (the per-doc sort still needs the rows in memory — that envelope
-    * is bounded by the tokenizer's maxDocChars guard — but a mega-doc export
-    * no longer holds rows + full payload text simultaneously). */
-  def writeTo(triples: Seq[FinalTriple], w: java.io.Writer,
-              baseURI: String, ontNS: String): Unit = {
-    def append(x: String): Unit = w.write(x)
-    append(s"# baseURI: $baseURI\r\n")
-    append(s"# imports: ${ontNS.stripSuffix("#")}\r\n\r\n")
-    if (triples.isEmpty) return
-    append(s"@base <$baseURI> .\n")
-    append(s"@prefix ifc: <$ontNS> .\n")
-    append(s"@prefix inst: <$baseURI> .\n")
-    prefixes.foreach { case (p, ns) => append(s"@prefix $p: <$ns> .\n") }
-    append("\n")
-    val all = ("ifc" -> ontNS) +: ("inst" -> baseURI) +: prefixes
+  /** Incremental Turtle writer: one triple at a time in caller-supplied
+    * order, O(1) state. The comment header is written on construction; the
+    * `@base`/`@prefix` block lazily on the first triple (so an empty doc
+    * produces only the comment header — same bytes `writeTo` always
+    * emitted). This is what lets the corpus export stream a mega-doc
+    * without ever holding its triple set on one heap. */
+  final class Streamed(w: java.io.Writer, baseURI: String, ontNS: String) {
+    w.write(s"# baseURI: $baseURI\r\n")
+    w.write(s"# imports: ${ontNS.stripSuffix("#")}\r\n\r\n")
+    private var started = false
+    private val all = ("ifc" -> ontNS) +: ("inst" -> baseURI) +: prefixes
 
-    def term(iri: String): String =
+    private def term(iri: String): String =
       all.collectFirst {
         case (p, ns) if iri.startsWith(ns) && isLocal(iri.substring(ns.length)) =>
           s"$p:${iri.substring(ns.length)}"
       }.getOrElse(s"<$iri>")
 
-    def obj(t: FinalTriple): String =
+    private def obj(t: FinalTriple): String =
       if (t.obj_kind == "iri") term(t.obj)
       else {
         val lex = t.obj.flatMap {
@@ -62,9 +57,25 @@ object TurtleSink {
         else s""""$lex"^^${term(t.obj_datatype)}"""
       }
 
-    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach { t =>
-      append(s"${term(t.subj)} ${term(t.pred)} ${obj(t)} .\n")
+    def write(t: FinalTriple): Unit = {
+      if (!started) {
+        w.write(s"@base <$baseURI> .\n")
+        w.write(s"@prefix ifc: <$ontNS> .\n")
+        w.write(s"@prefix inst: <$baseURI> .\n")
+        prefixes.foreach { case (p, ns) => w.write(s"@prefix $p: <$ns> .\n") }
+        w.write("\n")
+        started = true
+      }
+      w.write(s"${term(t.subj)} ${term(t.pred)} ${obj(t)} .\n")
     }
+  }
+
+  /** Driver-side serialization of an in-memory triple set (tests / single-file
+    * CLI): sorts, then streams through [[Streamed]]. */
+  def writeTo(triples: Seq[FinalTriple], w: java.io.Writer,
+              baseURI: String, ontNS: String): Unit = {
+    val s = new Streamed(w, baseURI, ontNS)
+    triples.sortBy(t => (t.subj, t.pred, t.obj)).foreach(s.write)
   }
 
   private def isLocal(s: String): Boolean =

@@ -75,4 +75,24 @@ class PlanShapeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ANN scoring stages run inside WholeStageCodegen") {
+    // complements CodegenPinSpec (expression-level CODEGEN_ONLY): the
+    // executed plan must actually place the quantized-scoring projections
+    // inside WholeStageCodegen spans — a non-codegen-able operator in the
+    // hot path would silently drop the whole stage to interpreted row
+    // processing even when every expression compiles in isolation
+    for (q <- Seq("q23_dedup_embcos", "q27_ann_lsh_banded", "q28_ann_ivf", "q30_ivf_assign")) {
+      val p = plan(q)
+      withClue(s"$q:\n$p") {
+        // the AQE final-plan string renders a WholeStageCodegen span as a
+        // `*(id)` operator prefix; the quant-scoring Project/Join operators
+        // must carry one (an interpreted fallback prints them bare)
+        val scoringCodegend = p.linesIterator.exists(l =>
+          l.contains("*(") && (l.contains("graft_quant") || l.contains("Project")))
+        assert(scoringCodegend,
+          "scoring operators must sit inside a WholeStageCodegen (`*(n)`) span")
+      }
+    }
+  }
 }
