@@ -32,6 +32,33 @@ object Battery {
 
   private def toks(c: Column): Column = graft.functions.TextOps.tokens(c)
 
+  /** q13 body, shared with q31/q32 (which cluster its pairs): MinHash +
+    * banded LSH candidate pairs (k=8 hashes, 4 bands of 2). The signature is
+    * computed NARROWLY per row (TextOps.minhashSig: one pass over the
+    * deduped shingle array — no explode/crossJoin/groupBy shuffles before
+    * the band self-join); identical values to the relational build, pinned
+    * by FunctionsSpec. SHUFFLE_HASH hint: left to stats, Catalyst broadcasts
+    * one side of the self-join, which RECOMPUTES the whole
+    * scan+shingle+md5 signature pass to build the hashed relation; a shuffle
+    * hash join makes the two sides identical partitioned exchanges, so the
+    * signature is computed once and the second side is a ReusedExchange —
+    * and a corpus-sized bands table could never broadcast at scale anyway. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.functions.TextOps.minhashSig(
+      t(s, d, "documents"), "doc_id", "text", MinhashParams)
+      .withColumnRenamed("doc", "doc_id")
+    val bandStructs = (0 until 4).map(b =>
+      s"struct($b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1)").mkString(", ")
+    val bands = sig.select(col("doc_id"),
+        explode(expr(s"array($bandStructs)")).as("t"))
+      .select(col("doc_id"), col("t.band").as("band"), col("t.m0").as("m0"), col("t.m1").as("m1"))
+    bands.as("x").hint("shuffle_hash").join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
+          col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,31 +193,29 @@ object Battery {
         .filter(col("inter") * 5 >= col("sa") + col("sb") - col("inter"))
         .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"))
     }),
-    "q13_dedup_minhash" -> ((s, d) => {
-      // MinHash + banded LSH candidate pairs (k=8 hashes, 4 bands of 2).
-      // The signature is computed NARROWLY per row (TextOps.minhashSig: one
-      // pass over the deduped shingle array — no explode/crossJoin/groupBy
-      // shuffles before the band self-join); identical values to the
-      // relational build, pinned by FunctionsSpec. Oracle unchanged.
-      val sig = graft.functions.TextOps.minhashSig(
-        t(s, d, "documents"), "doc_id", "text", MinhashParams)
-        .withColumnRenamed("doc", "doc_id")
-      val bandStructs = (0 until 4).map(b =>
-        s"struct($b AS band, mh${2 * b} AS m0, mh${2 * b + 1} AS m1)").mkString(", ")
-      val bands = sig.select(col("doc_id"),
-          explode(expr(s"array($bandStructs)")).as("t"))
-        .select(col("doc_id"), col("t.band").as("band"), col("t.m0").as("m0"), col("t.m1").as("m1"))
-      // SHUFFLE_HASH hint: left to stats, Catalyst broadcasts one side of
-      // the self-join, which RECOMPUTES the whole scan+shingle+md5 signature
-      // pass to build the hashed relation; a shuffle hash join makes the
-      // two sides identical h-partitioned exchanges, so the signature is
-      // computed once and the second side is a ReusedExchange — and a
-      // corpus-sized bands table could never broadcast at scale anyway
-      bands.as("x").hint("shuffle_hash").join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
-            col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+    "q13_dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+    "q31_dup_components" -> ((s, d) =>
+      // dedup FINISHING: the q13 near-dup pairs grouped into clusters —
+      // distributed connected components (min-label propagation + pointer
+      // jumping; see GraphOps for the 100-TB posture). component_id is the
+      // deterministic component-min doc id.
+      graft.functions.GraphOps.connectedComponents(minhashPairs(s, d), "a", "b")
+        .select(col("node").as("doc_id"), col("lbl").as("component_id"))),
+    "q32_dup_representative" -> ((s, d) => {
+      // one representative per near-dup cluster: highest-quality member
+      // (longest text, doc_id tiebreak) — the row a corpus clean KEEPS.
+      // Window partitions by component: components are capped-tiny, and the
+      // join back to documents is keyed on doc_id (corpus-partitioned).
+      val comp = graft.functions.GraphOps
+        .connectedComponents(minhashPairs(s, d), "a", "b")
+        .select(col("node").as("doc_id"), col("lbl").as("component_id"))
+      val w = Window.partitionBy(col("component_id"))
+      comp.join(t(s, d, "documents").select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("component_id"), col("doc_id").as("rep_doc"), col("n_members"))
     }),
     "q14_dedup_simhash" -> ((s, d) =>
       // 16-bit SimHash over the distinct-token set
@@ -285,6 +310,32 @@ object Battery {
       // order-sensitive rolling document fingerprint (position-weighted hash)
       graft.functions.TextOps.fingerprint(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
+    "q33_sample_stratified" -> ((s, d) =>
+      // deterministic per-stratum hash sampling: keep a doc iff the md5 of a
+      // salted key falls under the stratum's hex threshold (en ~50%, other
+      // languages ~20%). Pure map-stage filter — no shuffle, no RNG state,
+      // reproducible at any scale and under any partitioning; the hex-string
+      // compare is engine-portable (md5 is lowercase hex in both engines).
+      t(s, d, "documents")
+        .filter(md5(concat(lit("smp:"), col("doc_id").cast("string"))) <
+          when(col("lang") === "en", lit("80000000")).otherwise(lit("33333333")))
+        .select(col("doc_id"), col("lang"))),
+    "q34_corpus_clean" -> ((s, d) => {
+      // composed C4-style corpus cleaner: exact-dedup survivors (min doc_id
+      // per md5(text) group, left-semi join) x word-count band x mean-word-
+      // length floor — all-integer predicates, mirrored in the oracle. The
+      // semi join is keyed on doc_id; the survivor side is one hash
+      // aggregate over the corpus (same shape as q11).
+      val docs = t(s, d, "documents")
+      val surv = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      docs.join(surv, Seq("doc_id"), "left_semi")
+        .withColumn("n_words", size(toks(col("text"))).cast("long"))
+        .filter(col("n_words").between(20, 80) &&
+          col("n_chars") * 10 >= col("n_words") * 55 &&
+          col("n_chars") <= 100000)
+        .select(col("doc_id"), col("lang"), col("n_words"))
+    }),
 
     // --- KG pipeline relational core, oracle-checked (VERDICT r1 #2) ---
     // These run the ACTUAL pipeline operators (Linker.dedupStmts, Linker.link,
@@ -411,6 +462,30 @@ object Battery {
 
   private val minhashValues =
     MinhashParams.zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** the q13 MinHash-banded-LSH pair list as DuckDB CTEs ending in
+    * `pairs(a, b)` — shared by the q13 oracle and the q31/q32 component
+    * oracles built on top of it */
+  private val minhashPairsCtes =
+    s"""params(i, ha, hb) AS (VALUES $minhashValues),
+       tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents
+              WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+       sh AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+              FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                    FROM tk) WHERE sh <> ''),
+       sig AS (SELECT doc_id, i, MIN((ha * h + hb) % 4294967291) AS mh
+               FROM sh CROSS JOIN params GROUP BY 1, 2),
+       bands AS (SELECT doc_id, CAST(FLOOR(i / 2) AS INT) AS band,
+                        MIN(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+                        MIN(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+                 FROM sig GROUP BY 1, 2),
+       pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+                      AND x.doc_id < y.doc_id)"""
 
   /** the first 50 (id, IRI) rows of the global class-id dimension, shared
     * literally with the q26 oracle (q26's synthetic wcls values are 1..37) */
@@ -549,24 +624,34 @@ object Battery {
                   JOIN sizes sb ON pairs.b = sb.doc_id
        WHERE inter * 5 >= sa.sz + sb.sz - inter""",
     "q13_dedup_minhash" ->
-      s"""WITH params(i, ha, hb) AS (VALUES $minhashValues),
-       tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-              FROM documents
-              WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
-       sh AS (SELECT DISTINCT doc_id,
-                     ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
-              FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
-                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-                    FROM tk) WHERE sh <> ''),
-       sig AS (SELECT doc_id, i, MIN((ha * h + hb) % 4294967291) AS mh
-               FROM sh CROSS JOIN params GROUP BY 1, 2),
-       bands AS (SELECT doc_id, CAST(FLOOR(i / 2) AS INT) AS band,
-                        MIN(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
-                        MIN(CASE WHEN i % 2 = 1 THEN mh END) AS m1
-                 FROM sig GROUP BY 1, 2)
-       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       FROM bands x JOIN bands y
-         ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1 AND x.doc_id < y.doc_id""",
+      s"""WITH $minhashPairsCtes
+       SELECT a, b FROM pairs""",
+    "q31_dup_components" ->
+      // connected components of the q13 pair graph as a recursive CTE:
+      // min-reachable-id per node over the symmetric edge list (UNION, not
+      // UNION ALL, so the reachability set saturates and terminates)
+      s"""WITH RECURSIVE $minhashPairsCtes,
+       edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT u AS node, u AS lbl FROM edges
+         UNION
+         SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node)
+       SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component_id
+       FROM reach GROUP BY node""",
+    "q32_dup_representative" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+       edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT u AS node, u AS lbl FROM edges
+         UNION
+         SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+       comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node)
+       SELECT component_id, doc_id AS rep_doc, n_members FROM (
+         SELECT c.component_id, d.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+         FROM comp c JOIN documents d ON c.doc_id = d.doc_id) WHERE rn = 1""",
     "q14_dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
@@ -697,6 +782,18 @@ object Battery {
                       generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
                FROM documents)
          GROUP BY doc_id""",
+    "q33_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE md5('smp:' || CAST(doc_id AS VARCHAR)) <
+               CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END""",
+    "q34_corpus_clean" ->
+      """WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT d.doc_id, d.lang,
+                CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+         FROM documents d JOIN surv USING (doc_id)
+         WHERE len(list_filter(string_split(d.text, ' '), x -> x <> '')) BETWEEN 20 AND 80
+           AND d.n_chars * 10 >= 55 * len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+           AND d.n_chars <= 100000""",
     "q24_kg_d1_dedup" ->
       s"""WITH $kgStmtsSql
        SELECT doc_id, CAST(line_id AS BIGINT) AS line_id, keyword, body FROM (

@@ -8,4 +8,36 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-root `df` as a fresh leaf over its own InternalRow RDD, DROPPING the
+    * stats snapshot `Dataset.localCheckpoint` bakes into its `LogicalRDD`.
+    *
+    * Why: Catalyst's size-only estimator models a join as the PRODUCT of its
+    * children's `sizeInBytes`, and checkpointing snapshots that estimate into
+    * the new leaf. In an iterative self-join (connected components, any
+    * fixpoint loop) the leaf estimate therefore compounds ~quartically per
+    * round; within ~8 rounds the BigInt grows to millions of digits and every
+    * subsequent stats walk burns minutes of driver CPU in BigInteger
+    * multiplies (observed live: ToomCook3 frames dominating a jstack of the
+    * hung loop). The public workaround is `createDataFrame(df.rdd, schema)`
+    * (GraphFrames' SPARK-13346 shim), which pays a Row re-encode per round;
+    * going through the session's internal creator reuses the already
+    * materialized unsafe rows at zero cost. Call on an eagerly-checkpointed
+    * Dataset so `queryExecution.toRdd` is the materialized RDD, not a
+    * recompute.
+    */
+  def statsFreshCopy(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    cds.sparkSession.internalCreateDataFrame(cds.queryExecution.toRdd, cds.schema)
+  }
+
+  /** The persisted RDD backing an (eagerly) checkpointed Dataset, if its plan
+    * is a checkpoint leaf. Lets an iterative caller `unpersist` round k-1's
+    * block-store copy once round k is materialized — without this a fixpoint
+    * loop's memory grows linearly in rounds × data size. */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
