@@ -48,7 +48,13 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
                           maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    // The edge list is the largest table in the loop and every round joins it
+    // on u. Hash-partition it by u ONCE before caching: the cached relation
+    // reports that partitioning, so each round's propagation join exchanges
+    // only the (much smaller) labels side — one edge shuffle total instead of
+    // one per round.
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).persist()
 
     def checksum(labels: DataFrame): java.math.BigDecimal = {
       val v = labels.agg(sum(col("lbl").cast("decimal(30,0)"))).head().get(0)

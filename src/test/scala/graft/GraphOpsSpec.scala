@@ -42,6 +42,46 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("cached edge partitioning is reused by the round join (one exchange, labels side only)") {
+    // The loop's 100-TB contract: sym is hash-partitioned by u once and
+    // cached; every round's propagation join must see that partitioning from
+    // the cache and exchange ONLY the labels side. Reproduce one round's join
+    // shape and count the exchanges in the executed plan — a Spark upgrade
+    // that stops forwarding cached partitioning would silently re-shuffle the
+    // corpus-sized edge table every round and this pins it.
+    import spark.implicits._
+    // force the corpus-scale join path: at 100 TB neither side broadcasts
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).persist()
+    try {
+      sym.count() // materialize the cache, as the loop does
+      val labels = org.apache.spark.sql.GraftBridge.statsFreshCopy(
+        sym.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl")).localCheckpoint(true))
+      val joined = sym.join(labels, col("u") === col("node"))
+        .groupBy(col("v")).agg(min(col("lbl")).as("nl"))
+      joined.collect()
+      // final AQE plan only (the cached relation's stored string embeds its
+      // own initial/final plans, so cut before counting)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // demand-inserted shuffles are tagged ENSURE_REQUIREMENTS; the one
+      // deliberate edge shuffle is tagged REPARTITION_BY_COL and lives
+      // inside the cache. Expected: labels->join + groupBy(v) = 2. A third
+      // means the cached sym partitioning was not reused and the
+      // corpus-sized edge table would re-shuffle EVERY round.
+      val demanded = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(demanded <= 2, s"sym side re-shuffled ($demanded demand exchanges):\n$plan")
+      assert(plan.contains("InMemoryTableScan"), s"sym not read from cache:\n$plan")
+    } finally {
+      sym.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("empty edge list yields empty components") {
     import spark.implicits._
     val out = GraphOps.connectedComponents(
