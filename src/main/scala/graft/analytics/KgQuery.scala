@@ -1,0 +1,207 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL-style query layer over the materialized triples table.
+  *
+  * The reference is a converter: users load its Turtle into a triple store
+  * and query it there (basic graph patterns, property paths — the canonical
+  * downstream queries over ifcOWL data, e.g. "follow list#hasNext chains to
+  * recover ordered attribute values that RDFWriter.java:690-780 expanded
+  * into linked cells"). This module keeps those queries INSIDE Spark, over
+  * the (doc_id, subj, pred, obj, …) table the pipeline writes, so a corpus-
+  * scale KG never has to round-trip through a single-node store.
+  *
+  * Named-graph scoping: minted IRIs are only unique per document (two docs
+  * with identical content mint identical content-hash IRIs — by design, see
+  * Emitter), so every join this module emits carries the graph column
+  * (doc_id) in its key. That is also the 100-TB skew story: all join keys
+  * contain doc_id, so a hot subject can never concentrate more than one
+  * document's rows on a key; AQE skew-split handles mega-documents like the
+  * D2 link join does.
+  *
+  * 100-TB posture, per operator:
+  *  - [[bgp]]: each triple pattern compiles to a pushed-down filter on the
+  *    constant positions (pred/obj constants reach the parquet scan as
+  *    PushedFilters), then patterns join on (graph ++ shared vars) —
+  *    plain equi-joins Catalyst is free to reorder/broadcast, AQE re-plans
+  *    at runtime. Pattern order seeds the join tree most-selective-first
+  *    using a constants-count proxy (no stats needed; AQE refines).
+  *  - [[transitiveClosure]]: min-plus iterative doubling — O(log diameter)
+  *    rounds, each one equi-join + one min aggregate; per-round lineage is
+  *    cut with a stats-fresh localCheckpoint and round k-1's blocks are
+  *    freed (same traps and fixes as GraphOps.connectedComponents).
+  *    Materializing a closure is inherently |pairs|-sized: intended for
+  *    bounded-diameter, bounded-fanout relations (RDF list chains, type
+  *    hierarchies), with maxIter as the backstop.
+  *  - [[listElements]]: three pred-filtered scans of the same table + the
+  *    chain closure; every join key is (doc_id, cell IRI).
+  */
+object KgQuery {
+
+  /** A term of a triple pattern: variable or constant (IRI / literal lexical
+    * form, matched against the lexical `subj`/`pred`/`obj` columns). */
+  sealed trait Term
+  /** Variable — binds a result column named `name` ("graph" is reserved). */
+  final case class V(name: String) extends Term
+  /** Constant — compiled to a pushed-down equality filter. */
+  final case class I(value: String) extends Term
+
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val ListHasNext = "https://w3id.org/list#hasNext"
+  val ListHasContents = "https://w3id.org/list#hasContents"
+
+  /** Output column carrying the named-graph (doc_id) value. */
+  val GraphCol = "graph"
+
+  /** Match a basic graph pattern (conjunction of triple patterns) against a
+    * triples table; returns one row per solution with a column per variable
+    * plus [[GraphCol]]. Patterns are implicitly scoped to one named graph:
+    * solutions never span documents.
+    */
+  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+          graphCol: String = "doc_id"): DataFrame = {
+    require(patterns.nonEmpty, "empty basic graph pattern")
+
+    // one filtered+projected scan per pattern; constant positions filter,
+    // variable positions project (a variable repeated WITHIN a pattern
+    // becomes an intra-row equality filter and binds once)
+    def scan(pat: (Term, Term, Term)): (DataFrame, Set[String]) = {
+      val positions = Seq("subj" -> pat._1, "pred" -> pat._2, "obj" -> pat._3)
+      var df = triples
+      positions.foreach {
+        case (c, I(v)) => df = df.filter(col(c) === lit(v))
+        case _ =>
+      }
+      val varPos = positions.collect { case (c, V(n)) =>
+        require(n != GraphCol, s"variable name '$GraphCol' is reserved")
+        (c, n)
+      }
+      varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+        dup.map(_._1).sliding(2).foreach {
+          case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+          case _ =>
+        }
+      }
+      val bind = varPos.distinctBy(_._2)
+      val out = df.select(col(graphCol).as(GraphCol) +: bind.map { case (c, n) => col(c).as(n) }: _*)
+      (out, bind.map(_._2).toSet)
+    }
+
+    // constants-count selectivity proxy: a bound subject pins one entity
+    // (most selective), a bound object is next (rdf:type <Class> style),
+    // a bound predicate alone is a property scan
+    def weight(pat: (Term, Term, Term)): Int = {
+      def w(t: Term, v: Int) = t match { case I(_) => v; case _ => 0 }
+      w(pat._1, 4) + w(pat._3, 2) + w(pat._2, 1)
+    }
+
+    val scans = patterns.map(p => (scan(p), weight(p)))
+    val remaining = scala.collection.mutable.ArrayBuffer(scans: _*)
+
+    def takeBest(connectedTo: Set[String]): ((DataFrame, Set[String]), Int) = {
+      val candidates =
+        if (connectedTo.isEmpty) remaining
+        else {
+          val c = remaining.filter(_._1._2.intersect(connectedTo).nonEmpty)
+          if (c.nonEmpty) c else remaining // disconnected: graph-scoped product
+        }
+      val best = candidates.maxBy(_._2)
+      remaining -= best
+      best
+    }
+
+    var ((acc, bound), _) = takeBest(Set.empty)
+    while (remaining.nonEmpty) {
+      val ((next, vars), _) = takeBest(bound)
+      val keys = GraphCol +: vars.intersect(bound).toSeq.sorted
+      acc = acc.join(next, keys)
+      bound = bound ++ vars
+    }
+    acc
+  }
+
+  /** Reachability with minimal hop count over an edge list: returns
+    * (graph…, src, dst, dist) for every ordered pair with a directed path,
+    * dist = fewest edges. Min-plus iterative doubling (R ← R ∪ R∘R with a
+    * min-dist aggregate), so a diameter-d relation converges in ⌈log₂ d⌉
+    * rounds; cycles saturate (the pair set is finite) and terminate on the
+    * (count, Σdist) fixpoint. `graph` columns ride every join key.
+    */
+  def transitiveClosure(edges: DataFrame, src: String = "src", dst: String = "dst",
+                        graph: Seq[String] = Nil, maxIter: Int = 20): DataFrame = {
+    val base = edges.select(
+        graph.map(col) ++ Seq(col(src).as("src"), col(dst).as("dst"), lit(1).as("dist")): _*)
+      .distinct()
+
+    def cut(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val ck = df.localCheckpoint(true)
+      (org.apache.spark.sql.GraftBridge.statsFreshCopy(ck),
+        org.apache.spark.sql.GraftBridge.checkpointedRdd(ck))
+    }
+    // convergence signature: pair count + exact dist sum (decimal(30,0) —
+    // a long sum could wrap on 10^12-node inputs)
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("dist").cast("decimal(30,0)"))).head()
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[java.math.BigDecimal].stripTrailingZeros())
+          .getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    var (r, rRdd) = cut(base)
+    var prev = sig(r)
+    var iter = 0
+    var converged = prev._1 == 0
+    while (!converged && iter < maxIter) {
+      // right side renamed wholesale: no alias-resolution ambiguity in the
+      // self-join (same LogicalRDD leaf on both sides)
+      val rr = r.select(
+        graph.map(g => col(g).as(s"__r_$g")) ++ Seq(col("src").as("__rsrc"),
+          col("dst").as("__rdst"), col("dist").as("__rdist")): _*)
+      val cond = graph.foldLeft(col("dst") === col("__rsrc")) {
+        (acc, g) => acc && col(g) === col(s"__r_$g")
+      }
+      val step = r.join(rr, cond).select(
+        graph.map(col) ++ Seq(col("src"),
+          col("__rdst").as("dst"), (col("dist") + col("__rdist")).as("dist")): _*)
+      val keyCols = graph ++ Seq("src", "dst")
+      val (next, nextRdd) = cut(
+        r.unionByName(step).groupBy(keyCols.map(col): _*).agg(min(col("dist")).as("dist")))
+      val s = sig(next)
+      converged = s == prev
+      prev = s
+      rRdd.foreach(_.unpersist(false))
+      r = next
+      rRdd = nextRdd
+      iter += 1
+    }
+    r
+  }
+
+  /** Flatten the RDF linked lists the emitter expands STEP aggregates into
+    * (list#hasNext / list#hasContents cells — RDFWriter.java:690-780's
+    * expansion, run backwards): one row per (graph, list head, 0-based
+    * position, content). A head is a cell that carries contents and is not
+    * any cell's hasNext target. Well-formed pipeline output has exactly one
+    * hasContents per cell and cells are per-doc unique (Stage-D dedup), so
+    * chains are simple paths and positions are dense.
+    */
+  def listElements(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
+    val nextE = triples.filter(col("pred") === ListHasNext)
+      .select(col(graphCol).as("g"), col("subj"), col("obj"))
+    val contents = triples.filter(col("pred") === ListHasContents)
+      .select(col(graphCol).as("g"), col("subj").as("cell"), col("obj").as("content"))
+    val heads = contents.select(col("g"), col("cell"))
+      .join(nextE.select(col("g"), col("obj").as("cell")), Seq("g", "cell"), "left_anti")
+      .select(col("g"), col("cell").as("head"))
+    val chain = transitiveClosure(
+      nextE.select(col("g"), col("subj").as("src"), col("obj").as("dst")),
+      graph = Seq("g"))
+    val reach = heads.select(col("g"), col("head"), col("head").as("cell"), lit(0).as("pos"))
+      .unionByName(heads.join(chain.withColumnRenamed("src", "head"), Seq("g", "head"))
+        .select(col("g"), col("head"), col("dst").as("cell"), col("dist").as("pos")))
+    reach.join(contents, Seq("g", "cell"))
+      .select(col("g").as(graphCol), col("head"), col("pos"), col("content"))
+  }
+}
