@@ -122,6 +122,37 @@ object KgQuery {
     acc
   }
 
+  /** SPARQL OPTIONAL: solutions of `required` extended with the variables of
+    * `optional` where the optional group matches (same graph, shared vars),
+    * NULL-padded where it does not. One left equi-join per call — chain
+    * calls for several independent OPTIONAL groups. The optional group is
+    * matched as its own BGP first, so its internal joins stay inner.
+    */
+  def bgpOptional(triples: DataFrame, required: Seq[(Term, Term, Term)],
+                  optional: Seq[(Term, Term, Term)],
+                  graphCol: String = "doc_id"): DataFrame = {
+    val req = bgp(triples, required, graphCol)
+    val opt = bgp(triples, optional, graphCol)
+    val shared = req.columns.toSet.intersect(opt.columns.toSet) - GraphCol
+    val keys = GraphCol +: shared.toSeq.sorted
+    req.join(opt, keys, "left")
+  }
+
+  /** SPARQL FILTER NOT EXISTS: solutions of `patterns` for which `absent`
+    * has NO match in the same graph with the same shared-variable bindings.
+    * One left-anti equi-join — the distributed form of negation, and the
+    * KG-side primitive for "entities missing a required property" audits.
+    */
+  def bgpNotExists(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+                   absent: Seq[(Term, Term, Term)],
+                   graphCol: String = "doc_id"): DataFrame = {
+    val pos = bgp(triples, patterns, graphCol)
+    val neg = bgp(triples, absent, graphCol)
+    val shared = pos.columns.toSet.intersect(neg.columns.toSet) - GraphCol
+    val keys = GraphCol +: shared.toSeq.sorted
+    pos.join(neg, keys, "left_anti")
+  }
+
   /** Reachability with minimal hop count over an edge list: returns
     * (graph…, src, dst, dist) for every ordered pair with a directed path,
     * dist = fewest edges. Min-plus iterative doubling (R ← R ∪ R∘R with a

@@ -102,6 +102,21 @@ class KgQuerySpec extends SparkTestBase {
       Seq("d1", "w1", "s1"), Seq("d1", "w2", "s1"), Seq("d2", "w1", "s9")))
   }
 
+  test("bgpOptional pads unmatched groups with NULL, graph-scoped") {
+    val got = KgQuery.bgpOptional(kg,
+      Seq((V("w"), I(rdfType), I("Wall"))),
+      Seq((V("w"), I("hasHeight"), V("h"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("d1", "w1", "3.0"), ("d1", "w2", null), ("d2", "w1", null)))
+  }
+
+  test("bgpNotExists keeps solutions whose negated group has no match") {
+    val got = KgQuery.bgpNotExists(kg,
+      Seq((V("w"), I(rdfType), I("Wall"))),
+      Seq((V("w"), I("hasHeight"), V("h"))))
+    assert(rows(got, "graph", "w") == Set(Seq("d1", "w2"), Seq("d2", "w1")))
+  }
+
   test("bgp constant positions reach a parquet scan as pushed filters") {
     // the 100-TB contract: a pattern's constants must prune at the scan, not
     // in a post-scan Filter over the full triples table
