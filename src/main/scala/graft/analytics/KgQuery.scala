@@ -153,6 +153,37 @@ object KgQuery {
     pos.join(neg, keys, "left_anti")
   }
 
+  /** SPARQL CONSTRUCT: instantiate `template` once per solution of `where`,
+    * producing new (graphCol, subj, pred, obj) triple rows with set
+    * semantics (CONSTRUCT yields a graph, so duplicates collapse — one
+    * distinct per call). The KG-to-KG transform primitive: materialized
+    * inference rules, edge derivation, graph reshaping — all staying
+    * distributed. Template variables must be bound by `where`.
+    */
+  def construct(triples: DataFrame, where: Seq[(Term, Term, Term)],
+                template: Seq[(Term, Term, Term)],
+                graphCol: String = "doc_id"): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
+    val sol = bgp(triples, where, graphCol)
+    val bound = sol.columns.toSet
+    def term(t: Term): Column = t match {
+      case V(n) =>
+        require(bound.contains(n), s"template variable '$n' not bound by the WHERE patterns")
+        col(n)
+      case I(v) => lit(v)
+    }
+    template.map { case (s, p, o) =>
+      sol.select(col(GraphCol).as(graphCol),
+        term(s).as("subj"), term(p).as("pred"), term(o).as("obj"))
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** SPARQL ASK: does the pattern have at least one solution? Planned as an
+    * existence probe (isEmpty = limit-1 collect), not a full count. */
+  def ask(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+          graphCol: String = "doc_id"): Boolean =
+    !bgp(triples, patterns, graphCol).isEmpty
+
   /** Reachability with minimal hop count over an edge list: returns
     * (graph…, src, dst, dist) for every ordered pair with a directed path,
     * dist = fewest edges. Min-plus iterative doubling (R ← R ∪ R∘R with a

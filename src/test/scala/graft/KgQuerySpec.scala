@@ -117,6 +117,29 @@ class KgQuerySpec extends SparkTestBase {
     assert(rows(got, "graph", "w") == Set(Seq("d1", "w2"), Seq("d2", "w1")))
   }
 
+  test("construct instantiates the template per solution with set semantics") {
+    val got = KgQuery.construct(kg,
+      Seq((V("w"), I(rdfType), I("Wall")), (V("w"), I("inStorey"), V("st"))),
+      Seq((V("st"), I("hasWall"), V("w")), (V("st"), I(rdfType), I("OccupiedStorey"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("d1", "s1", "hasWall", "w1"), ("d1", "s1", "hasWall", "w2"),
+      ("d1", "s1", rdfType, "OccupiedStorey"), // ONE row despite two solutions
+      ("d2", "s9", "hasWall", "w1"), ("d2", "s9", rdfType, "OccupiedStorey")))
+  }
+
+  test("construct rejects unbound template variables") {
+    intercept[IllegalArgumentException] {
+      KgQuery.construct(kg, Seq((V("w"), I(rdfType), I("Wall"))),
+        Seq((V("w"), I("p"), V("unbound"))))
+    }
+  }
+
+  test("ask is an existence probe") {
+    assert(KgQuery.ask(kg, Seq((V("x"), I(rdfType), I("Storey")))))
+    assert(!KgQuery.ask(kg, Seq((V("x"), I(rdfType), I("Roof")))))
+  }
+
   test("bgp constant positions reach a parquet scan as pushed filters") {
     // the 100-TB contract: a pattern's constants must prune at the scan, not
     // in a post-scan Filter over the full triples table
