@@ -93,6 +93,33 @@ object SparkEntry {
           Seq((V("c"), I(KgQuery.ListHasNext), V("n"))),
           Seq((V("c"), I("urn:graft:adjacentTo"), V("n")),
             (V("n"), I("urn:graft:precededBy"), V("c"))))
+      }),
+      // SPARQL UNION (bag semantics, NULL-padded branch-only vars): a cell's
+      // contents OR its successor — the alternation form of q38's OPTIONAL
+      "q40_kg_union" -> ((s, _) => {
+        import graft.analytics.KgQuery
+        import KgQuery.{I, V}
+        KgQuery.bgpUnion(entry(s), Seq(
+          Seq((V("cell"), I(KgQuery.ListHasContents), V("v"))),
+          Seq((V("cell"), I(KgQuery.ListHasNext), V("nxt")))))
+      }),
+      // SPARQL DESCRIBE: the full subject-star of every list cell (content-
+      // hash skolemization leaves no blank nodes, so subject-star = CBD)
+      "q41_kg_describe" -> ((s, _) => {
+        import graft.analytics.KgQuery
+        import KgQuery.{I, V}
+        KgQuery.describe(entry(s),
+          Seq((V("c"), I(KgQuery.ListHasContents), V("v"))), "c")
+      }),
+      // SPARQL SELECT + GROUP BY over a BGP: instance count and graph spread
+      // per class — the KG-analytics histogram every ontology audit starts at
+      "q42_kg_class_hist" -> ((s, _) => {
+        import graft.analytics.KgQuery
+        import KgQuery.{I, V}
+        import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+        KgQuery.bgp(entry(s), Seq((V("i"), I(KgQuery.RdfType), V("cls"))))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n"), countDistinct(col(KgQuery.GraphCol)).as("n_graphs"))
       })
     )
 
@@ -154,5 +181,24 @@ object SparkEntry {
        SELECT DISTINCT doc_id, subj, pred, obj FROM (
          SELECT doc_id, c AS subj, 'urn:graft:adjacentTo' AS pred, n AS obj FROM nx
          UNION ALL
-         SELECT doc_id, n AS subj, 'urn:graft:precededBy' AS pred, c AS obj FROM nx)""")
+         SELECT doc_id, n AS subj, 'urn:graft:precededBy' AS pred, c AS obj FROM nx)""",
+    "q40_kg_union" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, subj AS cell, CAST(NULL AS VARCHAR) AS nxt, obj AS v
+       FROM trip WHERE pred = 'https://w3id.org/list#hasContents'
+       UNION ALL
+       SELECT doc_id, subj, obj, CAST(NULL AS VARCHAR)
+       FROM trip WHERE pred = 'https://w3id.org/list#hasNext'""",
+    "q41_kg_describe" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT t.* FROM trip t
+       WHERE EXISTS (SELECT 1 FROM trip c
+                     WHERE c.pred = 'https://w3id.org/list#hasContents'
+                       AND c.doc_id = t.doc_id AND c.subj = t.subj)""",
+    "q42_kg_class_hist" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT obj AS cls, count(*) AS n, count(DISTINCT doc_id) AS n_graphs
+       FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       GROUP BY 1""")
 }

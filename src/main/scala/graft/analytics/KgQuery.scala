@@ -178,6 +178,45 @@ object KgQuery {
     }.reduce(_.unionByName(_)).distinct()
   }
 
+  /** SPARQL UNION: solutions of any of the alternative groups, bag semantics
+    * (SPARQL UNION does not deduplicate). The result schema is the union of
+    * the branches' variables — [[GraphCol]] first, then variable names
+    * sorted — with variables a branch does not bind NULL-padded, exactly the
+    * SPARQL solution-sequence rule. Each branch plans as its own BGP
+    * (pushed-down scans, local join order); the union is a zero-shuffle
+    * concatenation Catalyst unions partition-wise.
+    */
+  def bgpUnion(triples: DataFrame, groups: Seq[Seq[(Term, Term, Term)]],
+               graphCol: String = "doc_id"): DataFrame = {
+    require(groups.nonEmpty, "empty UNION")
+    val sols = groups.map(g => bgp(triples, g, graphCol))
+    val allVars = sols.flatMap(_.columns).distinct.filterNot(_ == GraphCol).sorted
+    sols.map { s =>
+      val have = s.columns.toSet
+      s.select(col(GraphCol) +:
+        allVars.map(v => if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** SPARQL DESCRIBE (concise-bounded-description form): every triple row
+    * whose subject is a binding of `subjectVar` in some solution of
+    * `patterns`, in that solution's graph. The pipeline skolemizes every
+    * node to a content-hash IRI (no blank nodes survive), so the
+    * subject-star IS the full CBD — there is no anonymous closure to chase.
+    * Planned as distinct bindings → one left-semi equi-join on
+    * (graph, subj); a selective pattern gives a small build side AQE
+    * broadcasts at runtime.
+    */
+  def describe(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+               subjectVar: String, graphCol: String = "doc_id"): DataFrame = {
+    val sol = bgp(triples, patterns, graphCol)
+    require(sol.columns.contains(subjectVar),
+      s"DESCRIBE variable '$subjectVar' not bound by the patterns")
+    val subs = sol.select(col(GraphCol).as("__g"), col(subjectVar).as("__s")).distinct()
+    triples.join(subs,
+      col(graphCol) === col("__g") && col("subj") === col("__s"), "left_semi")
+  }
+
   /** SPARQL ASK: does the pattern have at least one solution? Planned as an
     * existence probe (isEmpty = limit-1 collect), not a full count. */
   def ask(triples: DataFrame, patterns: Seq[(Term, Term, Term)],

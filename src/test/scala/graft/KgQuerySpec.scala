@@ -135,6 +135,44 @@ class KgQuerySpec extends SparkTestBase {
     }
   }
 
+  test("bgpUnion NULL-pads branch-only variables, bag semantics, graph-scoped") {
+    val got = KgQuery.bgpUnion(kg, Seq(
+      Seq((V("w"), I("hasHeight"), V("h"))),
+      Seq((V("w"), I("inStorey"), V("st")))))
+    // schema: graph first, then sorted union of branch vars
+    assert(got.columns.toSeq == Seq("graph", "h", "st", "w"))
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.length == 4) // bag: no dedup across or within branches
+    assert(rows.toSet == Set(
+      ("d1", "3.0", null, "w1"),
+      ("d1", null, "s1", "w1"), ("d1", null, "s1", "w2"), ("d2", null, "s9", "w1")))
+  }
+
+  test("bgpUnion of one group is that group's bgp") {
+    val got = KgQuery.bgpUnion(kg, Seq(Seq((V("x"), I(rdfType), I("Storey")))))
+    assert(rows(got, "graph", "x") == Set(Seq("d1", "s1"), Seq("d2", "s9")))
+  }
+
+  test("describe returns the subject-star of every binding, graph-scoped") {
+    // subjects in a storey: w1/w2 in d1, w1 in d2 — full rows, but only from
+    // the binding's own graph (d2's w1 star must not leak d1's w1 triples)
+    val got = KgQuery.describe(kg,
+      Seq((V("w"), I("inStorey"), V("st"))), "w")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("d1", "w1", rdfType, "Wall"), ("d1", "w1", "hasHeight", "3.0"),
+      ("d1", "w1", "inStorey", "s1"),
+      ("d1", "w2", rdfType, "Wall"), ("d1", "w2", "inStorey", "s1"),
+      ("d2", "w1", rdfType, "Wall"), ("d2", "w1", "inStorey", "s9")))
+  }
+
+  test("describe rejects an unbound variable") {
+    intercept[IllegalArgumentException] {
+      KgQuery.describe(kg, Seq((V("w"), I(rdfType), I("Wall"))), "nope")
+    }
+  }
+
   test("ask is an existence probe") {
     assert(KgQuery.ask(kg, Seq((V("x"), I(rdfType), I("Storey")))))
     assert(!KgQuery.ask(kg, Seq((V("x"), I(rdfType), I("Roof")))))
