@@ -47,6 +47,24 @@ object KgQuery {
   final case class V(name: String) extends Term
   /** Constant — compiled to a pushed-down equality filter. */
   final case class I(value: String) extends Term
+  /** Property-path expression — predicate position only (SPARQL 1.1 paths). */
+  final case class P(path: Path) extends Term
+
+  /** SPARQL 1.1 property-path algebra. Compiled by [[pathEdges]] to a
+    * (graph, src, dst) edge table: `Pred` is one pushed-down pred-filtered
+    * scan; `Inv` swaps endpoints; `PathSeq` is an equi-join on the midpoint
+    * (+ graph); `Alt` a union; `Plus` the transitive closure (min-plus
+    * iterative doubling — set semantics, as SPARQL requires for closures);
+    * `Star` adds the zero-length pairs (t, t) for every term in the graph.
+    * Bag/set contract: Pred/Inv/PathSeq/Alt preserve bags (SPARQL algebra
+    * translation); Plus/Star return distinct pairs. */
+  sealed trait Path
+  final case class Pred(iri: String) extends Path
+  final case class Inv(p: Path) extends Path
+  final case class PathSeq(a: Path, b: Path) extends Path
+  final case class Alt(a: Path, b: Path) extends Path
+  final case class Plus(p: Path) extends Path
+  final case class Star(p: Path) extends Path
 
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val ListHasNext = "https://w3id.org/list#hasNext"
