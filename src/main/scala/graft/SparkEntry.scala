@@ -136,6 +136,15 @@ object SparkEntry {
         KgQuery.bgp(goldenTriples(s), Seq((V("i"), I(KgQuery.RdfType), V("cls"))))
           .groupBy(col("cls"))
           .agg(count(lit(1)).as("n"), countDistinct(col(KgQuery.GraphCol)).as("n_graphs"))
+      }),
+      // SPARQL 1.1 property path in a pattern: hasNext*/hasContents — every
+      // list content reachable from each cell (closure + midpoint join)
+      "q43_kg_path_reach" -> ((s, _) => {
+        import graft.analytics.KgQuery
+        import KgQuery.{P, PathSeq, Pred, Star, V}
+        KgQuery.bgp(goldenTriples(s), Seq(
+          (V("cell"), P(PathSeq(Star(Pred(KgQuery.ListHasNext)),
+            Pred(KgQuery.ListHasContents))), V("content"))))
       })
     )
 
@@ -216,5 +225,25 @@ object SparkEntry {
        SELECT obj AS cls, count(*) AS n, count(DISTINCT doc_id) AS n_graphs
        FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
-       GROUP BY 1""")
+       GROUP BY 1""",
+    "q43_kg_path_reach" ->
+      s"""WITH RECURSIVE trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       n AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasNext'),
+       c AS (SELECT doc_id, subj AS cell, obj AS content FROM trip
+             WHERE pred = 'https://w3id.org/list#hasContents'),
+       reach(doc_id, src, dst) AS (
+         SELECT doc_id, subj, obj FROM n
+         UNION
+         SELECT r.doc_id, r.src, n2.obj FROM reach r
+         JOIN n n2 ON n2.doc_id = r.doc_id AND n2.subj = r.dst),
+       star AS (
+         -- explicit DISTINCT over UNION ALL: DuckDB 1.0.0 fails to dedupe a
+         -- chained bare UNION inside a CTE that references a recursive CTE
+         -- (zero-length pairs came out twice, +1 multiplicity on 56 rows)
+         SELECT DISTINCT doc_id, src, dst FROM (
+           SELECT doc_id, src, dst FROM reach
+           UNION ALL SELECT doc_id, subj, subj FROM trip
+           UNION ALL SELECT doc_id, obj, obj FROM trip))
+       SELECT s.doc_id AS graph, s.src AS cell, c.content
+       FROM star s JOIN c ON c.doc_id = s.doc_id AND c.cell = s.dst""")
 }

@@ -73,10 +73,49 @@ object KgQuery {
   /** Output column carrying the named-graph (doc_id) value. */
   val GraphCol = "graph"
 
+  /** Compile a property-path expression to its (graph, src, dst) edge table.
+    * Each `Pred` leaf is a pred-filtered scan (the constant reaches the
+    * parquet scan as a pushed filter); `PathSeq` joins on
+    * (graph, midpoint) — the same skew-guarded key shape as every other
+    * KG join; `Plus`/`Star` reuse [[transitiveClosure]]'s O(log diameter)
+    * doubling. `Star`'s zero-length pairs are, per the SPARQL 1.1 spec, all
+    * RDF terms of the graph — one distinct over the table's subjects and
+    * objects; at corpus scale prefer `Plus` unless zero-length solutions
+    * are genuinely wanted. */
+  def pathEdges(triples: DataFrame, path: Path,
+                graphCol: String = "doc_id"): DataFrame = {
+    def edges(p: Path): DataFrame = p match {
+      case Pred(iri) =>
+        triples.filter(col("pred") === lit(iri))
+          .select(col(graphCol).as(GraphCol), col("subj").as("src"), col("obj").as("dst"))
+      case Inv(q) =>
+        edges(q).select(col(GraphCol), col("dst").as("src"), col("src").as("dst"))
+      case PathSeq(a, b) =>
+        val l = edges(a)
+        val r = edges(b).select(col(GraphCol).as("__g"), col("src").as("__mid"),
+          col("dst").as("__dst"))
+        l.join(r, col(GraphCol) === col("__g") && col("dst") === col("__mid"))
+          .select(col(GraphCol), col("src"), col("__dst").as("dst"))
+      case Alt(a, b) => edges(a).unionByName(edges(b))
+      case Plus(q) =>
+        transitiveClosure(edges(q), graph = Seq(GraphCol)).drop("dist")
+      case Star(q) =>
+        val terms = triples.select(col(graphCol).as(GraphCol), col("subj").as("t"))
+          .unionByName(triples.select(col(graphCol).as(GraphCol), col("obj").as("t")))
+          .distinct()
+        edges(Plus(q)).unionByName(
+            terms.select(col(GraphCol), col("t").as("src"), col("t").as("dst")))
+          .distinct()
+    }
+    edges(path)
+  }
+
   /** Match a basic graph pattern (conjunction of triple patterns) against a
     * triples table; returns one row per solution with a column per variable
     * plus [[GraphCol]]. Patterns are implicitly scoped to one named graph:
-    * solutions never span documents.
+    * solutions never span documents. A [[P]] property-path in predicate
+    * position matches via [[pathEdges]]; subject/object terms behave as for
+    * a plain pattern.
     */
   def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
           graphCol: String = "doc_id"): DataFrame = {
@@ -86,8 +125,18 @@ object KgQuery {
     // variable positions project (a variable repeated WITHIN a pattern
     // becomes an intra-row equality filter and binds once)
     def scan(pat: (Term, Term, Term)): (DataFrame, Set[String]) = {
-      val positions = Seq("subj" -> pat._1, "pred" -> pat._2, "obj" -> pat._3)
-      var df = triples
+      require(!pat._1.isInstanceOf[P] && !pat._3.isInstanceOf[P],
+        "property paths are only valid in predicate position")
+      val base = pat._2 match {
+        case P(path) => pathEdges(triples, path, graphCol)
+          .select(col(GraphCol).as(graphCol), col("src").as("subj"), col("dst").as("obj"))
+        case _ => triples
+      }
+      val positions = pat._2 match {
+        case P(_) => Seq("subj" -> pat._1, "obj" -> pat._3)
+        case _ => Seq("subj" -> pat._1, "pred" -> pat._2, "obj" -> pat._3)
+      }
+      var df = base
       positions.foreach {
         case (c, I(v)) => df = df.filter(col(c) === lit(v))
         case _ =>

@@ -206,6 +206,66 @@ class KgQuerySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------ paths
+
+  import KgQuery.{P, Pred, Inv, PathSeq, Alt, Plus, Star}
+
+  private def edgeRows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("pathEdges sequence joins on the midpoint, graph-scoped") {
+    val got = edgeRows(KgQuery.pathEdges(kg, PathSeq(Pred("inStorey"), Pred(rdfType))))
+    assert(got == Set(("d1", "w1", "Storey"), ("d1", "w2", "Storey"), ("d2", "w1", "Storey")))
+  }
+
+  test("pathEdges alternation unions branches; inverse swaps endpoints") {
+    val got = edgeRows(KgQuery.pathEdges(kg, Alt(Pred("hasHeight"), Inv(Pred("inStorey")))))
+    assert(got == Set(("d1", "w1", "3.0"),
+      ("d1", "s1", "w1"), ("d1", "s1", "w2"), ("d2", "s9", "w1")))
+  }
+
+  private val nxt = KgQuery.ListHasNext
+  private val cts = KgQuery.ListHasContents
+  private val listKg = triples(Seq(
+    ("A", "c1", cts, "x1"), ("A", "c2", cts, "x2"), ("A", "c3", cts, "x3"),
+    ("A", "c1", nxt, "c2"), ("A", "c2", nxt, "c3"),
+    ("A", "c9", cts, "y"),
+    ("B", "c1", cts, "z1"), ("B", "c2", cts, "z2"),
+    ("B", "c1", nxt, "c2")))
+
+  test("pathEdges Plus is the transitive closure, set semantics") {
+    val got = edgeRows(KgQuery.pathEdges(listKg, Plus(Pred(nxt))))
+    assert(got == Set(
+      ("A", "c1", "c2"), ("A", "c1", "c3"), ("A", "c2", "c3"),
+      ("B", "c1", "c2")))
+  }
+
+  test("pathEdges Star adds zero-length pairs for every term of the graph") {
+    val got = edgeRows(KgQuery.pathEdges(listKg, Star(Pred(nxt))))
+    val aTerms = Seq("c1", "c2", "c3", "x1", "x2", "x3", "c9", "y")
+    val bTerms = Seq("c1", "c2", "z1", "z2")
+    val zero = aTerms.map(t => ("A", t, t)) ++ bTerms.map(t => ("B", t, t))
+    assert(got == (zero.toSet ++ Set(
+      ("A", "c1", "c2"), ("A", "c1", "c3"), ("A", "c2", "c3"), ("B", "c1", "c2"))))
+  }
+
+  test("bgp accepts a property path in predicate position") {
+    // hasNext*/hasContents — every content reachable from each cell
+    val got = KgQuery.bgp(listKg, Seq(
+      (V("cell"), P(PathSeq(Star(Pred(nxt)), Pred(cts))), V("content"))))
+    assert(rows(got, "graph", "cell", "content") == Set(
+      Seq("A", "c1", "x1"), Seq("A", "c1", "x2"), Seq("A", "c1", "x3"),
+      Seq("A", "c2", "x2"), Seq("A", "c2", "x3"), Seq("A", "c3", "x3"),
+      Seq("A", "c9", "y"),
+      Seq("B", "c1", "z1"), Seq("B", "c1", "z2"), Seq("B", "c2", "z2")))
+  }
+
+  test("bgp rejects a property path outside predicate position") {
+    intercept[IllegalArgumentException] {
+      KgQuery.bgp(listKg, Seq((P(Pred(nxt)), V("p"), V("o")))).collect()
+    }
+  }
+
   // ------------------------------------------------------------ lists
 
   test("listElements flattens chains per graph with dense positions") {
