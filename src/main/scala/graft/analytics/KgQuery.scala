@@ -65,6 +65,8 @@ object KgQuery {
   final case class Alt(a: Path, b: Path) extends Path
   final case class Plus(p: Path) extends Path
   final case class Star(p: Path) extends Path
+  /** Zero-or-one (`?`): the path's edges plus the zero-length pairs. */
+  final case class Opt(p: Path) extends Path
 
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val ListHasNext = "https://w3id.org/list#hasNext"
@@ -84,6 +86,13 @@ object KgQuery {
     * are genuinely wanted. */
   def pathEdges(triples: DataFrame, path: Path,
                 graphCol: String = "doc_id"): DataFrame = {
+    // zero-length pairs: (t, t) for every RDF term of the graph (SPARQL 1.1
+    // sec 9.3 — evaluated over the graph's term set, not the path's)
+    def zeroLength: DataFrame =
+      triples.select(col(graphCol).as(GraphCol), col("subj").as("t"))
+        .unionByName(triples.select(col(graphCol).as(GraphCol), col("obj").as("t")))
+        .distinct()
+        .select(col(GraphCol), col("t").as("src"), col("t").as("dst"))
     def edges(p: Path): DataFrame = p match {
       case Pred(iri) =>
         triples.filter(col("pred") === lit(iri))
@@ -100,12 +109,9 @@ object KgQuery {
       case Plus(q) =>
         transitiveClosure(edges(q), graph = Seq(GraphCol)).drop("dist")
       case Star(q) =>
-        val terms = triples.select(col(graphCol).as(GraphCol), col("subj").as("t"))
-          .unionByName(triples.select(col(graphCol).as(GraphCol), col("obj").as("t")))
-          .distinct()
-        edges(Plus(q)).unionByName(
-            terms.select(col(GraphCol), col("t").as("src"), col("t").as("dst")))
-          .distinct()
+        edges(Plus(q)).unionByName(zeroLength).distinct()
+      case Opt(q) =>
+        edges(q).unionByName(zeroLength).distinct()
     }
     edges(path)
   }
@@ -238,6 +244,8 @@ object KgQuery {
         require(bound.contains(n), s"template variable '$n' not bound by the WHERE patterns")
         col(n)
       case I(v) => lit(v)
+      case P(_) => throw new IllegalArgumentException(
+        "property paths cannot appear in a CONSTRUCT template")
     }
     template.map { case (s, p, o) =>
       sol.select(col(GraphCol).as(graphCol),

@@ -1,0 +1,847 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL 1.1 text front-end over the pipeline's triples table.
+  *
+  * The reference (pipauwel/IFCtoRDF) emits Turtle that its users load into a
+  * triple store and query with SPARQL text. This module closes that last gap
+  * in "a user of the reference could switch": the same query TEXT runs
+  * directly on Spark, parsed by a from-scratch recursive-descent parser
+  * (same in-house approach as `schema.Turtle`) and compiled onto the
+  * [[KgQuery]] algebra — pushed-down pattern scans, (graph, shared-var)
+  * equi-joins, left/anti joins for OPTIONAL/MINUS/NOT EXISTS, and the
+  * iterative-doubling closure for `+`/`*` property paths. Nothing here
+  * collects to the driver; a query plans as one declarative DataFrame.
+  *
+  * Supported subset (grammar in [[parse]]):
+  *  - Query forms: SELECT [DISTINCT] (vars, `*`, and `(aggregate AS ?alias)`
+  *    projections), ASK, CONSTRUCT { template }, DESCRIBE ?var WHERE.
+  *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
+  *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses), nested
+  *    groups, OPTIONAL, UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs,
+  *    BIND(expr AS ?v), VALUES (inline data).
+  *  - Filter expressions: `&&  ||  !`, comparisons, IN / NOT IN, REGEX,
+  *    BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS, STRSTARTS, STRENDS.
+  *  - Solution modifiers: GROUP BY, ORDER BY [ASC|DESC], LIMIT, OFFSET.
+  *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX.
+  *
+  * Semantics over THIS data model (documented deltas from the rec):
+  *  - Terms are matched by lexical form: the triples table stores
+  *    `subj/pred/obj` lexically (datatype in `obj_datatype`), so
+  *    `"3."^^xsd:double` matches lexical "3." — a literal's `^^type` /
+  *    `@lang` suffix is parsed and ignored for matching.
+  *  - Comparisons are numeric when either operand is a numeric literal
+  *    (both sides cast to double; uncastable → NULL → row dropped),
+  *    lexical otherwise. SUM/AVG/MIN/MAX cast to double the same way.
+  *  - Solutions are graph-scoped (named graph = doc_id) exactly as
+  *    [[KgQuery.bgp]]: no solution spans documents; VALUES joins are the
+  *    exception (inline data is graph-free, as in SPARQL).
+  *  - Joins after UNION/OPTIONAL treat an unbound (NULL) shared variable as
+  *    non-matching, where SPARQL's compatibility would let it join; MINUS
+  *    is an anti join on the shared variables. Exact when groups bind their
+  *    variables — the overwhelmingly common shape.
+  *  - Unsupported (loud parse errors, never silent): blank-node syntax and
+  *    collections `( … )` in triple positions (the pipeline skolemizes every
+  *    node, so its output contains neither), GRAPH/SERVICE/subqueries,
+  *    negated property sets `!(…)`, arithmetic in expressions, HAVING.
+  */
+object Sparql {
+
+  import KgQuery.{Term, V, I, P, Path, Pred, Inv, PathSeq, Alt, Plus, Star, Opt, GraphCol}
+
+  // ===================================================================
+  // Lexer
+  // ===================================================================
+
+  private[analytics] sealed trait Tok { def pos: Int }
+  private final case class TIri(iri: String, pos: Int) extends Tok
+  private final case class TPName(pfx: String, local: String, pos: Int) extends Tok
+  private final case class TVar(name: String, pos: Int) extends Tok
+  private final case class TStr(value: String, pos: Int) extends Tok
+  private final case class TNum(lex: String, pos: Int) extends Tok
+  private final case class TWord(word: String, pos: Int) extends Tok // keyword / bareword, original case
+  private final case class TPunct(s: String, pos: Int) extends Tok
+  private final case class TEof(pos: Int) extends Tok
+
+  private def fail(msg: String, text: String, pos: Int): Nothing = {
+    val upto = text.take(pos)
+    val line = upto.count(_ == '\n') + 1
+    val col = pos - (upto.lastIndexOf('\n') + 1) + 1
+    throw new IllegalArgumentException(s"SPARQL parse error at line $line col $col: $msg")
+  }
+
+  private val IriRe = """<[^<>"{}|^`\\\s]*>""".r
+  private val NumRe = """[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?|\.[0-9]+([eE][+-]?[0-9]+)?""".r
+  private val Punct2 = Seq("&&", "||", "!=", "<=", ">=", "^^")
+  private val Punct1 = "{}().;,|/^*+?=<>!-@[]"
+
+  private def isNameStart(c: Char) = c.isLetter || c == '_'
+  private def isNameChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+
+  private[analytics] def lex(text: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && text(i) != '\n') i += 1 }
+      else if (c == '<') {
+        IriRe.findPrefixOf(text.substring(i)) match {
+          case Some(m) => out += TIri(m.substring(1, m.length - 1), i); i += m.length
+          case None =>
+            if (i + 1 < n && text(i + 1) == '=') { out += TPunct("<=", i); i += 2 }
+            else { out += TPunct("<", i); i += 1 }
+        }
+      } else if ((c == '?' || c == '$') && i + 1 < n && (isNameStart(text(i + 1)) || text(i + 1).isDigit)) {
+        var j = i + 1
+        while (j < n && (text(j).isLetterOrDigit || text(j) == '_')) j += 1
+        out += TVar(text.substring(i + 1, j), i); i = j
+      } else if (c == '"' || c == '\'') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) text(j) match {
+          case '\\' if j + 1 < n =>
+            sb += (text(j + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case 'b' => '\b'; case 'f' => '\f'; case other => other
+            }); j += 2
+          case `c` => closed = true; j += 1
+          case ch => sb += ch; j += 1
+        }
+        if (!closed) fail("unterminated string literal", text, i)
+        out += TStr(sb.toString, i); i = j
+      } else if (c.isDigit || (c == '.' && i + 1 < n && text(i + 1).isDigit)) {
+        val m = NumRe.findPrefixOf(text.substring(i)).get
+        out += TNum(m, i); i += m.length
+      } else if (isNameStart(c)) {
+        var j = i
+        while (j < n && isNameChar(text(j))) j += 1
+        // PN_LOCAL must not END with '.' — trailing dots are statement dots
+        while (text(j - 1) == '.') j -= 1
+        val word = text.substring(i, j)
+        if (j < n && text(j) == ':') {
+          // prefixed name: pfx ':' local?
+          var k = j + 1
+          while (k < n && isNameChar(text(k))) k += 1
+          while (k > j + 1 && text(k - 1) == '.') k -= 1
+          out += TPName(word, text.substring(j + 1, k), i); i = k
+        } else { out += TWord(word, i); i = j }
+      } else if (c == ':') { // default-prefix name
+        var k = i + 1
+        while (k < n && isNameChar(text(k))) k += 1
+        while (k > i + 1 && text(k - 1) == '.') k -= 1
+        out += TPName("", text.substring(i + 1, k), i); i = k
+      } else {
+        val two = if (i + 1 < n) text.substring(i, i + 2) else ""
+        if (Punct2.contains(two)) { out += TPunct(two, i); i += 2 }
+        else if (Punct1.indexOf(c) >= 0) { out += TPunct(c.toString, i); i += 1 }
+        else fail(s"unexpected character '$c'", text, i)
+      }
+    }
+    out += TEof(n)
+    out.result()
+  }
+
+  // ===================================================================
+  // AST
+  // ===================================================================
+
+  private[analytics] sealed trait Expr
+  private[analytics] final case class ExVar(name: String) extends Expr
+  private[analytics] final case class ExStr(v: String) extends Expr
+  private[analytics] final case class ExNum(lex: String) extends Expr
+  private[analytics] final case class ExBool(b: Boolean) extends Expr
+  private[analytics] final case class ExIri(iri: String) extends Expr
+  private[analytics] final case class ExCmp(op: String, l: Expr, r: Expr) extends Expr
+  private[analytics] final case class ExAnd(l: Expr, r: Expr) extends Expr
+  private[analytics] final case class ExOr(l: Expr, r: Expr) extends Expr
+  private[analytics] final case class ExNot(e: Expr) extends Expr
+  private[analytics] final case class ExIn(e: Expr, set: Seq[Expr], neg: Boolean) extends Expr
+  private[analytics] final case class ExFn(name: String, args: Seq[Expr]) extends Expr
+  private[analytics] final case class ExExists(g: Group, neg: Boolean) extends Expr
+
+  private[analytics] sealed trait Element
+  private[analytics] final case class EBlock(pats: Seq[(Term, Term, Term)]) extends Element
+  private[analytics] final case class EOptional(g: Group) extends Element
+  private[analytics] final case class EUnion(branches: Seq[Group]) extends Element
+  private[analytics] final case class EMinus(g: Group) extends Element
+  private[analytics] final case class EFilter(e: Expr) extends Element
+  private[analytics] final case class EBind(e: Expr, v: String) extends Element
+  private[analytics] final case class EValues(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends Element
+  private[analytics] final case class EGroup(g: Group) extends Element
+  private[analytics] final case class Group(elems: Seq[Element])
+
+  private[analytics] sealed trait ProjValue
+  private[analytics] final case class PVar(name: String) extends ProjValue
+  private[analytics] final case class PAgg(fn: String, arg: Option[String], distinct: Boolean) extends ProjValue
+  private[analytics] final case class Projection(alias: String, value: ProjValue)
+
+  private[analytics] sealed trait Query
+  private[analytics] final case class QSelect(distinct: Boolean, star: Boolean,
+      projs: Seq[Projection], where: Group, groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)], limit: Option[Int], offset: Option[Int]) extends Query
+  private[analytics] final case class QAsk(where: Group) extends Query
+  private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
+  private[analytics] final case class QDescribe(variable: String, where: Group) extends Query
+
+  // ===================================================================
+  // Parser
+  // ===================================================================
+
+  val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  private final class Parser(text: String) {
+    private val toks = lex(text)
+    private var i = 0
+    private val prefixes = scala.collection.mutable.Map[String, String]()
+    private var base = ""
+
+    private def peek: Tok = toks(i)
+    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def err(msg: String): Nothing = fail(msg, text, peek.pos)
+
+    private def isWord(t: Tok, w: String): Boolean = t match {
+      case TWord(x, _) => x.equalsIgnoreCase(w)
+      case _ => false
+    }
+    private def takeWord(w: String): Boolean =
+      if (isWord(peek, w)) { i += 1; true } else false
+    private def expectWord(w: String): Unit =
+      if (!takeWord(w)) err(s"expected $w")
+    private def takePunct(p: String): Boolean = peek match {
+      case TPunct(`p`, _) => i += 1; true
+      case _ => false
+    }
+    private def expectPunct(p: String): Unit =
+      if (!takePunct(p)) err(s"expected '$p'")
+
+    private def resolve(t: TPName): String = prefixes.get(t.pfx) match {
+      case Some(ns) => ns + t.local
+      case None => fail(s"undeclared prefix '${t.pfx}:'", text, t.pos)
+    }
+
+    private def prologue(): Unit = {
+      var more = true
+      while (more) {
+        if (takeWord("PREFIX")) next() match {
+          case p: TPName =>
+            next() match {
+              case TIri(iri, _) => prefixes(p.pfx) = base + iri
+              case _ => err("expected IRI after PREFIX")
+            }
+          case _ => err("expected prefix name after PREFIX")
+        } else if (takeWord("BASE")) next() match {
+          case TIri(iri, _) => base = iri
+          case _ => err("expected IRI after BASE")
+        } else more = false
+      }
+    }
+
+    // ---------------- terms ----------------
+
+    /** graph term in subject/object position, or a variable. */
+    private def term(): Term = next() match {
+      case TVar(n, _) => V(n)
+      case TIri(iri, _) => I(base + iri)
+      case p: TPName => I(resolve(p))
+      case TStr(v, _) =>
+        // swallow an optional ^^datatype / @lang — matching is lexical
+        if (takePunct("^^")) next() match {
+          case TIri(_, _) | TPName(_, _, _) => ()
+          case _ => err("expected datatype IRI after ^^")
+        } else if (takePunct("@")) next() match {
+          case TWord(_, _) => ()
+          case _ => err("expected language tag after @")
+        }
+        I(v)
+      case TNum(lex, _) => I(lex)
+      case t if isWord(t, "true") => I("true")
+      case t if isWord(t, "false") => I("false")
+      case TPunct("(", p) => fail("RDF collections '(…)' are not supported (pipeline output has none)", text, p)
+      case TPunct("[", p) => fail("blank-node syntax is not supported (pipeline output is fully skolemized)", text, p)
+      case t => fail(s"expected an RDF term or variable", text, t.pos)
+    }
+
+    // ---------------- property paths ----------------
+
+    private def pathPrimary(): Path = next() match {
+      case TIri(iri, _) => Pred(base + iri)
+      case p: TPName => Pred(resolve(p))
+      case t if isWord(t, "a") => Pred(RdfNs + "type")
+      case TPunct("(", _) =>
+        val p = pathAlt(); expectPunct(")"); p
+      case TPunct("!", p) => fail("negated property sets '!(…)' are not supported", text, p)
+      case t => fail("expected a path element", text, t.pos)
+    }
+
+    private def pathElt(): Path = {
+      val inv = takePunct("^")
+      var p = pathPrimary()
+      peek match {
+        case TPunct("*", _) => i += 1; p = Star(p)
+        case TPunct("+", _) => i += 1; p = Plus(p)
+        case TPunct("?", _) => i += 1; p = Opt(p)
+        case _ =>
+      }
+      if (inv) Inv(p) else p
+    }
+
+    private def pathSeq(): Path = {
+      var p = pathElt()
+      while (takePunct("/")) p = PathSeq(p, pathElt())
+      p
+    }
+
+    private def pathAlt(): Path = {
+      var p = pathSeq()
+      while (takePunct("|")) p = Alt(p, pathSeq())
+      p
+    }
+
+    /** predicate position: variable, or a path (a bare IRI stays a plain I
+      * constant so bgp's selectivity weighting sees it). */
+    private def verb(): Term = peek match {
+      case TVar(n, _) => i += 1; V(n)
+      case _ => pathAlt() match {
+        case Pred(iri) => I(iri)
+        case p => P(p)
+      }
+    }
+
+    // ---------------- triple blocks ----------------
+
+    private def triplesBlock(): Seq[(Term, Term, Term)] = {
+      val pats = Seq.newBuilder[(Term, Term, Term)]
+      var more = true
+      while (more) {
+        val s = term()
+        var moreVerbs = true
+        while (moreVerbs) {
+          val p = verb()
+          var moreObjs = true
+          while (moreObjs) {
+            pats += ((s, p, term()))
+            moreObjs = takePunct(",")
+          }
+          moreVerbs = takePunct(";") && !startsTerminator
+        }
+        takePunct(".")
+        more = startsTriple
+      }
+      pats.result()
+    }
+
+    private def startsTerminator: Boolean = peek match {
+      case TPunct("}", _) | TPunct(".", _) | TEof(_) => true
+      case t => isGroupKeyword(t)
+    }
+
+    private def isGroupKeyword(t: Tok): Boolean =
+      Seq("OPTIONAL", "FILTER", "BIND", "VALUES", "MINUS", "UNION").exists(isWord(t, _))
+
+    private def startsTriple: Boolean = peek match {
+      case TVar(_, _) | TIri(_, _) | TPName(_, _, _) | TStr(_, _) | TNum(_, _) => true
+      case t if isWord(t, "true") || isWord(t, "false") => !isGroupKeyword(t)
+      case _ => false
+    }
+
+    // ---------------- expressions ----------------
+
+    private def exprPrimary(): Expr = peek match {
+      case TPunct("(", _) => i += 1; val e = exprOr(); expectPunct(")"); e
+      case TPunct("!", _) => i += 1; ExNot(exprPrimary())
+      case TPunct("-", _) => i += 1
+        next() match {
+          case TNum(lex, _) => ExNum("-" + lex)
+          case t => fail("expected a number after unary '-'", text, t.pos)
+        }
+      case TVar(n, _) => i += 1; ExVar(n)
+      case TStr(v, _) => i += 1
+        if (takePunct("^^")) next() // lexical matching: drop the datatype
+        else if (takePunct("@")) next()
+        ExStr(v)
+      case TNum(lex, _) => i += 1; ExNum(lex)
+      case TIri(iri, _) => i += 1; ExIri(base + iri)
+      case p: TPName => i += 1; ExIri(resolve(p))
+      case t if isWord(t, "true") => i += 1; ExBool(true)
+      case t if isWord(t, "false") => i += 1; ExBool(false)
+      case t if isWord(t, "EXISTS") => i += 1; ExExists(group(), neg = false)
+      case t if isWord(t, "NOT") => i += 1; expectWord("EXISTS"); ExExists(group(), neg = true)
+      case TWord(w, _) if FnNames.contains(w.toUpperCase) => i += 1
+        expectPunct("(")
+        val args = Seq.newBuilder[Expr]
+        if (!takePunct(")")) {
+          args += exprOr()
+          while (takePunct(",")) args += exprOr()
+          expectPunct(")")
+        }
+        ExFn(w.toUpperCase, args.result())
+      case t => fail("expected an expression", text, t.pos)
+    }
+
+    private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
+      "CONTAINS", "STRSTARTS", "STRENDS")
+
+    private def exprRel(): Expr = {
+      val l = exprPrimary()
+      peek match {
+        case TPunct(op, _) if Seq("=", "!=", "<", "<=", ">", ">=").contains(op) =>
+          i += 1; ExCmp(op, l, exprPrimary())
+        case t if isWord(t, "IN") => i += 1; ExIn(l, exprList(), neg = false)
+        case t if isWord(t, "NOT") => i += 1; expectWord("IN"); ExIn(l, exprList(), neg = true)
+        case _ => l
+      }
+    }
+
+    private def exprList(): Seq[Expr] = {
+      expectPunct("(")
+      val es = Seq.newBuilder[Expr]
+      if (!takePunct(")")) {
+        es += exprOr()
+        while (takePunct(",")) es += exprOr()
+        expectPunct(")")
+      }
+      es.result()
+    }
+
+    private def exprAnd(): Expr = {
+      var e = exprRel()
+      while (takePunct("&&")) e = ExAnd(e, exprRel())
+      e
+    }
+
+    private def exprOr(): Expr = {
+      var e = exprAnd()
+      while (takePunct("||")) e = ExOr(e, exprAnd())
+      e
+    }
+
+    // ---------------- group graph pattern ----------------
+
+    private def group(): Group = {
+      expectPunct("{")
+      val elems = Seq.newBuilder[Element]
+      while (!takePunct("}")) {
+        peek match {
+          case t if isWord(t, "OPTIONAL") => i += 1; elems += EOptional(group())
+          case t if isWord(t, "MINUS") => i += 1; elems += EMinus(group())
+          case t if isWord(t, "FILTER") => i += 1; elems += EFilter(exprOr())
+          case t if isWord(t, "BIND") => i += 1
+            expectPunct("(")
+            val e = exprOr()
+            expectWord("AS")
+            val v = next() match {
+              case TVar(n, _) => n
+              case tk => fail("expected variable after AS", text, tk.pos)
+            }
+            expectPunct(")")
+            elems += EBind(e, v)
+          case t if isWord(t, "VALUES") => i += 1; elems += values()
+          case TPunct("{", _) =>
+            var g = EGroup(group()): Element
+            // { A } UNION { B } UNION { C } …
+            if (isWord(peek, "UNION")) {
+              val branches = Seq.newBuilder[Group]
+              branches += g.asInstanceOf[EGroup].g
+              while (takeWord("UNION")) branches += group()
+              g = EUnion(branches.result())
+            }
+            elems += g
+          case t if isWord(t, "GRAPH") || isWord(t, "SERVICE") =>
+            fail(s"${t.asInstanceOf[TWord].word.toUpperCase} is not supported " +
+              "(solutions are graph-scoped to doc_id already)", text, t.pos)
+          case t if isWord(t, "SELECT") =>
+            fail("subqueries are not supported", text, t.pos)
+          case _ => elems += EBlock(triplesBlock())
+        }
+        takePunct(".")
+      }
+      Group(elems.result())
+    }
+
+    private def values(): EValues = {
+      // VALUES ?v { lit … }  |  VALUES (?a ?b) { (l1 l2) (l3 l4) … }
+      def row1(): Option[String] = next() match {
+        case TStr(v, _) =>
+          if (takePunct("^^")) next()
+          else if (takePunct("@")) next()
+          Some(v)
+        case TNum(lex, _) => Some(lex)
+        case TIri(iri, _) => Some(base + iri)
+        case p: TPName => Some(resolve(p))
+        case t if isWord(t, "UNDEF") => None
+        case t if isWord(t, "true") => Some("true")
+        case t if isWord(t, "false") => Some("false")
+        case t => fail("expected a VALUES data term", text, t.pos)
+      }
+      peek match {
+        case TVar(v, _) =>
+          i += 1
+          expectPunct("{")
+          val rows = Seq.newBuilder[Seq[Option[String]]]
+          while (!takePunct("}")) rows += Seq(row1())
+          EValues(Seq(v), rows.result())
+        case TPunct("(", _) =>
+          i += 1
+          val vars = Seq.newBuilder[String]
+          while (!takePunct(")")) next() match {
+            case TVar(v, _) => vars += v
+            case t => fail("expected variable in VALUES header", text, t.pos)
+          }
+          val vs = vars.result()
+          expectPunct("{")
+          val rows = Seq.newBuilder[Seq[Option[String]]]
+          while (!takePunct("}")) {
+            expectPunct("(")
+            val r = Seq.newBuilder[Option[String]]
+            while (!takePunct(")")) r += row1()
+            val row = r.result()
+            if (row.size != vs.size)
+              err(s"VALUES row has ${row.size} terms for ${vs.size} variables")
+            rows += row
+          }
+          EValues(vs, rows.result())
+        case t => fail("expected ?var or (…) after VALUES", text, t.pos)
+      }
+    }
+
+    // ---------------- query forms ----------------
+
+    def query(): Query = {
+      prologue()
+      val q = peek match {
+        case t if isWord(t, "SELECT") => i += 1; selectQuery()
+        case t if isWord(t, "ASK") => i += 1
+          takeWord("WHERE")
+          QAsk(group())
+        case t if isWord(t, "CONSTRUCT") => i += 1
+          val tmpl = { expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b }
+          expectWord("WHERE")
+          QConstruct(tmpl, group())
+        case t if isWord(t, "DESCRIBE") => i += 1
+          val v = next() match {
+            case TVar(n, _) => n
+            case tk => fail("DESCRIBE supports the ?var WHERE form only", text, tk.pos)
+          }
+          expectWord("WHERE")
+          QDescribe(v, group())
+        case t => fail("expected SELECT, ASK, CONSTRUCT or DESCRIBE", text, t.pos)
+      }
+      peek match {
+        case TEof(_) => q
+        case t => fail("trailing tokens after query", text, t.pos)
+      }
+    }
+
+    private val AggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+    private def selectQuery(): QSelect = {
+      val distinct = takeWord("DISTINCT")
+      takeWord("REDUCED") // DISTINCT-compatible here: projections are sets per driver compare
+      var star = false
+      val projs = Seq.newBuilder[Projection]
+      var more = true
+      while (more) peek match {
+        case TPunct("*", _) => i += 1; star = true
+        case TVar(n, _) => i += 1; projs += Projection(n, PVar(n))
+        case TPunct("(", _) =>
+          i += 1
+          val p = next() match {
+            case TWord(w, _) if AggNames.contains(w.toUpperCase) =>
+              expectPunct("(")
+              val d = takeWord("DISTINCT")
+              val arg = peek match {
+                case TPunct("*", _) => i += 1; None
+                case TVar(n, _) => i += 1; Some(n)
+                case t => fail("expected * or ?var in aggregate", text, t.pos)
+              }
+              expectPunct(")")
+              PAgg(w.toUpperCase, arg, d)
+            case TVar(n, _) => PVar(n)
+            case t => fail("expected aggregate or variable in (… AS ?alias)", text, t.pos)
+          }
+          expectWord("AS")
+          val alias = next() match {
+            case TVar(n, _) => n
+            case t => fail("expected variable after AS", text, t.pos)
+          }
+          expectPunct(")")
+          projs += Projection(alias, p)
+        case _ => more = false
+      }
+      takeWord("WHERE")
+      val where = group()
+      val groupBy = Seq.newBuilder[String]
+      if (takeWord("GROUP")) {
+        expectWord("BY")
+        var m = true
+        while (m) peek match {
+          case TVar(n, _) => i += 1; groupBy += n
+          case _ => m = false
+        }
+      }
+      if (isWord(peek, "HAVING")) err("HAVING is not supported — FILTER on a wrapping query instead")
+      val orderBy = Seq.newBuilder[(String, Boolean)]
+      if (takeWord("ORDER")) {
+        expectWord("BY")
+        var m = true
+        while (m) peek match {
+          case TVar(n, _) => i += 1; orderBy += ((n, true))
+          case t if isWord(t, "ASC") || isWord(t, "DESC") =>
+            val asc = isWord(t, "ASC"); i += 1
+            expectPunct("(")
+            next() match {
+              case TVar(n, _) => orderBy += ((n, asc))
+              case tk => fail("ORDER BY supports variables only", text, tk.pos)
+            }
+            expectPunct(")")
+          case _ => m = false
+        }
+      }
+      var limit: Option[Int] = None
+      var offset: Option[Int] = None
+      var m2 = true
+      while (m2) {
+        if (takeWord("LIMIT")) next() match {
+          case TNum(lex, _) => limit = Some(lex.toInt)
+          case t => fail("expected number after LIMIT", text, t.pos)
+        } else if (takeWord("OFFSET")) next() match {
+          case TNum(lex, _) => offset = Some(lex.toInt)
+          case t => fail("expected number after OFFSET", text, t.pos)
+        } else m2 = false
+      }
+      val ps = projs.result()
+      if (!star && ps.isEmpty) err("SELECT needs a projection (or *)")
+      QSelect(distinct, star, ps, where, groupBy.result(), orderBy.result(), limit, offset)
+    }
+  }
+
+  private[analytics] def parse(text: String): Query = new Parser(text).query()
+
+  // ===================================================================
+  // Compiler — AST → DataFrame over the KgQuery algebra
+  // ===================================================================
+
+  private final class Compiler(triples: DataFrame, graphCol: String) {
+    private val spark = triples.sparkSession
+
+    private def joinKeys(a: DataFrame, b: DataFrame): Seq[String] =
+      GraphCol +: (a.columns.toSet.intersect(b.columns.toSet) - GraphCol).toSeq.sorted
+
+    def compileGroup(g: Group): DataFrame = {
+      var acc: DataFrame = null
+      val filters = Seq.newBuilder[Expr]
+      def need(what: String): DataFrame = {
+        require(acc != null, s"$what must follow a pattern that binds solutions")
+        acc
+      }
+      g.elems.foreach {
+        case EBlock(pats) =>
+          val df = KgQuery.bgp(triples, pats, graphCol)
+          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+        case EGroup(sub) =>
+          val df = compileGroup(sub)
+          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+        case EUnion(branches) =>
+          val sols = branches.map(compileGroup)
+          val allVars = sols.flatMap(_.columns).distinct.filterNot(_ == GraphCol).sorted
+          val df = sols.map { s =>
+            val have = s.columns.toSet
+            s.select(col(GraphCol) +:
+              allVars.map(v => if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+          }.reduce(_.unionByName(_))
+          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+        case EOptional(sub) =>
+          val df = compileGroup(sub)
+          acc = need("OPTIONAL").join(df, joinKeys(acc, df), "left")
+        case EMinus(sub) =>
+          val df = compileGroup(sub)
+          val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
+          // SPARQL MINUS with disjoint domains removes nothing
+          if (shared.nonEmpty)
+            acc = need("MINUS").join(df, joinKeys(acc, df), "left_anti")
+        case EFilter(e) => filters += e
+        case EBind(e, v) =>
+          val a = need("BIND")
+          require(!a.columns.contains(v), s"BIND target ?$v is already bound")
+          acc = a.withColumn(v, compileExpr(e, a))
+        case EValues(vars, rows) =>
+          import scala.jdk.CollectionConverters._
+          val schema = org.apache.spark.sql.types.StructType(
+            vars.map(v => org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+          val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.map(_.orNull))).asJava
+          val df = spark.createDataFrame(data, schema)
+          if (acc == null) {
+            // leading VALUES: cross-extend the unit solution per graph
+            acc = triples.select(col(graphCol).as(GraphCol)).distinct().crossJoin(df)
+          } else {
+            val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
+            acc = if (shared.isEmpty) acc.crossJoin(df)
+                  else acc.join(df, shared.toSeq.sorted)
+          }
+      }
+      val a = need("the group")
+      filters.result().foldLeft(a)((d, e) => applyFilter(d, e))
+    }
+
+    private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
+      // EXISTS compiles to a semi/anti join, not a boolean column
+      case ExExists(g, neg) =>
+        val sub = compileGroup(g)
+        df.join(sub, joinKeys(df, sub), if (neg) "left_anti" else "left_semi")
+      case ExAnd(l, r) => applyFilter(applyFilter(df, l), r)
+      case _ => df.filter(compileExpr(e, df))
+    }
+
+    /** numeric when either side is a numeric literal, lexical otherwise. */
+    private def cmp(op: String, le: Expr, re: Expr, df: DataFrame): Column = {
+      val numeric = le.isInstanceOf[ExNum] || re.isInstanceOf[ExNum]
+      def side(e: Expr): Column = {
+        val c = compileExpr(e, df)
+        if (numeric) c.cast("double") else c
+      }
+      val (l, r) = (side(le), side(re))
+      op match {
+        case "=" => l === r
+        case "!=" => l =!= r
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+      }
+    }
+
+    private def compileExpr(e: Expr, df: DataFrame): Column = e match {
+      case ExVar(n) =>
+        require(df.columns.contains(n), s"filter variable ?$n is not bound")
+        col(n)
+      case ExStr(v) => lit(v)
+      case ExNum(lex) => lit(lex.toDouble)
+      case ExBool(b) => lit(if (b) "true" else "false")
+      case ExIri(iri) => lit(iri)
+      case ExCmp(op, l, r) => cmp(op, l, r, df)
+      case ExAnd(l, r) => compileExpr(l, df) && compileExpr(r, df)
+      case ExOr(l, r) => compileExpr(l, df) || compileExpr(r, df)
+      case ExNot(x) => !compileExpr(x, df)
+      case ExIn(x, set, neg) =>
+        val c = compileExpr(x, df).isInCollection(set.map {
+          case ExNum(lex) => lex
+          case ExStr(v) => v
+          case ExIri(iri) => iri
+          case other => throw new IllegalArgumentException(s"IN supports constants only, got $other")
+        })
+        if (neg) !c else c
+      case ExFn("REGEX", args) =>
+        require(args.size == 2 || args.size == 3, "REGEX(text, pattern[, flags])")
+        val pat = args(1) match {
+          case ExStr(p) => p
+          case _ => throw new IllegalArgumentException("REGEX pattern must be a string literal")
+        }
+        val flags = args.lift(2).map {
+          case ExStr(f) => f
+          case _ => throw new IllegalArgumentException("REGEX flags must be a string literal")
+        }.getOrElse("")
+        val p = if (flags.contains("i")) "(?i)" + pat else pat
+        compileExpr(args.head, df).rlike(p)
+      case ExFn("BOUND", Seq(ExVar(n))) =>
+        require(df.columns.contains(n), s"BOUND variable ?$n is not in scope")
+        col(n).isNotNull
+      case ExFn("STR", Seq(a)) => compileExpr(a, df)
+      case ExFn("STRLEN", Seq(a)) => length(compileExpr(a, df))
+      case ExFn("LCASE", Seq(a)) => lower(compileExpr(a, df))
+      case ExFn("UCASE", Seq(a)) => upper(compileExpr(a, df))
+      case ExFn("CONTAINS", Seq(a, b)) => compileExpr(a, df).contains(compileExpr(b, df))
+      case ExFn("STRSTARTS", Seq(a, b)) => compileExpr(a, df).startsWith(compileExpr(b, df))
+      case ExFn("STRENDS", Seq(a, b)) => compileExpr(a, df).endsWith(compileExpr(b, df))
+      case ExFn(n, args) => throw new IllegalArgumentException(s"$n/${args.size} is not supported")
+      case ExExists(_, _) =>
+        throw new IllegalArgumentException(
+          "EXISTS may appear only as a top-level FILTER conjunct (it compiles to a join)")
+    }
+
+    def compile(q: Query): DataFrame = q match {
+      case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
+      case QSelect(distinct, star, projs, where, groupBy, orderBy, limit, offset) =>
+        var df = compileGroup(where)
+        if (groupBy.nonEmpty || projs.exists(_.value.isInstanceOf[PAgg])) {
+          val aggs = projs.collect { case Projection(alias, PAgg(fn, arg, d)) =>
+            def a = col(arg.getOrElse(
+              throw new IllegalArgumentException(s"$fn requires a variable argument")))
+            (fn match {
+              case "COUNT" if arg.isEmpty => count(lit(1))
+              case "COUNT" if d => countDistinct(a)
+              case "COUNT" => count(a)
+              case "SUM" => sum(a.cast("double"))
+              case "AVG" => avg(a.cast("double"))
+              case "MIN" => min(a.cast("double"))
+              case "MAX" => max(a.cast("double"))
+            }).as(alias)
+          }
+          require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
+          val keys = groupBy.map(col)
+          df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          val plain = projs.collect { case Projection(alias, PVar(n)) => (alias, n) }
+          plain.foreach { case (_, n) =>
+            require(groupBy.contains(n), s"projected ?$n is neither grouped nor aggregated")
+          }
+          df = df.select(projs.map {
+            case Projection(alias, PVar(n)) => col(n).as(alias)
+            case Projection(alias, _) => col(alias)
+          }: _*)
+        } else if (!star) {
+          df = df.select(col(GraphCol) +: projs.map {
+            case Projection(alias, PVar(n)) =>
+              require(df.columns.contains(n), s"projected variable ?$n is not bound")
+              col(n).as(alias)
+            case Projection(_, _: PAgg) => throw new IllegalStateException("unreachable")
+          }: _*)
+        }
+        if (distinct) df = df.distinct()
+        if (orderBy.nonEmpty)
+          df = df.orderBy(orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+        offset.foreach(o => df = df.offset(o))
+        limit.foreach(l => df = df.limit(l))
+        df
+      case QConstruct(template, where) =>
+        val sol = compileGroup(where)
+        val bound = sol.columns.toSet
+        def t(x: Term): Column = x match {
+          case V(n) =>
+            require(bound.contains(n), s"template variable ?$n not bound by WHERE")
+            col(n)
+          case I(v) => lit(v)
+          case _ => throw new IllegalArgumentException("paths cannot appear in a CONSTRUCT template")
+        }
+        template.map { case (s, p, o) =>
+          sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
+        }.reduce(_.unionByName(_)).distinct()
+      case QDescribe(v, where) =>
+        val sol = compileGroup(where)
+        require(sol.columns.contains(v), s"DESCRIBE variable ?$v not bound by WHERE")
+        val subs = sol.select(col(GraphCol).as("__g"), col(v).as("__s")).distinct()
+        triples.join(subs,
+          col(graphCol) === col("__g") && col("subj") === col("__s"), "left_semi")
+    }
+  }
+
+  /** Parse and plan a SPARQL SELECT/CONSTRUCT/DESCRIBE query over the triples
+    * table. SELECT returns one column per projected variable (plus `graph`
+    * for non-aggregating queries); CONSTRUCT returns new triple rows;
+    * DESCRIBE returns rows of the input table. */
+  def query(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
+    parse(text) match {
+      case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
+      case q => new Compiler(triples, graphCol).compile(q)
+    }
+
+  /** Parse and evaluate a SPARQL ASK query (existence probe, limit-1 plan). */
+  def ask(triples: DataFrame, text: String, graphCol: String = "doc_id"): Boolean =
+    parse(text) match {
+      case QAsk(where) => !new Compiler(triples, graphCol).compileGroup(where).isEmpty
+      case _ => throw new IllegalArgumentException("not an ASK query")
+    }
+}

@@ -249,6 +249,16 @@ class KgQuerySpec extends SparkTestBase {
       ("A", "c1", "c2"), ("A", "c1", "c3"), ("A", "c2", "c3"), ("B", "c1", "c2"))))
   }
 
+  test("pathEdges Opt (zero-or-one) is one step plus zero-length pairs, no closure") {
+    val got = edgeRows(KgQuery.pathEdges(listKg, KgQuery.Opt(Pred(nxt))))
+    val aTerms = Seq("c1", "c2", "c3", "x1", "x2", "x3", "c9", "y")
+    val bTerms = Seq("c1", "c2", "z1", "z2")
+    val zero = aTerms.map(t => ("A", t, t)) ++ bTerms.map(t => ("B", t, t))
+    // c1->c3 (two hops) must NOT appear
+    assert(got == (zero.toSet ++ Set(
+      ("A", "c1", "c2"), ("A", "c2", "c3"), ("B", "c1", "c2"))))
+  }
+
   test("bgp accepts a property path in predicate position") {
     // hasNext*/hasContents — every content reachable from each cell
     val got = KgQuery.bgp(listKg, Seq(

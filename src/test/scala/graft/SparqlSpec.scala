@@ -1,0 +1,228 @@
+package graft
+
+import graft.analytics.Sparql
+import org.apache.spark.sql.DataFrame
+
+class SparqlSpec extends SparkTestBase {
+
+  private def triples(rows: Seq[(String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "subj", "pred", "obj")
+  }
+
+  private val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val ifc = "http://example.org/ifc#"
+  private val kg = triples(Seq(
+    ("d1", "w1", rdfType, s"${ifc}Wall"),
+    ("d1", "w1", s"${ifc}hasHeight", "3.0"),
+    ("d1", "w1", s"${ifc}inStorey", "s1"),
+    ("d1", "s1", rdfType, s"${ifc}Storey"),
+    ("d1", "w2", rdfType, s"${ifc}Wall"),
+    ("d1", "w2", s"${ifc}hasHeight", "12.5"),
+    ("d1", "w2", s"${ifc}inStorey", "s1"),
+    ("d1", "d7", rdfType, s"${ifc}Door"),
+    ("d2", "w1", rdfType, s"${ifc}Wall"), // same IRI, other graph
+    ("d2", "w1", s"${ifc}inStorey", "s9"),
+    ("d2", "s9", rdfType, s"${ifc}Storey")))
+
+  private val P = s"PREFIX ifc: <$ifc>\nPREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+
+  private def q(text: String): DataFrame = Sparql.query(kg, text)
+
+  // ------------------------------------------------------------ SELECT + BGP
+
+  test("SELECT with a two-pattern BGP, prefixed names, and 'a'") {
+    val got = q(P + "SELECT ?w ?st WHERE { ?w a ifc:Wall . ?w ifc:inStorey ?st }")
+    assert(rows(got, "graph", "w", "st") == Set(
+      Seq("d1", "w1", "s1"), Seq("d1", "w2", "s1"), Seq("d2", "w1", "s9")))
+  }
+
+  test("';' and ',' predicate-object shorthand parse into one subject's patterns") {
+    val got = q(P + "SELECT ?w ?h ?st WHERE { ?w a ifc:Wall ; ifc:hasHeight ?h ; ifc:inStorey ?st . }")
+    assert(rows(got, "w", "h", "st") == Set(Seq("w1", "3.0", "s1"), Seq("w2", "12.5", "s1")))
+  }
+
+  test("SELECT * projects every bound variable") {
+    val got = q(P + "SELECT * WHERE { ?s a ifc:Storey }")
+    assert(got.columns.toSet == Set("graph", "s"))
+    assert(rows(got, "graph", "s") == Set(Seq("d1", "s1"), Seq("d2", "s9")))
+  }
+
+  test("solutions never span graphs") {
+    // w1 is a Wall in both graphs but s9 is only d2's storey
+    val got = q(P + "SELECT ?w WHERE { ?w ifc:inStorey ?st . ?st a ifc:Storey }")
+    assert(rows(got, "graph", "w") == Set(
+      Seq("d1", "w1"), Seq("d1", "w2"), Seq("d2", "w1")))
+  }
+
+  test("constant object patterns filter; full IRIs in <>") {
+    val got = q(s"SELECT ?x WHERE { ?x <$rdfType> <${ifc}Door> }")
+    assert(rows(got, "x") == Set(Seq("d7")))
+  }
+
+  // ------------------------------------------------------------ FILTER
+
+  test("numeric FILTER casts both sides to double") {
+    val got = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h . FILTER (?h > 4) }")
+    assert(rows(got, "w") == Set(Seq("w2"))) // "12.5" > 4 numerically, not lexically
+  }
+
+  test("string FILTER functions and boolean connectives") {
+    val got = q(P + """SELECT ?w WHERE { ?w a ifc:Wall .
+      FILTER (STRSTARTS(?w, "w") && (?w = "w1" || ?w = "w2") && !(?w = "w2")) }""")
+    assert(rows(got, "graph", "w") == Set(Seq("d1", "w1"), Seq("d2", "w1")))
+  }
+
+  test("REGEX with the i flag; IN lists") {
+    val g1 = q(P + """SELECT ?c WHERE { ?x a ?c . FILTER REGEX(?c, "WALL$", "i") }""")
+    assert(rows(g1, "c").map(_.head) == Set(s"${ifc}Wall"))
+    val g2 = q(P + """SELECT ?w WHERE { ?w a ifc:Wall . FILTER (?w IN ("w2", "w9")) }""")
+    assert(rows(g2, "w") == Set(Seq("w2")))
+  }
+
+  // ------------------------------------------------------------ OPTIONAL / UNION / MINUS / EXISTS
+
+  test("OPTIONAL NULL-pads where the group has no match") {
+    val got = q(P + "SELECT ?w ?h WHERE { ?w a ifc:Wall . OPTIONAL { ?w ifc:hasHeight ?h } }")
+    assert(rows(got, "graph", "w", "h") == Set(
+      Seq("d1", "w1", "3.0"), Seq("d1", "w2", "12.5"), Seq("d2", "w1", null)))
+  }
+
+  test("BOUND distinguishes OPTIONAL matches") {
+    val got = q(P + """SELECT ?w WHERE { ?w a ifc:Wall .
+      OPTIONAL { ?w ifc:hasHeight ?h } FILTER (!BOUND(?h)) }""")
+    assert(rows(got, "graph", "w") == Set(Seq("d2", "w1")))
+  }
+
+  test("UNION concatenates branches with NULL-padded branch-only variables") {
+    val got = q(P + "SELECT ?x ?st WHERE { { ?x a ifc:Door } UNION { ?x ifc:inStorey ?st } }")
+    assert(rows(got, "x", "st") == Set(
+      Seq("d7", null), Seq("w1", "s1"), Seq("w2", "s1"), Seq("w1", "s9")))
+  }
+
+  test("MINUS removes solutions matching the subtracted group") {
+    val got = q(P + "SELECT ?w WHERE { ?w a ifc:Wall . MINUS { ?w ifc:hasHeight ?h } }")
+    assert(rows(got, "graph", "w") == Set(Seq("d2", "w1")))
+  }
+
+  test("FILTER NOT EXISTS compiles to an anti join; EXISTS to a semi join") {
+    val g1 = q(P + "SELECT ?w WHERE { ?w a ifc:Wall . FILTER NOT EXISTS { ?w ifc:hasHeight ?h } }")
+    assert(rows(g1, "graph", "w") == Set(Seq("d2", "w1")))
+    val g2 = q(P + "SELECT ?w WHERE { ?w a ifc:Wall . FILTER EXISTS { ?w ifc:hasHeight ?h } }")
+    assert(rows(g2, "w") == Set(Seq("w1"), Seq("w2")))
+  }
+
+  // ------------------------------------------------------------ BIND / VALUES
+
+  test("BIND extends solutions with a computed column") {
+    val got = q(P + "SELECT ?w ?len WHERE { ?w a ifc:Wall . BIND (STRLEN(?w) AS ?len) }")
+    assert(rows(got, "w", "len") == Set(Seq("w1", 2), Seq("w2", 2)))
+  }
+
+  test("VALUES constrains via an inline-data join") {
+    val got = q(P + """SELECT ?w ?h WHERE { ?w ifc:hasHeight ?h . VALUES ?w { "w2" "w9" } }""")
+    assert(rows(got, "w", "h") == Set(Seq("w2", "12.5")))
+  }
+
+  test("multi-variable VALUES rows") {
+    val got = q(P + """SELECT ?w ?st WHERE { ?w ifc:inStorey ?st .
+      VALUES (?w ?st) { ("w1" "s1") ("w1" "s9") } }""")
+    assert(rows(got, "graph", "w", "st") == Set(Seq("d1", "w1", "s1"), Seq("d2", "w1", "s9")))
+  }
+
+  // ------------------------------------------------------------ paths
+
+  test("property path: sequence and inverse") {
+    val got = q(P + "SELECT ?w ?c WHERE { ?w ifc:inStorey/a ?c }")
+    assert(rows(got, "w", "c").map(_.last).toSet == Set(s"${ifc}Storey"))
+    val inv = q(P + "SELECT ?st ?w WHERE { ?st ^ifc:inStorey ?w }")
+    assert(rows(inv, "st", "w") == Set(Seq("s1", "w1"), Seq("s1", "w2"), Seq("s9", "w1")))
+  }
+
+  test("property path: alternation and zero-or-one") {
+    val alt = q(P + "SELECT ?s ?o WHERE { ?s ifc:hasHeight|ifc:inStorey ?o }")
+    assert(rows(alt, "s", "o") == Set(
+      Seq("w1", "3.0"), Seq("w2", "12.5"), Seq("w1", "s1"), Seq("w2", "s1"), Seq("w1", "s9")))
+    // zero-or-one from a fixed subject: itself plus its storey
+    val opt = q(P + """SELECT ?o WHERE { ?s ifc:inStorey? ?o . FILTER (?s = "w2") }""")
+    assert(rows(opt, "o") == Set(Seq("w2"), Seq("s1")))
+  }
+
+  test("property path: closure over a chain table") {
+    val chain = triples(Seq(
+      ("A", "c1", "nxt", "c2"), ("A", "c2", "nxt", "c3"), ("A", "c9", "x", "y")))
+    val got = Sparql.query(chain, "SELECT ?a ?b WHERE { ?a <nxt>+ ?b }")
+    assert(rows(got, "a", "b") == Set(Seq("c1", "c2"), Seq("c1", "c3"), Seq("c2", "c3")))
+  }
+
+  // ------------------------------------------------------------ aggregates / modifiers
+
+  test("GROUP BY with COUNT and AVG aggregates") {
+    val got = q(P + """SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x a ?c } GROUP BY ?c""")
+    assert(rows(got, "c", "n") == Set(
+      Seq(s"${ifc}Wall", 3L), Seq(s"${ifc}Storey", 2L), Seq(s"${ifc}Door", 1L)))
+    val avg = q(P + "SELECT (AVG(?h) AS ?m) WHERE { ?w ifc:hasHeight ?h }")
+    assert(rows(avg, "m") == Set(Seq(7.75)))
+  }
+
+  test("COUNT(DISTINCT ?x) and COUNT(*)") {
+    val got = q(P + """SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?w) AS ?walls)
+      WHERE { ?w a ifc:Wall }""")
+    assert(rows(got, "rows", "walls") == Set(Seq(3L, 2L)))
+  }
+
+  test("DISTINCT, ORDER BY, LIMIT, OFFSET") {
+    val got = q(P + "SELECT DISTINCT ?st WHERE { ?w ifc:inStorey ?st } ORDER BY DESC(?st) LIMIT 1")
+    assert(rows(got, "st") == Set(Seq("s9")))
+    val page = q(P + "SELECT DISTINCT ?st WHERE { ?w ifc:inStorey ?st } ORDER BY ?st LIMIT 1 OFFSET 1")
+    assert(rows(page, "st") == Set(Seq("s9")))
+  }
+
+  // ------------------------------------------------------------ other forms
+
+  test("ASK is an existence probe") {
+    assert(Sparql.ask(kg, P + "ASK { ?x a ifc:Door }"))
+    assert(!Sparql.ask(kg, P + "ASK { ?x a ifc:Roof }"))
+  }
+
+  test("CONSTRUCT materializes template triples with set semantics") {
+    val got = q(P + """CONSTRUCT { ?st <urn:hasWall> ?w . ?st a <urn:Host> }
+      WHERE { ?w a ifc:Wall ; ifc:inStorey ?st }""")
+    assert(rows(got, "doc_id", "subj", "pred", "obj") == Set(
+      Seq("d1", "s1", "urn:hasWall", "w1"), Seq("d1", "s1", "urn:hasWall", "w2"),
+      Seq("d2", "s9", "urn:hasWall", "w1"),
+      Seq("d1", "s1", rdfType, "urn:Host"), Seq("d2", "s9", rdfType, "urn:Host")))
+  }
+
+  test("DESCRIBE returns the subject-star of each binding") {
+    val got = q(P + "DESCRIBE ?w WHERE { ?w a ifc:Door }")
+    assert(rows(got, "doc_id", "subj", "pred", "obj") ==
+      Set(Seq("d1", "d7", rdfType, s"${ifc}Door")))
+  }
+
+  // ------------------------------------------------------------ errors
+
+  test("loud errors: undeclared prefix, unsupported syntax, unbound projection") {
+    def bad(text: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](q(text) match {
+        case df => df.collect()
+      })
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    bad("SELECT ?x WHERE { ?x foo:bar ?y }", "undeclared prefix")
+    bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y ] }", "blank-node")
+    bad(P + "SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }", "GRAPH")
+    bad(P + "SELECT ?z WHERE { ?x a ifc:Wall }", "?z is not bound")
+    bad(P + "SELECT ?x WHERE { ?x !(ifc:p) ?y }", "negated property sets")
+    val e = intercept[IllegalArgumentException](q(P + "ASK { ?x a ifc:Wall }"))
+    assert(e.getMessage.contains("Sparql.ask"))
+  }
+
+  test("parse error reports line and column") {
+    val e = intercept[IllegalArgumentException](q("SELECT ?x WHERE\n{ ?x ?? ?y }"))
+    assert(e.getMessage.contains("line 2"))
+  }
+}
