@@ -145,7 +145,25 @@ object SparkEntry {
         KgQuery.bgp(goldenTriples(s), Seq(
           (V("cell"), P(PathSeq(Star(Pred(KgQuery.ListHasNext)),
             Pred(KgQuery.ListHasContents))), V("content"))))
-      })
+      }),
+      // SPARQL TEXT front-end (parser + compiler, not the algebra API):
+      // prologue, ';' shorthand, a three-pattern join, and a lexical FILTER
+      "q44_sparql_select" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?cell ?v ?nv WHERE {
+             ?cell list:hasContents ?v ; list:hasNext ?nxt .
+             ?nxt list:hasContents ?nv .
+             FILTER (?v != ?nv)
+           }""")),
+      // SPARQL TEXT aggregation: GROUP BY + COUNT through the text planner
+      "q45_sparql_agg" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?cls (COUNT(?i) AS ?n) WHERE { ?i rdf:type ?cls } GROUP BY ?cls""")),
+      // SPARQL TEXT property path: inverse over an alternation — parser must
+      // build Inv(Alt(...)) and the compiler emit the swapped edge union
+      "q46_sparql_path" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?o ?s WHERE { ?o ^(list:hasNext|list:hasContents) ?s }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +263,23 @@ object SparkEntry {
            UNION ALL SELECT doc_id, subj, subj FROM trip
            UNION ALL SELECT doc_id, obj, obj FROM trip))
        SELECT s.doc_id AS graph, s.src AS cell, c.content
-       FROM star s JOIN c ON c.doc_id = s.doc_id AND c.cell = s.dst""")
+       FROM star s JOIN c ON c.doc_id = s.doc_id AND c.cell = s.dst""",
+    "q44_sparql_select" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       c AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasContents'),
+       n AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasNext')
+       SELECT c1.doc_id AS graph, c1.subj AS cell, c1.obj AS v, c2.obj AS nv
+       FROM c c1 JOIN n ON n.doc_id = c1.doc_id AND n.subj = c1.subj
+                 JOIN c c2 ON c2.doc_id = n.doc_id AND c2.subj = n.obj
+       WHERE c1.obj <> c2.obj""",
+    "q45_sparql_agg" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT obj AS cls, count(*) AS n FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       GROUP BY 1""",
+    "q46_sparql_path" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, obj AS o, subj AS s FROM trip
+       WHERE pred IN ('https://w3id.org/list#hasNext',
+                      'https://w3id.org/list#hasContents')""")
 }
