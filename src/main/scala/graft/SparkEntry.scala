@@ -163,7 +163,14 @@ object SparkEntry {
       // build Inv(Alt(...)) and the compiler emit the swapped edge union
       "q46_sparql_path" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
         """PREFIX list: <https://w3id.org/list#>
-           SELECT ?o ?s WHERE { ?o ^(list:hasNext|list:hasContents) ?s }"""))
+           SELECT ?o ?s WHERE { ?o ^(list:hasNext|list:hasContents) ?s }""")),
+      // SPARQL TEXT HAVING + deterministic SAMPLE/GROUP_CONCAT: multi-member
+      // classes with a representative and the sorted member roster
+      "q47_sparql_having" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?cls (COUNT(?i) AS ?n) (SAMPLE(?i) AS ?one)
+                  (GROUP_CONCAT(DISTINCT ?i; SEPARATOR="|") AS ?members)
+           WHERE { ?i rdf:type ?cls } GROUP BY ?cls HAVING (COUNT(?i) > 1)"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -281,5 +288,12 @@ object SparkEntry {
       s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
        SELECT doc_id AS graph, obj AS o, subj AS s FROM trip
        WHERE pred IN ('https://w3id.org/list#hasNext',
-                      'https://w3id.org/list#hasContents')""")
+                      'https://w3id.org/list#hasContents')""",
+    "q47_sparql_having" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT obj AS cls, count(*) AS n, min(subj) AS one,
+              string_agg(DISTINCT subj, '|' ORDER BY subj) AS members
+       FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       GROUP BY 1 HAVING count(*) > 1""")
 }

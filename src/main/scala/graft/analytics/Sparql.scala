@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses), nested
   *    groups, OPTIONAL, UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs,
   *    BIND(expr AS ?v), VALUES (inline data).
-  *  - Filter expressions: `&&  ||  !`, comparisons, IN / NOT IN, REGEX,
-  *    BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS, STRSTARTS, STRENDS.
-  *  - Solution modifiers: GROUP BY, ORDER BY [ASC|DESC], LIMIT, OFFSET.
-  *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX.
+  *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
+  *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
+  *    STRSTARTS, STRENDS.
+  *  - Solution modifiers: GROUP BY, HAVING, ORDER BY [ASC|DESC], LIMIT,
+  *    OFFSET.
+  *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX,
+  *    SAMPLE (deterministic: min), GROUP_CONCAT([DISTINCT] ?v [;
+  *    SEPARATOR="…"]) (deterministic: sorted).
   *
   * Semantics over THIS data model (documented deltas from the rec):
   *  - Terms are matched by lexical form: the triples table stores
@@ -45,7 +49,7 @@ import org.apache.spark.sql.functions._
   *  - Unsupported (loud parse errors, never silent): blank-node syntax and
   *    collections `( … )` in triple positions (the pipeline skolemizes every
   *    node, so its output contains neither), GRAPH/SERVICE/subqueries,
-  *    negated property sets `!(…)`, arithmetic in expressions, HAVING.
+  *    negated property sets `!(…)`.
   */
 object Sparql {
 
@@ -157,12 +161,16 @@ object Sparql {
   private[analytics] final case class ExBool(b: Boolean) extends Expr
   private[analytics] final case class ExIri(iri: String) extends Expr
   private[analytics] final case class ExCmp(op: String, l: Expr, r: Expr) extends Expr
+  private[analytics] final case class ExArith(op: String, l: Expr, r: Expr) extends Expr
   private[analytics] final case class ExAnd(l: Expr, r: Expr) extends Expr
   private[analytics] final case class ExOr(l: Expr, r: Expr) extends Expr
   private[analytics] final case class ExNot(e: Expr) extends Expr
   private[analytics] final case class ExIn(e: Expr, set: Seq[Expr], neg: Boolean) extends Expr
   private[analytics] final case class ExFn(name: String, args: Seq[Expr]) extends Expr
   private[analytics] final case class ExExists(g: Group, neg: Boolean) extends Expr
+  /** aggregate call inside a HAVING constraint (substituted pre-compile). */
+  private[analytics] final case class ExAgg(fn: String, arg: Option[String],
+      distinct: Boolean, sep: Option[String]) extends Expr
 
   private[analytics] sealed trait Element
   private[analytics] final case class EBlock(pats: Seq[(Term, Term, Term)]) extends Element
@@ -177,12 +185,13 @@ object Sparql {
 
   private[analytics] sealed trait ProjValue
   private[analytics] final case class PVar(name: String) extends ProjValue
-  private[analytics] final case class PAgg(fn: String, arg: Option[String], distinct: Boolean) extends ProjValue
+  private[analytics] final case class PAgg(fn: String, arg: Option[String],
+      distinct: Boolean, sep: Option[String] = None) extends ProjValue
   private[analytics] final case class Projection(alias: String, value: ProjValue)
 
   private[analytics] sealed trait Query
   private[analytics] final case class QSelect(distinct: Boolean, star: Boolean,
-      projs: Seq[Projection], where: Group, groupBy: Seq[String],
+      projs: Seq[Projection], where: Group, groupBy: Seq[String], having: Seq[Expr],
       orderBy: Seq[(String, Boolean)], limit: Option[Int], offset: Option[Int]) extends Query
   private[analytics] final case class QAsk(where: Group) extends Query
   private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
@@ -371,6 +380,9 @@ object Sparql {
       case t if isWord(t, "false") => i += 1; ExBool(false)
       case t if isWord(t, "EXISTS") => i += 1; ExExists(group(), neg = false)
       case t if isWord(t, "NOT") => i += 1; expectWord("EXISTS"); ExExists(group(), neg = true)
+      case TWord(w, _) if AggNames.contains(w.toUpperCase) => i += 1
+        val a = aggTail(w)
+        ExAgg(a.fn, a.arg, a.distinct, a.sep)
       case TWord(w, _) if FnNames.contains(w.toUpperCase) => i += 1
         expectPunct("(")
         val args = Seq.newBuilder[Expr]
@@ -386,11 +398,33 @@ object Sparql {
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
       "CONTAINS", "STRSTARTS", "STRENDS")
 
+    private def exprMul(): Expr = {
+      var e = exprPrimary()
+      var go = true
+      while (go) peek match {
+        case TPunct("*", _) => i += 1; e = ExArith("*", e, exprPrimary())
+        case TPunct("/", _) => i += 1; e = ExArith("/", e, exprPrimary())
+        case _ => go = false
+      }
+      e
+    }
+
+    private def exprAdd(): Expr = {
+      var e = exprMul()
+      var go = true
+      while (go) peek match {
+        case TPunct("+", _) => i += 1; e = ExArith("+", e, exprMul())
+        case TPunct("-", _) => i += 1; e = ExArith("-", e, exprMul())
+        case _ => go = false
+      }
+      e
+    }
+
     private def exprRel(): Expr = {
-      val l = exprPrimary()
+      val l = exprAdd()
       peek match {
         case TPunct(op, _) if Seq("=", "!=", "<", "<=", ">", ">=").contains(op) =>
-          i += 1; ExCmp(op, l, exprPrimary())
+          i += 1; ExCmp(op, l, exprAdd())
         case t if isWord(t, "IN") => i += 1; ExIn(l, exprList(), neg = false)
         case t if isWord(t, "NOT") => i += 1; expectWord("IN"); ExIn(l, exprList(), neg = true)
         case _ => l
@@ -537,7 +571,31 @@ object Sparql {
       }
     }
 
-    private val AggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+    private val AggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+
+    /** the rest of an aggregate call after its name: optional DISTINCT, a
+      * star or variable argument, and an optional `; SEPARATOR="…"` clause.
+      * Shared by projection and HAVING positions. */
+    private def aggTail(w: String): PAgg = {
+      expectPunct("(")
+      val d = takeWord("DISTINCT")
+      val arg = peek match {
+        case TPunct("*", _) => i += 1; None
+        case TVar(n, _) => i += 1; Some(n)
+        case t => fail("expected * or ?var in aggregate", text, t.pos)
+      }
+      var sep: Option[String] = None
+      if (takePunct(";")) {
+        expectWord("SEPARATOR")
+        expectPunct("=")
+        next() match {
+          case TStr(s, _) => sep = Some(s)
+          case t => fail("expected a string after SEPARATOR=", text, t.pos)
+        }
+      }
+      expectPunct(")")
+      PAgg(w.toUpperCase, arg, d, sep)
+    }
 
     private def selectQuery(): QSelect = {
       val distinct = takeWord("DISTINCT")
@@ -551,16 +609,7 @@ object Sparql {
         case TPunct("(", _) =>
           i += 1
           val p = next() match {
-            case TWord(w, _) if AggNames.contains(w.toUpperCase) =>
-              expectPunct("(")
-              val d = takeWord("DISTINCT")
-              val arg = peek match {
-                case TPunct("*", _) => i += 1; None
-                case TVar(n, _) => i += 1; Some(n)
-                case t => fail("expected * or ?var in aggregate", text, t.pos)
-              }
-              expectPunct(")")
-              PAgg(w.toUpperCase, arg, d)
+            case TWord(w, _) if AggNames.contains(w.toUpperCase) => aggTail(w)
             case TVar(n, _) => PVar(n)
             case t => fail("expected aggregate or variable in (… AS ?alias)", text, t.pos)
           }
@@ -584,7 +633,13 @@ object Sparql {
           case _ => m = false
         }
       }
-      if (isWord(peek, "HAVING")) err("HAVING is not supported — FILTER on a wrapping query instead")
+      val having = Seq.newBuilder[Expr]
+      if (takeWord("HAVING")) {
+        // HavingCondition+ — bracketted expressions, conjunction overall
+        having += exprOr()
+        while (peek match { case TPunct("(", _) => true; case _ => false })
+          having += exprOr()
+      }
       val orderBy = Seq.newBuilder[(String, Boolean)]
       if (takeWord("ORDER")) {
         expectWord("BY")
@@ -616,7 +671,8 @@ object Sparql {
       }
       val ps = projs.result()
       if (!star && ps.isEmpty) err("SELECT needs a projection (or *)")
-      QSelect(distinct, star, ps, where, groupBy.result(), orderBy.result(), limit, offset)
+      QSelect(distinct, star, ps, where, groupBy.result(), having.result(),
+        orderBy.result(), limit, offset)
     }
   }
 
@@ -697,9 +753,11 @@ object Sparql {
       case _ => df.filter(compileExpr(e, df))
     }
 
-    /** numeric when either side is a numeric literal, lexical otherwise. */
+    /** numeric when either side is a numeric literal or arithmetic,
+      * lexical otherwise. */
     private def cmp(op: String, le: Expr, re: Expr, df: DataFrame): Column = {
-      val numeric = le.isInstanceOf[ExNum] || re.isInstanceOf[ExNum]
+      def isNum(e: Expr) = e.isInstanceOf[ExNum] || e.isInstanceOf[ExArith]
+      val numeric = isNum(le) || isNum(re)
       def side(e: Expr): Column = {
         val c = compileExpr(e, df)
         if (numeric) c.cast("double") else c
@@ -724,6 +782,14 @@ object Sparql {
       case ExBool(b) => lit(if (b) "true" else "false")
       case ExIri(iri) => lit(iri)
       case ExCmp(op, l, r) => cmp(op, l, r, df)
+      case ExArith(op, l, r) =>
+        val (a, b) = (compileExpr(l, df).cast("double"), compileExpr(r, df).cast("double"))
+        op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+        }
       case ExAnd(l, r) => compileExpr(l, df) && compileExpr(r, df)
       case ExOr(l, r) => compileExpr(l, df) || compileExpr(r, df)
       case ExNot(x) => !compileExpr(x, df)
@@ -761,29 +827,62 @@ object Sparql {
       case ExExists(_, _) =>
         throw new IllegalArgumentException(
           "EXISTS may appear only as a top-level FILTER conjunct (it compiles to a join)")
+      case ExAgg(fn, _, _, _) =>
+        throw new IllegalArgumentException(
+          s"aggregate $fn may appear only in a projection or HAVING constraint")
+    }
+
+    /** one aggregate column. SPARQL leaves SAMPLE's choice and GROUP_CONCAT's
+      * order implementation-defined; both are made deterministic here (min /
+      * sorted concat) so results are stable across partitionings. */
+    private def aggColumn(fn: String, arg: Option[String], d: Boolean,
+                          sep: Option[String]): Column = {
+      def a = col(arg.getOrElse(
+        throw new IllegalArgumentException(s"$fn requires a variable argument")))
+      fn match {
+        case "COUNT" if arg.isEmpty => count(lit(1))
+        case "COUNT" if d => countDistinct(a)
+        case "COUNT" => count(a)
+        case "SUM" => sum(a.cast("double"))
+        case "AVG" => avg(a.cast("double"))
+        case "MIN" => min(a.cast("double"))
+        case "MAX" => max(a.cast("double"))
+        case "SAMPLE" => min(a)
+        case "GROUP_CONCAT" =>
+          array_join(array_sort(if (d) collect_set(a) else collect_list(a)),
+            sep.getOrElse(" "))
+      }
     }
 
     def compile(q: Query): DataFrame = q match {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
-      case QSelect(distinct, star, projs, where, groupBy, orderBy, limit, offset) =>
+      case QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) =>
         var df = compileGroup(where)
-        if (groupBy.nonEmpty || projs.exists(_.value.isInstanceOf[PAgg])) {
-          val aggs = projs.collect { case Projection(alias, PAgg(fn, arg, d)) =>
-            def a = col(arg.getOrElse(
-              throw new IllegalArgumentException(s"$fn requires a variable argument")))
-            (fn match {
-              case "COUNT" if arg.isEmpty => count(lit(1))
-              case "COUNT" if d => countDistinct(a)
-              case "COUNT" => count(a)
-              case "SUM" => sum(a.cast("double"))
-              case "AVG" => avg(a.cast("double"))
-              case "MIN" => min(a.cast("double"))
-              case "MAX" => max(a.cast("double"))
-            }).as(alias)
+        if (groupBy.nonEmpty || having.nonEmpty || projs.exists(_.value.isInstanceOf[PAgg])) {
+          // HAVING aggregates become synthetic agg columns (__h0…), the
+          // constraint a plain post-aggregate filter over them
+          val hAggs = scala.collection.mutable.LinkedHashMap[ExAgg, String]()
+          def subst(e: Expr): Expr = e match {
+            case a: ExAgg => ExVar(hAggs.getOrElseUpdate(a, s"__h${hAggs.size}"))
+            case ExCmp(op, l, r) => ExCmp(op, subst(l), subst(r))
+            case ExArith(op, l, r) => ExArith(op, subst(l), subst(r))
+            case ExAnd(l, r) => ExAnd(subst(l), subst(r))
+            case ExOr(l, r) => ExOr(subst(l), subst(r))
+            case ExNot(x) => ExNot(subst(x))
+            case ExIn(x, s, n) => ExIn(subst(x), s, n)
+            case ExFn(n, args) => ExFn(n, args.map(subst))
+            case other => other
+          }
+          val havingSub = having.map(subst)
+          val aggs = projs.collect { case Projection(alias, PAgg(fn, arg, d, sep)) =>
+            aggColumn(fn, arg, d, sep).as(alias)
+          } ++ hAggs.map { case (ExAgg(fn, arg, d, sep), alias) =>
+            aggColumn(fn, arg, d, sep).as(alias)
           }
           require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
           val keys = groupBy.map(col)
           df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          havingSub.foreach(e => df = df.filter(compileExpr(e, df)))
           val plain = projs.collect { case Projection(alias, PVar(n)) => (alias, n) }
           plain.foreach { case (_, n) =>
             require(groupBy.contains(n), s"projected ?$n is neither grouped nor aggregated")

@@ -174,6 +174,36 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(got, "rows", "walls") == Set(Seq(3L, 2L)))
   }
 
+  test("arithmetic in FILTER and BIND, with precedence") {
+    val got = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h . FILTER (?h * 2 > 7) }")
+    assert(rows(got, "w") == Set(Seq("w2"))) // 3.0*2=6 fails, 12.5*2=25 passes
+    val prec = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h . FILTER (?h + 2 * 3 > 10) }")
+    assert(rows(prec, "w") == Set(Seq("w2"))) // 3+6=9 fails, 12.5+6=18.5 passes
+    val bind = q(P + "SELECT ?w ?half WHERE { ?w ifc:hasHeight ?h . BIND (?h / 2 AS ?half) }")
+    assert(rows(bind, "w", "half") == Set(Seq("w1", 1.5), Seq("w2", 6.25)))
+  }
+
+  test("HAVING filters aggregated groups; aggregates allowed in the constraint") {
+    val got = q(P + """SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x a ?c }
+      GROUP BY ?c HAVING (COUNT(?x) > 1)""")
+    assert(rows(got, "c", "n") == Set(
+      Seq(s"${ifc}Wall", 3L), Seq(s"${ifc}Storey", 2L)))
+    // two constraints conjoin; an un-projected aggregate may drive HAVING
+    val two = q(P + """SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x a ?c }
+      GROUP BY ?c HAVING (COUNT(?x) > 1) (COUNT(DISTINCT ?x) < 3)""")
+    assert(rows(two, "c", "n") == Set(Seq(s"${ifc}Wall", 3L), Seq(s"${ifc}Storey", 2L)))
+  }
+
+  test("SAMPLE and GROUP_CONCAT are deterministic (min / sorted)") {
+    val got = q(P + """SELECT ?c (SAMPLE(?x) AS ?one)
+      (GROUP_CONCAT(DISTINCT ?x; SEPARATOR="|") AS ?all)
+      WHERE { ?x a ?c } GROUP BY ?c""")
+    assert(rows(got, "c", "one", "all") == Set(
+      Seq(s"${ifc}Wall", "w1", "w1|w2"),
+      Seq(s"${ifc}Storey", "s1", "s1|s9"),
+      Seq(s"${ifc}Door", "d7", "d7")))
+  }
+
   test("DISTINCT, ORDER BY, LIMIT, OFFSET") {
     val got = q(P + "SELECT DISTINCT ?st WHERE { ?w ifc:inStorey ?st } ORDER BY DESC(?st) LIMIT 1")
     assert(rows(got, "st") == Set(Seq("s9")))
