@@ -1,0 +1,85 @@
+package graft
+
+import graft.analytics.Sparql
+import org.apache.spark.sql.SparkSession
+
+/** CLI: run a SPARQL query over an emitted triples table (the downstream
+  * half of the reference's workflow — its users load the Turtle into a
+  * triple store and query there; this keeps the query on the cluster).
+  *
+  *   runMain graft.SparqlRun <triples.parquet> <query | @file.rq> <outDir>
+  *                           [--graph-col doc_id] [--format parquet|csv]
+  *
+  * SELECT/CONSTRUCT/DESCRIBE write their solution table to `outDir`
+  * (parquet by default; csv writes a header and is meant for small,
+  * human-read results). ASK prints `true`/`false` and writes a one-row
+  * table with a boolean `ask` column, so scripted callers have both a
+  * process-output and a file contract.
+  */
+object SparqlRun {
+
+  def main(args: Array[String]): Unit = {
+    val (pos, flags) = parseArgs(args)
+    require(pos.length == 3,
+      "usage: SparqlRun <triples.parquet> <query | @file.rq> <outDir> " +
+        "[--graph-col doc_id] [--format parquet|csv]")
+    val Seq(triplesPath, queryArg, outDir) = pos.toSeq
+    val graphCol = flags.getOrElse("graph-col", "doc_id")
+    val format = flags.getOrElse("format", "parquet")
+    require(Set("parquet", "csv").contains(format), s"unknown --format $format")
+    val text =
+      if (queryArg.startsWith("@"))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(queryArg.drop(1))), java.nio.charset.StandardCharsets.UTF_8)
+      else queryArg
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sparql")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try run(spark, triplesPath, text, outDir, graphCol, format)
+    finally if (!sys.env.contains("GRAFT_KEEP_SESSION")) spark.stop()
+  }
+
+  /** The testable core: session supplied by the caller. */
+  def run(spark: SparkSession, triplesPath: String, text: String, outDir: String,
+          graphCol: String = "doc_id", format: String = "parquet"): Unit = {
+    val triples = spark.read.parquet(triplesPath)
+    val result =
+      if (isAsk(text)) {
+        val answer = Sparql.ask(triples, text, graphCol)
+        println(answer) // the process-output contract
+        import spark.implicits._
+        Seq(answer).toDF("ask")
+      } else Sparql.query(triples, text, graphCol)
+    val w = result.write.mode("overwrite")
+    if (format == "csv") w.option("header", "true").csv(outDir) else w.parquet(outDir)
+  }
+
+  /** ASK detection without a parse: first query-form keyword outside
+    * comments, IRIs, and prologue prefix labels (an IRI could contain
+    * "select"; a prefix could be named "ask:"). */
+  private[graft] def isAsk(text: String): Boolean = {
+    val clean = text.replaceAll("<[^>\\n]*>", " ") // IRIs first: they may contain '#'
+      .linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")
+      .replaceAll("(?i)\\bPREFIX\\b\\s*[A-Za-z0-9_.-]*:", " ")
+    val kw = raw"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\b".r
+    kw.findFirstIn(clean).exists(_.equalsIgnoreCase("ASK"))
+  }
+
+  private def parseArgs(args: Array[String]): (Vector[String], Map[String, String]) = {
+    var pos = Vector.empty[String]
+    var flags = Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i).startsWith("--")) {
+        require(i + 1 < args.length, s"${args(i)} needs a value")
+        flags += (args(i).drop(2) -> args(i + 1)); i += 2
+      } else { pos :+= args(i); i += 1 }
+    }
+    (pos, flags)
+  }
+}

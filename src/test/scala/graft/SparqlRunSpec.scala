@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+class SparqlRunSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-sparqlrun-$name").toString
+
+  private val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  private def writeTriples(): String = {
+    import spark.implicits._
+    val dir = tmp("triples") + "/t"
+    Seq(
+      ("d1", "w1", rdfType, "urn:Wall"),
+      ("d1", "w2", rdfType, "urn:Wall"),
+      ("d1", "d7", rdfType, "urn:Door"))
+      .toDF("doc_id", "subj", "pred", "obj")
+      .write.parquet(dir)
+    dir
+  }
+
+  test("SELECT writes the solution table to parquet") {
+    val out = tmp("select")
+    SparqlRun.run(spark, writeTriples(),
+      s"SELECT ?x WHERE { ?x <$rdfType> <urn:Wall> }", out)
+    val got = spark.read.parquet(out).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("d1", "w1"), ("d1", "w2")))
+  }
+
+  test("ASK writes a one-row boolean table") {
+    val triples = writeTriples()
+    val out = tmp("ask")
+    SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Door> }", out)
+    assert(spark.read.parquet(out).collect().map(_.getBoolean(0)).toSeq == Seq(true))
+    SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Roof> }", out)
+    assert(spark.read.parquet(out).collect().map(_.getBoolean(0)).toSeq == Seq(false))
+  }
+
+  test("csv format writes a header for human-read results") {
+    val out = tmp("csv")
+    SparqlRun.run(spark, writeTriples(),
+      s"SELECT ?x WHERE { ?x <$rdfType> <urn:Door> }", out, format = "csv")
+    val lines = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).flatMap(p =>
+        scala.io.Source.fromFile(p).getLines().toList)
+    assert(lines.head == "graph,x")
+    assert(lines.toSet.contains("d1,d7"))
+  }
+
+  test("isAsk spots the query form through prologue, comments, and IRIs") {
+    assert(SparqlRun.isAsk("PREFIX p: <urn:select/x#> ASK { ?s ?p ?o }"))
+    assert(!SparqlRun.isAsk("# ask in a comment\nSELECT ?s WHERE { ?s ?p ?o }"))
+    assert(!SparqlRun.isAsk("PREFIX ask: <urn:ask#>\nCONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
+  }
+}
