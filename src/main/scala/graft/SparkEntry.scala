@@ -170,7 +170,19 @@ object SparkEntry {
         """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
            SELECT ?cls (COUNT(?i) AS ?n) (SAMPLE(?i) AS ?one)
                   (GROUP_CONCAT(DISTINCT ?i; SEPARATOR="|") AS ?members)
-           WHERE { ?i rdf:type ?cls } GROUP BY ?cls HAVING (COUNT(?i) > 1)"""))
+           WHERE { ?i rdf:type ?cls } GROUP BY ?cls HAVING (COUNT(?i) > 1)""")),
+      // SPARQL TEXT subquery + negated property set: each list cell's
+      // contents joined to its count of non-hasContents out-edges (the
+      // aggregate computed in a { SELECT … } subquery, the NPS a pushed-down
+      // NOT-IN pred filter; the aggregating subquery drops the graph column
+      // so the join is on the projected ?cell alone)
+      "q48_sparql_subquery" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?cell ?v ?n WHERE {
+             ?cell list:hasContents ?v .
+             { SELECT ?cell (COUNT(?o) AS ?n)
+               WHERE { ?cell !list:hasContents ?o } GROUP BY ?cell }
+           }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +307,13 @@ object SparkEntry {
               string_agg(DISTINCT subj, '|' ORDER BY subj) AS members
        FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
-       GROUP BY 1 HAVING count(*) > 1""")
+       GROUP BY 1 HAVING count(*) > 1""",
+    "q48_sparql_subquery" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       c AS (SELECT doc_id, subj AS cell, obj AS v FROM trip
+             WHERE pred = 'https://w3id.org/list#hasContents'),
+       n AS (SELECT subj AS cell, count(*) AS n FROM trip
+             WHERE pred <> 'https://w3id.org/list#hasContents' GROUP BY 1)
+       SELECT c.doc_id AS graph, c.cell, c.v, n.n
+       FROM c JOIN n ON n.cell = c.cell""")
 }

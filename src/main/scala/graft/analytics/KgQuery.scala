@@ -67,6 +67,9 @@ object KgQuery {
   final case class Star(p: Path) extends Path
   /** Zero-or-one (`?`): the path's edges plus the zero-length pairs. */
   final case class Opt(p: Path) extends Path
+  /** Negated property set `!(p1|…|pk)` (forward members only): one scan
+    * with a pushed-down NOT-IN predicate filter. */
+  final case class Nps(preds: Seq[String]) extends Path
 
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val ListHasNext = "https://w3id.org/list#hasNext"
@@ -112,6 +115,10 @@ object KgQuery {
         edges(Plus(q)).unionByName(zeroLength).distinct()
       case Opt(q) =>
         edges(q).unionByName(zeroLength).distinct()
+      case Nps(preds) =>
+        require(preds.nonEmpty, "empty negated property set")
+        triples.filter(!col("pred").isInCollection(preds))
+          .select(col(graphCol).as(GraphCol), col("subj").as("src"), col("obj").as("dst"))
     }
     edges(path)
   }

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *
   * Supported subset (grammar in [[parse]]):
   *  - Query forms: SELECT [DISTINCT] (vars, `*`, and `(aggregate AS ?alias)`
-  *    projections), ASK, CONSTRUCT { template }, DESCRIBE ?var WHERE.
+  *    projections), ASK, CONSTRUCT { template }, DESCRIBE ?var WHERE /
+  *    DESCRIBE <iri>.
   *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
-  *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses), nested
-  *    groups, OPTIONAL, UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs,
-  *    BIND(expr AS ?v), VALUES (inline data).
+  *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, forward
+  *    negated property sets `!p` / `!(p1|p2)`), nested groups, subqueries
+  *    `{ SELECT … }` (joined on shared projected variables), OPTIONAL,
+  *    UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs, BIND(expr AS ?v),
+  *    VALUES (inline data).
   *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
   *    STRSTARTS, STRENDS.
@@ -48,12 +51,12 @@ import org.apache.spark.sql.functions._
   *    variables — the overwhelmingly common shape.
   *  - Unsupported (loud parse errors, never silent): blank-node syntax and
   *    collections `( … )` in triple positions (the pipeline skolemizes every
-  *    node, so its output contains neither), GRAPH/SERVICE/subqueries,
-  *    negated property sets `!(…)`.
+  *    node, so its output contains neither), GRAPH/SERVICE, inverse members
+  *    in negated property sets.
   */
 object Sparql {
 
-  import KgQuery.{Term, V, I, P, Path, Pred, Inv, PathSeq, Alt, Plus, Star, Opt, GraphCol}
+  import KgQuery.{Term, V, I, P, Path, Pred, Inv, PathSeq, Alt, Plus, Star, Opt, Nps, GraphCol}
 
   // ===================================================================
   // Lexer
@@ -181,6 +184,7 @@ object Sparql {
   private[analytics] final case class EBind(e: Expr, v: String) extends Element
   private[analytics] final case class EValues(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends Element
   private[analytics] final case class EGroup(g: Group) extends Element
+  private[analytics] final case class ESubSelect(q: QSelect) extends Element
   private[analytics] final case class Group(elems: Seq[Element])
 
   private[analytics] sealed trait ProjValue
@@ -196,6 +200,7 @@ object Sparql {
   private[analytics] final case class QAsk(where: Group) extends Query
   private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
   private[analytics] final case class QDescribe(variable: String, where: Group) extends Query
+  private[analytics] final case class QDescribeIri(iri: String) extends Query
 
   // ===================================================================
   // Parser
@@ -283,7 +288,24 @@ object Sparql {
       case t if isWord(t, "a") => Pred(RdfNs + "type")
       case TPunct("(", _) =>
         val p = pathAlt(); expectPunct(")"); p
-      case TPunct("!", p) => fail("negated property sets '!(…)' are not supported", text, p)
+      case TPunct("!", _) =>
+        // negated property set: !iri or !(p1|p2|…) — forward members only
+        // (an inverse ^p member would need a second, reversed scan)
+        def member(): String = next() match {
+          case TIri(iri, _) => base + iri
+          case p: TPName => resolve(p)
+          case t if isWord(t, "a") => RdfNs + "type"
+          case TPunct("^", p) =>
+            fail("inverse members in a negated property set are not supported", text, p)
+          case t => fail("expected an IRI in the negated property set", text, t.pos)
+        }
+        if (takePunct("(")) {
+          val ps = Seq.newBuilder[String]
+          ps += member()
+          while (takePunct("|")) ps += member()
+          expectPunct(")")
+          Nps(ps.result())
+        } else Nps(Seq(member()))
       case t => fail("expected a path element", text, t.pos)
     }
 
@@ -489,7 +511,7 @@ object Sparql {
             fail(s"${t.asInstanceOf[TWord].word.toUpperCase} is not supported " +
               "(solutions are graph-scoped to doc_id already)", text, t.pos)
           case t if isWord(t, "SELECT") =>
-            fail("subqueries are not supported", text, t.pos)
+            i += 1; elems += ESubSelect(selectQuery())
           case _ => elems += EBlock(triplesBlock())
         }
         takePunct(".")
@@ -557,12 +579,14 @@ object Sparql {
           expectWord("WHERE")
           QConstruct(tmpl, group())
         case t if isWord(t, "DESCRIBE") => i += 1
-          val v = next() match {
-            case TVar(n, _) => n
-            case tk => fail("DESCRIBE supports the ?var WHERE form only", text, tk.pos)
+          next() match {
+            case TVar(n, _) =>
+              expectWord("WHERE")
+              QDescribe(n, group())
+            case TIri(iri, _) => QDescribeIri(base + iri)
+            case p: TPName => QDescribeIri(resolve(p))
+            case tk => fail("DESCRIBE supports the ?var WHERE and <iri> forms", text, tk.pos)
           }
-          expectWord("WHERE")
-          QDescribe(v, group())
         case t => fail("expected SELECT, ASK, CONSTRUCT or DESCRIBE", text, t.pos)
       }
       peek match {
@@ -685,8 +709,17 @@ object Sparql {
   private final class Compiler(triples: DataFrame, graphCol: String) {
     private val spark = triples.sparkSession
 
-    private def joinKeys(a: DataFrame, b: DataFrame): Seq[String] =
-      GraphCol +: (a.columns.toSet.intersect(b.columns.toSet) - GraphCol).toSeq.sorted
+    /** shared-variable join keys; the graph column joins too when BOTH sides
+      * carry it (an aggregating subquery projects it away). */
+    private def joinKeys(a: DataFrame, b: DataFrame): Seq[String] = {
+      val shared = a.columns.toSet.intersect(b.columns.toSet)
+      (if (shared(GraphCol)) Seq(GraphCol) else Nil) ++ (shared - GraphCol).toSeq.sorted
+    }
+
+    private def joinOn(a: DataFrame, b: DataFrame): DataFrame = {
+      val keys = joinKeys(a, b)
+      if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys)
+    }
 
     def compileGroup(g: Group): DataFrame = {
       var acc: DataFrame = null
@@ -698,10 +731,13 @@ object Sparql {
       g.elems.foreach {
         case EBlock(pats) =>
           val df = KgQuery.bgp(triples, pats, graphCol)
-          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+          acc = if (acc == null) df else joinOn(acc, df)
         case EGroup(sub) =>
           val df = compileGroup(sub)
-          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+          acc = if (acc == null) df else joinOn(acc, df)
+        case ESubSelect(q) =>
+          val df = selectDF(q)
+          acc = if (acc == null) df else joinOn(acc, df)
         case EUnion(branches) =>
           val sols = branches.map(compileGroup)
           val allVars = sols.flatMap(_.columns).distinct.filterNot(_ == GraphCol).sorted
@@ -710,7 +746,7 @@ object Sparql {
             s.select(col(GraphCol) +:
               allVars.map(v => if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
           }.reduce(_.unionByName(_))
-          acc = if (acc == null) df else acc.join(df, joinKeys(acc, df))
+          acc = if (acc == null) df else joinOn(acc, df)
         case EOptional(sub) =>
           val df = compileGroup(sub)
           acc = need("OPTIONAL").join(df, joinKeys(acc, df), "left")
@@ -856,7 +892,34 @@ object Sparql {
 
     def compile(q: Query): DataFrame = q match {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
-      case QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) =>
+      case s: QSelect => selectDF(s)
+      case QConstruct(template, where) =>
+        val sol = compileGroup(where)
+        val bound = sol.columns.toSet
+        def t(x: Term): Column = x match {
+          case V(n) =>
+            require(bound.contains(n), s"template variable ?$n not bound by WHERE")
+            col(n)
+          case I(v) => lit(v)
+          case _ => throw new IllegalArgumentException("paths cannot appear in a CONSTRUCT template")
+        }
+        template.map { case (s, p, o) =>
+          sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
+        }.reduce(_.unionByName(_)).distinct()
+      case QDescribe(v, where) =>
+        val sol = compileGroup(where)
+        require(sol.columns.contains(v), s"DESCRIBE variable ?$v not bound by WHERE")
+        val subs = sol.select(col(GraphCol).as("__g"), col(v).as("__s")).distinct()
+        triples.join(subs,
+          col(graphCol) === col("__g") && col("subj") === col("__s"), "left_semi")
+      case QDescribeIri(iri) =>
+        // subject-star of a constant across all graphs: one pushed-down filter
+        triples.filter(col("subj") === lit(iri))
+    }
+
+    private def selectDF(q: QSelect): DataFrame = {
+      val QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) = q;
+      {
         var df = compileGroup(where)
         if (groupBy.nonEmpty || having.nonEmpty || projs.exists(_.value.isInstanceOf[PAgg])) {
           // HAVING aggregates become synthetic agg columns (__h0…), the
@@ -905,25 +968,7 @@ object Sparql {
         offset.foreach(o => df = df.offset(o))
         limit.foreach(l => df = df.limit(l))
         df
-      case QConstruct(template, where) =>
-        val sol = compileGroup(where)
-        val bound = sol.columns.toSet
-        def t(x: Term): Column = x match {
-          case V(n) =>
-            require(bound.contains(n), s"template variable ?$n not bound by WHERE")
-            col(n)
-          case I(v) => lit(v)
-          case _ => throw new IllegalArgumentException("paths cannot appear in a CONSTRUCT template")
-        }
-        template.map { case (s, p, o) =>
-          sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
-        }.reduce(_.unionByName(_)).distinct()
-      case QDescribe(v, where) =>
-        val sol = compileGroup(where)
-        require(sol.columns.contains(v), s"DESCRIBE variable ?$v not bound by WHERE")
-        val subs = sol.select(col(GraphCol).as("__g"), col(v).as("__s")).distinct()
-        triples.join(subs,
-          col(graphCol) === col("__g") && col("subj") === col("__s"), "left_semi")
+      }
     }
   }
 

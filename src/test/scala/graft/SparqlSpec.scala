@@ -151,6 +151,32 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(opt, "o") == Set(Seq("w2"), Seq("s1")))
   }
 
+  test("negated property set: everything but the listed predicates") {
+    val got = q(P + "SELECT ?s ?o WHERE { ?s !rdf:type ?o }")
+    assert(rows(got, "graph", "s", "o") == Set(
+      Seq("d1", "w1", "3.0"), Seq("d1", "w1", "s1"),
+      Seq("d1", "w2", "12.5"), Seq("d1", "w2", "s1"), Seq("d2", "w1", "s9")))
+    val multi = q(P + "SELECT ?s ?o WHERE { ?s !(rdf:type|ifc:hasHeight) ?o }")
+    assert(rows(multi, "s", "o") == Set(Seq("w1", "s1"), Seq("w2", "s1"), Seq("w1", "s9")))
+  }
+
+  test("subquery joins on its projected variables") {
+    // per-storey wall count computed in the subquery, joined to each wall
+    val got = q(P + """SELECT ?w ?n WHERE {
+      ?w a ifc:Wall .
+      { SELECT ?st (COUNT(?w2) AS ?n) WHERE { ?w2 ifc:inStorey ?st } GROUP BY ?st }
+      ?w ifc:inStorey ?st .
+    }""")
+    assert(rows(got, "graph", "w", "n") == Set(
+      Seq("d1", "w1", 2L), Seq("d1", "w2", 2L), Seq("d2", "w1", 1L)))
+  }
+
+  test("DESCRIBE <iri> returns the constant's subject-star across graphs") {
+    val got = q(P + "DESCRIBE <w1>")
+    assert(got.count() == 5) // d1: type+height+storey, d2: type+storey
+    assert(rows(got, "subj").map(_.head).toSet == Set("w1"))
+  }
+
   test("property path: closure over a chain table") {
     val chain = triples(Seq(
       ("A", "c1", "nxt", "c2"), ("A", "c2", "nxt", "c3"), ("A", "c9", "x", "y")))
@@ -246,7 +272,7 @@ class SparqlSpec extends SparkTestBase {
     bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y ] }", "blank-node")
     bad(P + "SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }", "GRAPH")
     bad(P + "SELECT ?z WHERE { ?x a ifc:Wall }", "?z is not bound")
-    bad(P + "SELECT ?x WHERE { ?x !(ifc:p) ?y }", "negated property sets")
+    bad(P + "SELECT ?x WHERE { ?x !(^ifc:p) ?y }", "inverse members")
     val e = intercept[IllegalArgumentException](q(P + "ASK { ?x a ifc:Wall }"))
     assert(e.getMessage.contains("Sparql.ask"))
   }
