@@ -49,6 +49,15 @@ class SparqlRunSpec extends SparkTestBase {
     assert(lines.toSet.contains("d1,d7"))
   }
 
+  test("CLI end-to-end over the committed pipeline expectation table") {
+    val out = tmp("kg")
+    SparqlRun.run(spark, ExpectedGen.TriplesFile,
+      """PREFIX list: <https://w3id.org/list#>
+         SELECT ?cell ?v WHERE { ?cell list:hasContents ?v }""", out)
+    // one row per contents cell — the same population q38's oracle pins (56)
+    assert(spark.read.parquet(out).count() == 56)
+  }
+
   test("isAsk spots the query form through prologue, comments, and IRIs") {
     assert(SparqlRun.isAsk("PREFIX p: <urn:select/x#> ASK { ?s ?p ?o }"))
     assert(!SparqlRun.isAsk("# ask in a comment\nSELECT ?s WHERE { ?s ?p ?o }"))
