@@ -95,4 +95,26 @@ class PlanShapeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("SPARQL pattern constants and negated property sets reach the parquet scan") {
+    import graft.analytics.Sparql
+    // a triples table ON DISK: pushdown is only observable on a file scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-planshape-sparql").toString + "/t"
+    import spark.implicits._
+    Seq(("d1", "a", "urn:p", "b"), ("d1", "b", "urn:q", "c"))
+      .toDF("doc_id", "subj", "pred", "obj").write.parquet(dir)
+    val triples = spark.read.parquet(dir)
+
+    val bgp = Sparql.query(triples, "SELECT ?s ?o WHERE { ?s <urn:p> ?o }")
+    bgp.collect()
+    val p1 = bgp.queryExecution.executedPlan.toString
+    withClue(p1)(assert(p1.contains("PushedFilters: [IsNotNull(pred), EqualTo(pred,urn:p)]"),
+      "the constant-predicate filter must reach the parquet reader"))
+
+    val nps = Sparql.query(triples, "SELECT ?s ?o WHERE { ?s !(<urn:p>) ?o }")
+    nps.collect()
+    val p2 = nps.queryExecution.executedPlan.toString
+    withClue(p2)(assert(p2.contains("Not(EqualTo(pred,urn:p))"),
+      "the negated-property-set filter must reach the parquet reader"))
+  }
 }
