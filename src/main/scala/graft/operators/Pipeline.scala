@@ -21,8 +21,13 @@ import org.apache.spark.storage.StorageLevel
   *    in checkpoint/resume mode) and consumed by the D2 join's three sides;
   *  - the emitted triple stream is consumed exactly once, unmaterialized
   *    (except in checkpoint mode, where Stage C is a resumable stage table);
-  *  - the E6 canonical-wrapper selection and the E9 triple-set dedup fuse
-  *    into one hash aggregate (the single wide edge after the D2 join).
+  *  - the E6 canonical-wrapper selection and the E9 triple-set dedup run
+  *    DOC-LOCALLY by default (every dedup key carries doc_id): statements
+  *    repartition by doc_id BEFORE the ~13x Stage-C triple fan-out, and the
+  *    emitted stream never crosses the network (measured 1.5-1.9x,
+  *    graft.FinishBench). The spill-safe alternative — the same dedup as one
+  *    global fused hash aggregate over the encoded triple stream — serves
+  *    checkpoint mode and near-maxDocChars corpora (Options.docLocalFinish).
   * Per-partition lineage rows (stage, partition, rows in/out, errors,
   * wall_ms) are collected by accumulator from Stages A and C.
   */
@@ -103,7 +108,47 @@ object Pipeline {
     * resourceMap/getResource, RDFWriter.java:1092-1105). The canonical
     * class IRI is decoded through a tiny broadcast dimension.
     */
-  def finish(data: DataFrame, baseURI: String)(implicit spark: SparkSession): DataFrame = {
+  def finish(data: DataFrame, baseURI: String)(implicit spark: SparkSession): DataFrame =
+    decode(dedupAgg(data), baseURI)
+
+  /** The E6+E9 fused hash aggregate (see [[finish]]): encoded candidate rows
+    * in, one deduped encoded row per triple out (`m` = min priority). */
+  private[graft] def dedupAgg(data: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
+    // src_line clamps to 2^36 - 1, so the product stays below Long.MaxValue;
+    // the 14-bit class field fits the 8-schema-dictionary class universe)
+    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit((1L << 36) - 1)) * 4096L +
+      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 16384L +
+      when($"wcls" >= 0, $"wcls").otherwise(0)
+    // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
+    // never by an obj sentinel: a real empty-string IFC literal ('' is common
+    // in real files) must keep obj = "" and not be rewritten to a class IRI
+    // group on the fully-encoded key (tag + long pairs + the residual
+    // strings; no namespace bytes, no instance-local strings).
+    // NOTE the wrapper-row group key neutralizes ALL THREE obj carriers
+    // (og, otg, ov): candidate classes differ per use, and the canonical one
+    // is re-derived from min(prio)'s class field — not from the group key
+    data
+      .groupBy($"doc_id", $"subj", shiftright($"so_tag", 3).as("stg"), $"subj_val",
+        $"pred_id", ($"wcls" >= 0).as("is_wtype"),
+        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"),
+        when($"wcls" >= 0, lit(0)).otherwise($"so_tag" % 8).as("otg"),
+        when($"wcls" >= 0, lit(-1L)).otherwise($"obj_val").as("ov"), $"kd")
+      .agg(min(prio).as("m"))
+  }
+
+  /** IRI restoration over the deduped encoded rows (columns doc_id, subj,
+    * stg, subj_val, pred_id, is_wtype, og, otg, ov, kd, m): subj = baseURI +
+    * decoded local; obj = wrapper class IRI (classDim), static-vocab IRI
+    * (vocabDim), baseURI + decoded instance local, or the literal lexical
+    * form as-is. The Named/Mint locals decode through shifts + two tiny
+    * broadcast local-name dims; `n` + lower(hex()) reproduces
+    * Long.toUnsignedString(h, 16) exactly (no zero-padding on positives, 16
+    * digits on negatives — pinned by StageDSpec). All dims broadcast: this
+    * pass is narrow regardless of which dedup produced its input. */
+  private[graft] def decode(deduped: DataFrame, baseURI: String)
+                           (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     import graft.model.{TripleRow => TR}
     import graft.schema.{ClassIds, PredIds, VocabIds}
@@ -127,33 +172,7 @@ object Pipeline {
     val objLocalDim = broadcast(localPairs.toDF("olm_id", "olm_local"))
     // kd decode is a pure expression (6-entry closed datatype universe)
     val dtArr = array(PredIds.Datatypes.map(lit): _*)
-    // m = ((src_line + 2) * 2^12 + (slot + 1)) * 2^14 + classId  (< 2^63:
-    // src_line clamps to 2^36 - 1, so the product stays below Long.MaxValue;
-    // the 14-bit class field fits the 8-schema-dictionary class universe)
-    val prio = (least(greatest($"src_line", lit(-1L)) + 2L, lit((1L << 36) - 1)) * 4096L +
-      least(greatest($"slot", lit(-1)) + 1, lit(4095))) * 16384L +
-      when($"wcls" >= 0, $"wcls").otherwise(0)
-    // wrapper rdf:type candidate rows are keyed by an EXPLICIT boolean flag,
-    // never by an obj sentinel: a real empty-string IFC literal ('' is common
-    // in real files) must keep obj = "" and not be rewritten to a class IRI
-    // group on the fully-encoded key (tag + long pairs + the residual
-    // strings; no namespace bytes, no instance-local strings), then restore
-    // IRIs: subj = baseURI + decoded local; obj = wrapper class IRI
-    // (classDim), static-vocab IRI (vocabDim), baseURI + decoded instance
-    // local, or the literal lexical form as-is. The Named/Mint locals decode
-    // through shifts + two tiny broadcast local-name dims; `n` + lower(hex())
-    // reproduces Long.toUnsignedString(h, 16) exactly (no zero-padding on
-    // positives, 16 digits on negatives — pinned by StageDSpec).
-    // NOTE the wrapper-row group key neutralizes ALL THREE obj carriers
-    // (og, otg, ov): candidate classes differ per use, and the canonical one
-    // is re-derived from min(prio)'s class field — not from the group key
-    data
-      .groupBy($"doc_id", $"subj", shiftright($"so_tag", 3).as("stg"), $"subj_val",
-        $"pred_id", ($"wcls" >= 0).as("is_wtype"),
-        when($"wcls" >= 0, lit("")).otherwise($"obj").as("og"),
-        when($"wcls" >= 0, lit(0)).otherwise($"so_tag" % 8).as("otg"),
-        when($"wcls" >= 0, lit(-1L)).otherwise($"obj_val").as("ov"), $"kd")
-      .agg(min(prio).as("m"))
+    deduped
       .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
       // LEFT join + loud decode: an unmapped pred_id must SURFACE (this is a
       // public seam fed caller-built frames), consistent with PredIds.id's
@@ -193,6 +212,67 @@ object Pipeline {
         ((shiftright($"m", 14) % 4096L).cast("int") - 1).as("slot"))
   }
 
+  /** One deduped encoded row: the [[dedupAgg]] output schema, column-for-
+    * column, so [[decode]] accepts either producer. */
+  private[graft] final case class DedupedRow(doc_id: String, subj: String, stg: Int,
+      subj_val: Long, pred_id: Int, is_wtype: Boolean, og: String, otg: Int,
+      ov: Long, kd: Int, m: Long)
+
+  /** Doc-local E6+E9: the same dedup/canonicalization as [[dedupAgg]], run
+    * inside one task per document over a doc-contiguous candidate stream
+    * (Stage C after `repartition(doc_id).sortWithinPartitions(doc_id)`).
+    * Every [[dedupAgg]] group key starts with doc_id, so a per-doc hash map
+    * is semantically identical to the global aggregate — but the wide edge
+    * then carries STATEMENTS (1x rows, upstream of the ~13x triple fan-out)
+    * instead of encoded triples. Memory: one document's deduped triples per
+    * task (same whole-doc envelope as the tokenizer); a corpus of mega-docs
+    * should keep the spill-safe aggregate instead. */
+  private[graft] def docLocalDedup(emitted: Dataset[TripleRow]): DataFrame = {
+    val spark = emitted.sparkSession
+    import spark.implicits._
+    emitted.mapPartitions { it =>
+      type Key = (String, Int, Long, Int, Boolean, String, Int, Long, Int)
+      val acc = scala.collection.mutable.LinkedHashMap[Key, Long]()
+      var curDoc: String = null
+      var out: Iterator[DedupedRow] = Iterator.empty
+      def add(r: TripleRow): Unit = {
+        val w = r.wcls >= 0
+        val key: Key = (r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
+          if (w) "" else r.obj, if (w) 0 else r.so_tag % 8,
+          if (w) -1L else r.obj_val, r.kd)
+        // identical clamps to dedupAgg's `prio` column
+        val lineC = math.min(math.max(r.src_line, -1L) + 2L, (1L << 36) - 1)
+        val slotC = math.min(math.max(r.slot, -1) + 1, 4095).toLong
+        val p = (lineC * 4096L + slotC) * 16384L + (if (w) r.wcls.toLong else 0L)
+        acc.get(key) match {
+          case Some(m) => if (p < m) acc(key) = p
+          case None => acc(key) = p
+        }
+      }
+      def flushDoc(): Iterator[DedupedRow] = {
+        val doc = curDoc
+        val rows = acc.iterator.map { case ((subj, stg, sv, pid, w, og, otg, ov, kd), m) =>
+          DedupedRow(doc, subj, stg, sv, pid, w, og, otg, ov, kd, m)
+        }.toVector
+        acc.clear()
+        rows.iterator
+      }
+      new Iterator[DedupedRow] {
+        def hasNext: Boolean = {
+          while (!out.hasNext && it.hasNext) {
+            val r = it.next()
+            if (curDoc == null) curDoc = r.doc_id
+            else if (r.doc_id != curDoc) { out = flushDoc(); curDoc = r.doc_id }
+            add(r)
+          }
+          if (!out.hasNext && !it.hasNext && acc.nonEmpty) out = flushDoc()
+          out.hasNext
+        }
+        def next(): DedupedRow = out.next()
+      }
+    }.toDF
+  }
+
   final case class Options(
       removeDuplicates: Boolean = false,
       /** D2 target-replication factor; 1 = AQE-only skew handling (measured
@@ -220,7 +300,21 @@ object Pipeline {
         * task's heap, same envelope as the reference's whole-file linemap,
         * README.md:34); docs above this many chars abort with an
         * `oversize_doc` marker instead of risking executor OOM */
-      maxDocChars: Long = Tokenizer.DefaultMaxDocChars)
+      maxDocChars: Long = Tokenizer.DefaultMaxDocChars,
+      /** Stage-D strategy. Some(true) = doc-local dedup ([[docLocalDedup]]:
+        * the wide edge carries statements, ~1/13 the rows of the encoded
+        * triple stream — measured 1.5-1.9x end-to-end, graft.FinishBench —
+        * at the cost of whole-doc task memory, the same envelope as the
+        * reference's in-heap Jena model, and one-task-per-mega-doc
+        * serialization); Some(false) = the spill-safe global hash aggregate
+        * (prefer it for corpora of near-maxDocChars documents). None
+        * (default) = doc-local, except in checkpoint mode: a parquet
+        * stage-table re-read may split a document across input partitions,
+        * breaking the doc-contiguity the local dedup relies on, so
+        * checkpointDir forces the aggregate (explicit Some(true) there is
+        * refused loudly). Identical output either way (pinned by
+        * StageDSpec). */
+      docLocalFinish: Option[Boolean] = None)
 
   /** S8 generic consumer seam, mirroring the reference's caller-supplied
     * per-triple StreamRDF sink (convert(file, StreamRDF, base),
@@ -269,8 +363,18 @@ object Pipeline {
         (c, Seq(c))
     }
 
+    val docLocal = opts.docLocalFinish.getOrElse(opts.checkpointDir.isEmpty)
+    require(!(docLocal && opts.checkpointDir.nonEmpty),
+      "docLocalFinish needs doc-contiguous partitions; a checkpoint stage-table " +
+        "re-read may split a document across input splits")
+
     // ---- Stage B ----
-    val linked = Linker.link(stmts, opts.removeDuplicates, opts.salt)
+    val linked0 = Linker.link(stmts, opts.removeDuplicates, opts.salt)
+    // doc-local finish: co-locate each document's statements now (1x rows),
+    // so no exchange is needed after the ~13x triple fan-out of Stage C
+    val linked = if (docLocal)
+      linked0.repartition($"doc_id").sortWithinPartitions($"doc_id")
+    else linked0
 
     // ---- Stage C ---- narrow; dictionaries load from the executor classpath
     val base = baseURI
@@ -323,7 +427,10 @@ object Pipeline {
     // (per-row facts of the self-contained documents) and applied inside the
     // emitter, so the finishing pass is a pure filter + one hash aggregate.
     val isMarker = $"kd" === PredIds.MarkerKd
-    val finalTriples = finish(emitted.filter(!isMarker), baseURI)
+    val finalTriples =
+      if (docLocal)
+        decode(docLocalDedup(emitted.filter(!isMarker).as[TripleRow]), baseURI)
+      else finish(emitted.filter(!isMarker), baseURI)
 
     // markers: the emitter's in-band diagnostics. In checkpoint mode they
     // read the Stage-C stage table (no recompute); with persistEmitted they

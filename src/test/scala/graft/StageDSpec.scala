@@ -73,19 +73,25 @@ class StageDSpec extends SparkTestBase {
     assert(out.head.getAs[Int]("slot") == 1)
   }
 
-  test("pipeline physical plan: zero sorts, at most two true repartitions") {
+  private def finalPlan(docLocal: Boolean): String = {
     import spark.implicits._
     val docs = spark.createDataset((0 until 24).map(i =>
       graft.sources.SynthCorpus.genDoc(i.toLong, 40, skew = false, seed = 7L)))
-    val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI)
+    val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
+      Pipeline.Options(docLocalFinish = Some(docLocal)))
     val df = r.triples
     df.collect() // materialize so AQE settles on the final plan
     val full = df.queryExecution.executedPlan.toString
+    r.unpersist()
     // under AQE the string carries final + initial plans; judge only the final
-    val plan = full.indexOf("== Initial Plan ==") match {
+    full.indexOf("== Initial Plan ==") match {
       case -1 => full
       case i  => full.substring(0, i)
     }
+  }
+
+  test("aggregate-mode physical plan: zero sorts, at most two true repartitions") {
+    val plan = finalPlan(docLocal = false)
     withClue(plan) {
       assert(!plan.contains("Sort"), "Stage D must stay a HashAggregate (no SortAggregate/SortMergeJoin)")
       // With measured stats from the materialized Stage-A cache the INITIAL
@@ -100,7 +106,26 @@ class StageDSpec extends SparkTestBase {
       assert(shuffles - localReads <= 2,
         s"expected <= 2 true repartitions, saw $shuffles stages with only $localReads local reads")
     }
-    r.unpersist()
+  }
+
+  test("doc-local (default) physical plan: the triple stream never shuffles") {
+    val plan = finalPlan(docLocal = true)
+    withClue(plan) {
+      // every exchange keys on doc_id ALONE (the statement co-location and
+      // the refMap groupBy side) — the old 13x wide edge keyed on the full
+      // encoded triple tuple (doc_id, subj, …) must be gone
+      val exchanges = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(_.contains("subj")),
+        "no exchange may carry the emitted triple stream")
+      // no aggregate at all in Stage D — dedup ran inside the per-doc tasks
+      assert(!plan.contains("SortAggregate"))
+      // the one Sort is the LOCAL statement sort on doc_id (global=false)
+      val sorts = "Sort \\[([^\\]]*)\\], (\\w+)".r.findAllMatchIn(plan).toSeq
+      assert(sorts.forall(m => m.group(1).startsWith("doc_id") && m.group(2) == "false"),
+        "only the within-partition doc_id statement sort is allowed")
+    }
   }
 
   test("finish: AbsIriKd objects pass through verbatim; unknown pred_id fails loud") {
@@ -166,6 +191,45 @@ class StageDSpec extends SparkTestBase {
       r.unpersist(); out
     }
     assert(tripleSet(1) == tripleSet(8))
+  }
+
+  test("docLocalFinish is output-identical to the global aggregate (triples + markers)") {
+    import spark.implicits._
+    // synthetic corpus with skewed mega-docs: exercises wrapper reuse (E6
+    // min-prio canonicalization), every encoding tag, and multi-doc flushes
+    val docs = spark.createDataset((0 until 12).map(i =>
+      graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)))
+    def outputs(docLocal: Boolean): (Seq[String], Seq[String]) = {
+      val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
+        Pipeline.Options(docLocalFinish = Some(docLocal)))
+      val t = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
+      val m = r.markersDF.collect().map(_.toSeq.mkString("")).toSeq.sorted
+      r.unpersist(); (t, m)
+    }
+    val (aggT, aggM) = outputs(docLocal = false)
+    val (locT, locM) = outputs(docLocal = true)
+    assert(locT == aggT)
+    assert(locM == aggM)
+    // golden fixture corpus too, when mounted: the full branch surface
+    if (graft.sources.FixtureDocs.available()) {
+      val fix = spark.createDataset(graft.sources.FixtureDocs.docs())
+      def fixSet(docLocal: Boolean): Seq[String] = {
+        val r = Pipeline.run(fix, graft.sources.FixtureDocs.BaseURI,
+          Pipeline.Options(docLocalFinish = Some(docLocal)))
+        val out = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
+        r.unpersist(); out
+      }
+      assert(fixSet(docLocal = true) == fixSet(docLocal = false))
+    }
+  }
+
+  test("docLocalFinish refuses checkpoint mode (contiguity contract)") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(ifcDoc("c0", "#1= IFCORGANIZATION($,'x',$,$,$);\n")))
+    val e = intercept[IllegalArgumentException](
+      Pipeline.run(docs, "http://b/", Pipeline.Options(
+        docLocalFinish = Some(true), checkpointDir = Some("/tmp/graft-ckpt-refuse"))))
+    assert(e.getMessage.contains("doc-contiguous"))
   }
 
   test("persistEmitted: markers after a triples action re-run no stage") {
