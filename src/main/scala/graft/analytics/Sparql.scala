@@ -751,11 +751,12 @@ object Sparql {
           val df = compileGroup(sub)
           acc = need("OPTIONAL").join(df, joinKeys(acc, df), "left")
         case EMinus(sub) =>
+          val a = need("MINUS")
           val df = compileGroup(sub)
-          val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
+          val shared = a.columns.toSet.intersect(df.columns.toSet) - GraphCol
           // SPARQL MINUS with disjoint domains removes nothing
           if (shared.nonEmpty)
-            acc = need("MINUS").join(df, joinKeys(acc, df), "left_anti")
+            acc = a.join(df, joinKeys(a, df), "left_anti")
         case EFilter(e) => filters += e
         case EBind(e, v) =>
           val a = need("BIND")
