@@ -791,13 +791,16 @@ object Sparql {
     }
 
     /** numeric when either side is a numeric literal or arithmetic,
-      * lexical otherwise. */
+      * lexical otherwise. try_cast, not cast: a non-numeric binding under a
+      * numeric comparison is a SPARQL type error whose solution drops —
+      * under Spark's ANSI mode a plain cast would ABORT the whole query on
+      * the first such row (found by SparqlFuzzSpec). */
     private def cmp(op: String, le: Expr, re: Expr, df: DataFrame): Column = {
       def isNum(e: Expr) = e.isInstanceOf[ExNum] || e.isInstanceOf[ExArith]
       val numeric = isNum(le) || isNum(re)
       def side(e: Expr): Column = {
         val c = compileExpr(e, df)
-        if (numeric) c.cast("double") else c
+        if (numeric) c.try_cast("double") else c
       }
       val (l, r) = (side(le), side(re))
       op match {
@@ -820,7 +823,9 @@ object Sparql {
       case ExIri(iri) => lit(iri)
       case ExCmp(op, l, r) => cmp(op, l, r, df)
       case ExArith(op, l, r) =>
-        val (a, b) = (compileExpr(l, df).cast("double"), compileExpr(r, df).cast("double"))
+        // try_cast: arithmetic over a non-numeric binding yields NULL (the
+        // solution drops at the consuming filter), never an ANSI abort
+        val (a, b) = (compileExpr(l, df).try_cast("double"), compileExpr(r, df).try_cast("double"))
         op match {
           case "+" => a + b
           case "-" => a - b
@@ -880,10 +885,10 @@ object Sparql {
         case "COUNT" if arg.isEmpty => count(lit(1))
         case "COUNT" if d => countDistinct(a)
         case "COUNT" => count(a)
-        case "SUM" => sum(a.cast("double"))
-        case "AVG" => avg(a.cast("double"))
-        case "MIN" => min(a.cast("double"))
-        case "MAX" => max(a.cast("double"))
+        case "SUM" => sum(a.try_cast("double"))
+        case "AVG" => avg(a.try_cast("double"))
+        case "MIN" => min(a.try_cast("double"))
+        case "MAX" => max(a.try_cast("double"))
         case "SAMPLE" => min(a)
         case "GROUP_CONCAT" =>
           array_join(array_sort(if (d) collect_set(a) else collect_list(a)),

@@ -1,0 +1,139 @@
+package graft
+
+import graft.analytics.Sparql
+import org.apache.spark.sql.DataFrame
+
+/** Property fuzz for the SPARQL text path: random graphs x random
+  * BGP+FILTER queries, rendered to TEXT, planned by the parser+compiler,
+  * and compared — as BAGS, per SPARQL's solution-multiset semantics —
+  * against an independent brute-force evaluator written directly from the
+  * spec (sequential binding extension per graph). Catches join/projection/
+  * filter-compilation bugs the hand-written examples can't enumerate. */
+class SparqlFuzzSpec extends SparkTestBase {
+
+  private type Triple = (String, String, String, String) // graph, s, p, o
+  private type Binding = Map[String, String]
+
+  // ---- independent evaluator (no Spark, no shared code with the compiler)
+
+  private def matchPattern(t: Triple, pat: (String, String, String),
+                           b: Binding): Option[Binding] = {
+    def unify(term: String, value: String, acc: Binding): Option[Binding] =
+      if (term.startsWith("?")) acc.get(term.drop(1)) match {
+        case Some(bound) => if (bound == value) Some(acc) else None
+        case None => Some(acc + (term.drop(1) -> value))
+      }
+      else if (term == value) Some(acc)
+      else None
+    for {
+      b1 <- unify(pat._1, t._2, b)
+      b2 <- unify(pat._2, t._3, b1)
+      b3 <- unify(pat._3, t._4, b2)
+    } yield b3
+  }
+
+  /** all solution bindings of the BGP, bag semantics, graph-scoped */
+  private def bruteBgp(triples: Seq[Triple], pats: Seq[(String, String, String)]): Seq[(String, Binding)] =
+    triples.map(_._1).distinct.flatMap { g =>
+      val inG = triples.filter(_._1 == g)
+      pats.foldLeft(Seq(Map.empty[String, String])) { (solutions, pat) =>
+        solutions.flatMap(b => inG.flatMap(t => matchPattern(t, pat, b)))
+      }.map(g -> _)
+    }
+
+  /** the compiler's documented comparison rule: numeric when the constant
+    * side is numeric (uncastable binding -> dropped), lexical otherwise */
+  private def bruteFilter(sols: Seq[(String, Binding)],
+                          f: Option[(String, String, String)]): Seq[(String, Binding)] =
+    f match {
+      case None => sols
+      case Some((v, op, const)) => sols.filter { case (_, b) =>
+        val value = b(v)
+        op match {
+          case "=" => value == const
+          case "strstarts" => value.startsWith(const)
+          case ">" => value.toDoubleOption.exists(_ > const.toDouble)
+          case "<" => value.toDoubleOption.exists(_ < const.toDouble)
+        }
+      }
+    }
+
+  private def bag[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+
+  test("random BGP+FILTER queries: text plan == brute-force evaluator (bag semantics)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Gen.oneOf("s0", "s1", "s2", "s3", "s4")
+    val preds = Gen.oneOf("urn:p0", "urn:p1", "urn:p2")
+    val objects = Gen.frequency(
+      2 -> subjects,                       // entity refs -> join-able chains
+      2 -> Gen.oneOf("l0", "l1", "l2"),    // plain literals
+      1 -> Gen.choose(1, 9).map(_.toString)) // numerics -> numeric FILTERs
+    val graphs = Gen.oneOf("d0", "d1")
+    val tripleGen = for { g <- graphs; s <- subjects; p <- preds; o <- objects } yield (g, s, p, o)
+
+    val vars = Seq("?a", "?b", "?c")
+    def term(constGen: Gen[String]): Gen[String] =
+      Gen.frequency(2 -> Gen.oneOf(vars), 1 -> constGen)
+    val patGen = for {
+      s <- term(subjects)
+      p <- Gen.frequency(4 -> preds, 1 -> Gen.const("?p")) // occasional var pred
+      o <- term(Gen.frequency(2 -> Gen.oneOf("l0", "l1", "l2"), 1 -> subjects))
+    } yield (s, p, o)
+
+    val queryGen = for {
+      nPat <- Gen.choose(1, 3)
+      pats <- Gen.listOfN(nPat, patGen)
+      filt <- Gen.option(for {
+        op <- Gen.oneOf("=", "strstarts", ">", "<")
+        const <- op match {
+          case "=" => Gen.oneOf("l0", "s1", "3")
+          case "strstarts" => Gen.oneOf("s", "l", "urn:")
+          case _ => Gen.choose(1, 9).map(_.toString)
+        }
+      } yield (op, const))
+    } yield (pats, filt)
+
+    def render(term: String): String =
+      if (term.startsWith("?")) term
+      else if (term.forall(_.isDigit)) term // bare numeric literal
+      else s"<$term>" // IRI token; base is empty so <s0> matches lexical "s0"
+
+    val prop = Prop.forAll(Gen.listOfN(14, tripleGen), queryGen) { (triples, q) =>
+      val (pats, filtRaw) = q
+      val usedVars = pats.flatMap(p => Seq(p._1, p._2, p._3)).filter(_.startsWith("?")).distinct
+      (usedVars.isEmpty || triples.isEmpty) || {
+        // FILTER only on a var the patterns bind
+        val filt = filtRaw.map { case (op, const) => (usedVars.head.drop(1), op, const) }
+        val filterText = filt.map { case (v, op, const) =>
+          val rendered = op match {
+            case "strstarts" => s"""STRSTARTS(?$v, "$const")"""
+            case "=" => if (const.forall(_.isDigit)) s"?$v = $const" else s"""?$v = "$const""""
+            case o => s"?$v $o $const"
+          }
+          s" FILTER ($rendered)"
+        }.getOrElse("")
+        val text = s"SELECT ${usedVars.mkString(" ")} WHERE { " +
+          pats.map(p => s"${render(p._1)} ${render(p._2)} ${render(p._3)} .").mkString(" ") +
+          s"$filterText }"
+
+        val df: DataFrame = Sparql.query(
+          triples.toDF("doc_id", "subj", "pred", "obj"), text)
+        val got = bag(df.collect().toSeq.map(_.toSeq.map(_.asInstanceOf[String])))
+
+        val wantSols = bruteFilter(
+          bruteBgp(triples, pats.map(p => (p._1, p._2, p._3))), filt)
+        val want = bag(wantSols.map { case (g, b) =>
+          g +: usedVars.map(v => b(v.drop(1)))
+        })
+        if (got != want) {
+          println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
