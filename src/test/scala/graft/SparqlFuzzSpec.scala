@@ -136,4 +136,98 @@ class SparqlFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- property paths: random path AST vs brute-force closure ----
+
+  private sealed trait BPath
+  private case class BPred(p: String) extends BPath
+  private case class BInv(p: BPath) extends BPath
+  private case class BSeq(a: BPath, b: BPath) extends BPath
+  private case class BAlt(a: BPath, b: BPath) extends BPath
+  private case class BPlus(p: BPath) extends BPath
+  private case class BStar(p: BPath) extends BPath
+  private case class BOpt(p: BPath) extends BPath
+  private case class BNps(ps: Seq[String]) extends BPath
+
+  private def renderPath(p: BPath): String = p match {
+    case BPred(x) => s"<$x>"
+    case BInv(x) => s"^(${renderPath(x)})"
+    case BSeq(a, b) => s"(${renderPath(a)})/(${renderPath(b)})"
+    case BAlt(a, b) => s"(${renderPath(a)})|(${renderPath(b)})"
+    case BPlus(x) => s"(${renderPath(x)})+"
+    case BStar(x) => s"(${renderPath(x)})*"
+    case BOpt(x) => s"(${renderPath(x)})?"
+    case BNps(ps) => s"!(${ps.map(x => s"<$x>").mkString("|")})"
+  }
+
+  private def closure(edges: Set[(String, String)]): Set[(String, String)] = {
+    var acc = edges
+    var grew = true
+    while (grew) {
+      val next = acc ++ (for ((a, b) <- acc; (c, d) <- acc if b == c) yield (a, d))
+      grew = next.size > acc.size
+      acc = next
+    }
+    acc
+  }
+
+  /** SPARQL 1.1 path evaluation over one graph's triples, set semantics
+    * (the query wraps in SELECT DISTINCT). Zero-length pairs range over ALL
+    * terms of the graph, per spec sec 9.3. */
+  private def brutePath(inG: Seq[Triple], p: BPath): Set[(String, String)] = {
+    lazy val terms: Set[String] = inG.flatMap(t => Seq(t._2, t._4)).toSet
+    p match {
+      case BPred(x) => inG.collect { case (_, s, pp, o) if pp == x => (s, o) }.toSet
+      case BInv(x) => brutePath(inG, x).map(_.swap)
+      case BSeq(a, b) =>
+        val bs = brutePath(inG, b)
+        for ((x, y) <- brutePath(inG, a); (y2, z) <- bs if y == y2) yield (x, z)
+      case BAlt(a, b) => brutePath(inG, a) ++ brutePath(inG, b)
+      case BPlus(x) => closure(brutePath(inG, x))
+      case BStar(x) => closure(brutePath(inG, x)) ++ terms.map(t => (t, t))
+      case BOpt(x) => brutePath(inG, x) ++ terms.map(t => (t, t))
+      case BNps(ps) => inG.collect { case (_, s, pp, o) if !ps.contains(pp) => (s, o) }.toSet
+    }
+  }
+
+  test("random property paths: text plan == brute-force closure (set semantics)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val preds = Seq("urn:p0", "urn:p1", "urn:p2")
+    val nodes = Gen.oneOf("n0", "n1", "n2", "n3")
+    val tripleGen = for {
+      g <- Gen.oneOf("d0", "d1"); s <- nodes; p <- Gen.oneOf(preds); o <- nodes
+    } yield (g, s, p, o)
+
+    def pathGen(depth: Int): Gen[BPath] =
+      if (depth <= 0) Gen.frequency(
+        4 -> Gen.oneOf(preds).map(BPred),
+        1 -> Gen.someOf(preds).suchThat(_.nonEmpty).map(ps => BNps(ps.toSeq)))
+      else Gen.frequency(
+        3 -> pathGen(0),
+        1 -> pathGen(depth - 1).map(BInv),
+        2 -> Gen.zip(pathGen(depth - 1), pathGen(depth - 1)).map(t => BSeq(t._1, t._2)),
+        2 -> Gen.zip(pathGen(depth - 1), pathGen(depth - 1)).map(t => BAlt(t._1, t._2)),
+        1 -> pathGen(depth - 1).map(BPlus),
+        1 -> pathGen(depth - 1).map(BStar),
+        1 -> pathGen(depth - 1).map(BOpt))
+
+    val prop = Prop.forAll(Gen.listOfN(10, tripleGen), pathGen(2)) { (triples, path) =>
+      triples.isEmpty || {
+        val text = s"SELECT DISTINCT ?x ?y WHERE { ?x ${renderPath(path)} ?y }"
+        val got = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        val want = triples.map(_._1).distinct.flatMap { g =>
+          brutePath(triples.filter(_._1 == g), path).map { case (x, y) => (g, x, y) }
+        }.toSet
+        if (got != want) {
+          println(s"PATH: $text\nTRIPLES: $triples\nGOT-WANT: ${got -- want}\nWANT-GOT: ${want -- got}")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
