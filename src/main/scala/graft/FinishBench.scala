@@ -4,10 +4,11 @@ import graft.operators.Pipeline
 import graft.sources.SynthCorpus
 import org.apache.spark.sql.SparkSession
 
-/** Diagnostic: interleaved A/B of the Stage-D strategy — global fused hash
-  * aggregate over the encoded triple stream (the 13x-row wide edge) vs
-  * doc-local dedup after a statement repartition (1x-row wide edge,
-  * whole-doc task memory) — on uniform and skewed staged corpora. Only
+/** Diagnostic: interleaved A/B/C of the pipeline strategy — global fused
+  * hash aggregate over the encoded triple stream (13x-row wide edge) vs
+  * doc-local dedup after a statement repartition (1x-row wide edge) vs the
+  * fused single-pass mode (zero wide edges) — on uniform and skewed staged
+  * corpora. Only
   * paired min-of-N comparisons are meaningful on this host (multi-minute
   * throughput windows). Not part of the driver contract.
   *
@@ -34,21 +35,28 @@ object FinishBench {
     val uniform = staged("uniform", skew = false)
     val skewed = staged("skewed", skew = true)
 
-    // warm-up (classload + codegen), uncounted — both paths
-    for (dl <- Seq(false, true)) {
-      val w = Pipeline.run(SynthCorpus.docs(spark, 50, 50), SynthCorpus.BaseURI,
-        Pipeline.Options(docLocalFinish = Some(dl)))
+    // three strategies: global aggregate, doc-local finish, fused single-pass
+    def optsOf(mode: String) = mode match {
+      case "agg" => Pipeline.Options(docLocalFinish = Some(false), fusedPipeline = Some(false))
+      case "doclocal" => Pipeline.Options(docLocalFinish = Some(true), fusedPipeline = Some(false))
+      case "fused" => Pipeline.Options(fusedPipeline = Some(true))
+    }
+    val modes = Seq("agg", "doclocal", "fused")
+
+    // warm-up (classload + codegen), uncounted — every path
+    for (m <- modes) {
+      val w = Pipeline.run(SynthCorpus.docs(spark, 50, 50), SynthCorpus.BaseURI, optsOf(m))
       w.triples.count(); w.unpersist()
     }
 
-    val cells = Seq(("uniform", uniform, false), ("uniform", uniform, true),
-      ("skewed", skewed, false), ("skewed", skewed, true))
+    val cells = for (c <- Seq(("uniform", uniform), ("skewed", skewed)); m <- modes)
+      yield (c._1, c._2, m)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    for (r <- 1 to reps; (cn, docs, docLocal) <- cells) {
-      val key = s"${cn}_${if (docLocal) "doclocal" else "agg"}"
+    for (r <- 1 to reps; (cn, docs, mode) <- cells) {
+      val key = s"${cn}_$mode"
       val t0 = System.nanoTime()
-      val res = Pipeline.run(docs, SynthCorpus.BaseURI, Pipeline.Options(docLocalFinish = Some(docLocal)))
+      val res = Pipeline.run(docs, SynthCorpus.BaseURI, optsOf(mode))
       val n = res.triples.count()
       res.unpersist()
       val t = (System.nanoTime() - t0) / 1e9
@@ -59,8 +67,8 @@ object FinishBench {
     best.foreach { case (k, t) =>
       println(f"[finish] BEST $k $t%.2fs (${counts(k)} triples, ${(counts(k) / t).round} tps)") }
     // identical output across strategies is a correctness invariant
-    require(counts("uniform_agg") == counts("uniform_doclocal"), "uniform count mismatch")
-    require(counts("skewed_agg") == counts("skewed_doclocal"), "skewed count mismatch")
+    for (c <- Seq("uniform", "skewed"); m <- modes.tail)
+      require(counts(s"${c}_agg") == counts(s"${c}_$m"), s"$c/$m count mismatch")
     spark.stop()
   }
 }

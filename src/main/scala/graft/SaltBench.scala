@@ -46,7 +46,10 @@ object SaltBench {
     for (r <- 1 to reps; (cn, docs, salt) <- cells) {
       val key = s"${cn}_salt$salt"
       val t0 = System.nanoTime()
-      val res = Pipeline.run(docs, SynthCorpus.BaseURI, salt = salt)
+      // staged mode pinned: this harness measures the D2 join's salt factor,
+      // which the fused default bypasses entirely
+      val res = Pipeline.run(docs, SynthCorpus.BaseURI,
+        Pipeline.Options(salt = salt, fusedPipeline = Some(false)))
       val n = res.triples.count()
       res.unpersist()
       val t = (System.nanoTime() - t0) / 1e9

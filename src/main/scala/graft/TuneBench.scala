@@ -51,7 +51,10 @@ object TuneBench {
       val docs = spark.read.parquet(stagePath)
         .as[graft.model.Doc](org.apache.spark.sql.Encoders.product[graft.model.Doc])
       val t0 = System.nanoTime()
-      val r = Pipeline.run(docs, SynthCorpus.BaseURI)
+      // staged mode pinned: this harness A/Bs shuffle-writer configs, which
+      // need a pipeline that actually shuffles (the fused default does not)
+      val r = Pipeline.run(docs, SynthCorpus.BaseURI,
+        Pipeline.Options(fusedPipeline = Some(false)))
       val n = r.triples.count()
       val secs = (System.nanoTime() - t0) / 1e9
       r.unpersist()

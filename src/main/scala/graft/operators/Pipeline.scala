@@ -88,6 +88,38 @@ object Pipeline {
     * decodable predicate (their payload lives in subj/obj) */
   private val MARKER_PRED_ID = -1
 
+  /** Per-statement Stage-C emit, shared by the staged and fused paths:
+    * the marker surface for oversize/unsupported-schema docs, per-schema
+    * Emitter reuse, and the in-band marker encoding. */
+  private def emitOne(emitters: scala.collection.mutable.HashMap[String, Emitter],
+                      base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt): Iterator[TripleRow] = {
+    val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
+    if (ls.schema.isEmpty) {
+      // the oversize mega-doc guard fires BEFORE the FILE_SCHEMA sniff,
+      // so its marker must surface from here; every OTHER schema-less
+      // document produces no output at all (reference behavior) — keyed
+      // on the marker kind, not on abort, so a schema-less doc that also
+      // happens to have dangling refs stays silent like the reference
+      if (ls.keyword == Tokenizer.DocSentinel && ls.body.startsWith("oversize_doc:")) {
+        val parts = ls.body.split(":", 2)
+        Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
+          parts(1), 0, -1L, -1L, PredIds.MarkerKd, -1L, -1, -1))
+      } else Iterator.empty
+    }
+    else if (!SchemaDict.available(ls.schema)) {
+      if (ls.keyword == Tokenizer.DocSentinel)
+        Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
+          ls.schema, 0, -1L, -1L, PredIds.MarkerKd, ls.line_id, -1, -1))
+      else Iterator.empty
+    } else {
+      val em = emitters.getOrElseUpdate(ls.schema,
+        new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
+      val (ts, ms) = em.emit(ls)
+      ts.iterator ++ ms.iterator.map(m =>
+        TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
+    }
+  }
+
   /** Stage-D finishing pass over the emitted candidate-triple stream
     * (columns: doc_id, subj, pred_id, obj, kd, src_line, slot, wcls —
     * pred/kind/datatype are dictionary-encoded by Stage C, schema.PredIds,
@@ -227,45 +259,52 @@ object Pipeline {
     * instead of encoded triples. Memory: one document's deduped triples per
     * task (same whole-doc envelope as the tokenizer); a corpus of mega-docs
     * should keep the spill-safe aggregate instead. */
+  /** One document's dedup/E6 accumulator — the in-memory equivalent of one
+    * [[dedupAgg]] group-set (the doc_id prefix of every key is implicit). */
+  private[operators] final class DocDedup {
+    private type Key = (String, Int, Long, Int, Boolean, String, Int, Long, Int)
+    private val acc = scala.collection.mutable.LinkedHashMap[Key, Long]()
+    def add(r: TripleRow): Unit = {
+      val w = r.wcls >= 0
+      val key: Key = (r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
+        if (w) "" else r.obj, if (w) 0 else r.so_tag % 8,
+        if (w) -1L else r.obj_val, r.kd)
+      // identical clamps to dedupAgg's `prio` column
+      val lineC = math.min(math.max(r.src_line, -1L) + 2L, (1L << 36) - 1)
+      val slotC = math.min(math.max(r.slot, -1) + 1, 4095).toLong
+      val p = (lineC * 4096L + slotC) * 16384L + (if (w) r.wcls.toLong else 0L)
+      acc.get(key) match {
+        case Some(m) => if (p < m) acc(key) = p
+        case None => acc(key) = p
+      }
+    }
+    def nonEmpty: Boolean = acc.nonEmpty
+    /** drain: one DedupedRow per surviving group, then reset for the next doc */
+    def flush(doc: String): Iterator[DedupedRow] = {
+      val rows = acc.iterator.map { case ((subj, stg, sv, pid, w, og, otg, ov, kd), m) =>
+        DedupedRow(doc, subj, stg, sv, pid, w, og, otg, ov, kd, m)
+      }.toVector
+      acc.clear()
+      rows.iterator
+    }
+  }
+
   private[graft] def docLocalDedup(emitted: Dataset[TripleRow]): DataFrame = {
     val spark = emitted.sparkSession
     import spark.implicits._
     emitted.mapPartitions { it =>
-      type Key = (String, Int, Long, Int, Boolean, String, Int, Long, Int)
-      val acc = scala.collection.mutable.LinkedHashMap[Key, Long]()
+      val acc = new DocDedup
       var curDoc: String = null
       var out: Iterator[DedupedRow] = Iterator.empty
-      def add(r: TripleRow): Unit = {
-        val w = r.wcls >= 0
-        val key: Key = (r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
-          if (w) "" else r.obj, if (w) 0 else r.so_tag % 8,
-          if (w) -1L else r.obj_val, r.kd)
-        // identical clamps to dedupAgg's `prio` column
-        val lineC = math.min(math.max(r.src_line, -1L) + 2L, (1L << 36) - 1)
-        val slotC = math.min(math.max(r.slot, -1) + 1, 4095).toLong
-        val p = (lineC * 4096L + slotC) * 16384L + (if (w) r.wcls.toLong else 0L)
-        acc.get(key) match {
-          case Some(m) => if (p < m) acc(key) = p
-          case None => acc(key) = p
-        }
-      }
-      def flushDoc(): Iterator[DedupedRow] = {
-        val doc = curDoc
-        val rows = acc.iterator.map { case ((subj, stg, sv, pid, w, og, otg, ov, kd), m) =>
-          DedupedRow(doc, subj, stg, sv, pid, w, og, otg, ov, kd, m)
-        }.toVector
-        acc.clear()
-        rows.iterator
-      }
       new Iterator[DedupedRow] {
         def hasNext: Boolean = {
           while (!out.hasNext && it.hasNext) {
             val r = it.next()
             if (curDoc == null) curDoc = r.doc_id
-            else if (r.doc_id != curDoc) { out = flushDoc(); curDoc = r.doc_id }
-            add(r)
+            else if (r.doc_id != curDoc) { out = acc.flush(curDoc); curDoc = r.doc_id }
+            acc.add(r)
           }
-          if (!out.hasNext && !it.hasNext && acc.nonEmpty) out = flushDoc()
+          if (!out.hasNext && !it.hasNext && acc.nonEmpty) out = acc.flush(curDoc)
           out.hasNext
         }
         def next(): DedupedRow = out.next()
@@ -301,6 +340,24 @@ object Pipeline {
         * README.md:34); docs above this many chars abort with an
         * `oversize_doc` marker instead of risking executor OOM */
       maxDocChars: Long = Tokenizer.DefaultMaxDocChars,
+      /** Fully-fused single-pass mode: tokenize → doc-local link (documents
+        * are self-contained, so the D2 semantics reduce to the doc's own
+        * line→keyword map) → emit → doc-local dedup, all inside ONE narrow
+        * mapPartitions over the docs table — ZERO wide edges; only the
+        * broadcast-dim IRI decode follows. Maximum-throughput conversion
+        * path (FinishBench cell "fused"); same per-task memory envelope as
+        * the staged doc-local mode (one whole document). The staged
+        * relational path remains the default: it is the resumable
+        * (checkpointDir), introspectable (stage tables, per-stage lineage),
+        * AQE-skew-handled form, and the seam the q24/q25/q26 oracles pin.
+        * Some(true)/Some(false) force a mode (fused + checkpointDir is
+        * refused: no stage tables exist to resume from); None (default) =
+        * fused, except in checkpoint mode which needs the staged path.
+        * In fused mode `salt` and `docLocalFinish` are ignored. Output
+        * identity with the staged path is pinned by StageDSpec; measured
+        * 11.0M/8.0M triples/s uniform/skewed vs 4.0/3.9M staged doc-local
+        * (FinishBench interleaved min-of-5). */
+      fusedPipeline: Option[Boolean] = None,
       /** Stage-D strategy. Some(true) = doc-local dedup ([[docLocalDedup]]:
         * the wide edge carries statements, ~1/13 the rows of the encoded
         * triple stream — measured 1.5-1.9x end-to-end, graft.FinishBench —
@@ -330,11 +387,87 @@ object Pipeline {
           salt: Int = 1)(implicit spark: SparkSession): Result =
     run(docs, baseURI, Options(removeDuplicates, salt))
 
+  /** The fused single-pass stage (see Options.fusedPipeline): per document,
+    * tokenize → local link → emit → DocDedup, emitting deduped encoded rows
+    * with markers riding in-band as kd = MarkerKd rows. */
+  private def runFused(docs: Dataset[Doc], baseURI: String, opts: Options,
+      lineageAcc: org.apache.spark.util.CollectionAccumulator[LineageRow])
+      (implicit spark: SparkSession): Result = {
+    import spark.implicits._
+    val schemaOv = opts.schemaOverride
+    val maxChars = opts.maxDocChars
+    val base = baseURI
+    val hdrOnAbort = opts.headerOnAbort
+    val rmDup = opts.removeDuplicates
+    val fused0 = docs.mapPartitions(
+      instrumented[Doc, DedupedRow]("F_fused", lineageAcc, _.kd == PredIds.MarkerKd) { docIt =>
+        val emitters = scala.collection.mutable.HashMap[String, Emitter]()
+        docIt.flatMap { doc =>
+          val stmts = Tokenizer.tokenizeDoc(doc, schemaOv, maxChars).toVector
+          // D1 (opt-in): canonical line per body (min line_id; headers always
+          // survive), refs to removed duplicates resolve to the canonical
+          // line — the doc-local form of Linker's window + alias join
+          val (kept, alias) =
+            if (!rmDup) (stmts, Map.empty[Long, Long])
+            else {
+              val canon = stmts.filter(_.line_id >= 0).groupBy(_.body)
+                .iterator.flatMap { case (_, g) =>
+                  val m = g.iterator.map(_.line_id).min
+                  g.iterator.map(_.line_id -> m)
+                }.toMap
+              (stmts.filter(s => s.line_id < 0 || canon(s.line_id) == s.line_id),
+                canon.filter { case (l, c) => l != c })
+            }
+          // D2, doc-locally: the doc's own line -> keyword map IS the
+          // reference-resolution relation (documents are self-contained)
+          val kw = kept.iterator.filter(_.line_id >= 0)
+            .map(s => s.line_id -> s.keyword).toMap
+          val dedup = new DocDedup
+          val markers = Vector.newBuilder[DedupedRow]
+          kept.foreach { s =>
+            val targets = s.refs.map { r =>
+              val rr = alias.getOrElse(r, r)
+              kw.get(rr) match {
+                case Some(k) => RefTarget(r, rr, k)
+                case None => RefTarget(r, -1L, null) // dangling
+              }
+            }
+            val ls = LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword,
+              s.body, s.abort, s.bad_line, targets)
+            emitOne(emitters, base, hdrOnAbort)(ls).foreach { tr =>
+              if (tr.kd == PredIds.MarkerKd)
+                markers += DedupedRow(tr.doc_id, tr.subj, 0, -1L, MARKER_PRED_ID,
+                  is_wtype = false, tr.obj, 0, -1L, PredIds.MarkerKd, tr.src_line)
+              else dedup.add(tr)
+            }
+          }
+          dedup.flush(doc.doc_id) ++ markers.result().iterator
+        }
+      })
+    val (fused, cached) =
+      if (opts.persistEmitted) {
+        val c = fused0.persist(StorageLevel.MEMORY_AND_DISK)
+        (c, Seq(c))
+      } else (fused0, Nil)
+    val isMarker = $"kd" === PredIds.MarkerKd
+    val finalTriples = decode(fused.toDF.filter(!isMarker), baseURI)
+    val markers = fused.toDF.filter(isMarker)
+      .select($"doc_id", $"subj".as("kind"), $"m".as("line_id"), $"og".as("detail"))
+      .as[Marker]
+    Result(finalTriples, markers, cached, lineageAcc)
+  }
+
   def run(docs: Dataset[Doc], baseURI: String, opts: Options)
          (implicit spark: SparkSession): Result = {
     import spark.implicits._
 
     val lineageAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
+
+    if (opts.fusedPipeline.getOrElse(opts.checkpointDir.isEmpty)) {
+      require(opts.checkpointDir.isEmpty,
+        "fusedPipeline has no stage tables to resume from — use the staged path for checkpoint mode")
+      return runFused(docs, baseURI, opts, lineageAcc)
+    }
 
     // ---- Stage A ----
     val schemaOv = opts.schemaOverride
@@ -382,33 +515,7 @@ object Pipeline {
     val emitted0: Dataset[TripleRow] = linked.mapPartitions(
       instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.kd == PredIds.MarkerKd) { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
-      it.flatMap { ls0 =>
-        val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
-        if (ls.schema.isEmpty) {
-          // the oversize mega-doc guard fires BEFORE the FILE_SCHEMA sniff,
-          // so its marker must surface from here; every OTHER schema-less
-          // document produces no output at all (reference behavior) — keyed
-          // on the marker kind, not on abort, so a schema-less doc that also
-          // happens to have dangling refs stays silent like the reference
-          if (ls.keyword == Tokenizer.DocSentinel && ls.body.startsWith("oversize_doc:")) {
-            val parts = ls.body.split(":", 2)
-            Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
-              parts(1), 0, -1L, -1L, PredIds.MarkerKd, -1L, -1, -1))
-          } else Iterator.empty
-        }
-        else if (!SchemaDict.available(ls.schema)) {
-          if (ls.keyword == Tokenizer.DocSentinel)
-            Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
-              ls.schema, 0, -1L, -1L, PredIds.MarkerKd, ls.line_id, -1, -1))
-          else Iterator.empty
-        } else {
-          val em = emitters.getOrElseUpdate(ls.schema,
-            new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
-          val (ts, ms) = em.emit(ls)
-          ts.iterator ++ ms.iterator.map(m =>
-            TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
-        }
-      }
+      it.flatMap(emitOne(emitters, base, hdrOnAbort))
     })
     // In checkpoint mode Stage C is additionally persisted as a stage table
     // (resume point); the hot path below never needs a second pass over it.

@@ -86,7 +86,9 @@ class SinksSpec extends SparkTestBase {
   test("lineage rows are collected per stage and partition") {
     import spark.implicits._
     val docs = spark.createDataset(FixtureDocs.docs())
-    val r = Pipeline.run(docs, FixtureDocs.BaseURI)
+    // staged path: per-stage rows from Stages A and C
+    val r = Pipeline.run(docs, FixtureDocs.BaseURI,
+      Pipeline.Options(fusedPipeline = Some(false)))
     r.triples.count()
     val rows = r.lineage.collect()
     val stages = rows.map(_.getString(0)).toSet
@@ -94,6 +96,13 @@ class SinksSpec extends SparkTestBase {
     val aIn = rows.filter(_.getString(0) == "A_tokenize").map(_.getLong(2)).sum
     assert(aIn == 19L) // one row per fixture doc
     r.unpersist()
+    // fused (default) path: one F_fused row set, rows_in = docs
+    val rf = Pipeline.run(docs, FixtureDocs.BaseURI)
+    rf.triples.count()
+    val frows = rf.lineage.collect()
+    assert(frows.map(_.getString(0)).toSet.contains("F_fused"))
+    assert(frows.filter(_.getString(0) == "F_fused").map(_.getLong(2)).sum == 19L)
+    rf.unpersist()
   }
 
   test("goldens still match with duplicate-removal enabled (no dups present)") {

@@ -78,7 +78,7 @@ class StageDSpec extends SparkTestBase {
     val docs = spark.createDataset((0 until 24).map(i =>
       graft.sources.SynthCorpus.genDoc(i.toLong, 40, skew = false, seed = 7L)))
     val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
-      Pipeline.Options(docLocalFinish = Some(docLocal)))
+      Pipeline.Options(docLocalFinish = Some(docLocal), fusedPipeline = Some(false)))
     val df = r.triples
     df.collect() // materialize so AQE settles on the final plan
     val full = df.queryExecution.executedPlan.toString
@@ -108,7 +108,7 @@ class StageDSpec extends SparkTestBase {
     }
   }
 
-  test("doc-local (default) physical plan: the triple stream never shuffles") {
+  test("staged doc-local physical plan: the triple stream never shuffles") {
     val plan = finalPlan(docLocal = true)
     withClue(plan) {
       // every exchange keys on doc_id ALONE (the statement co-location and
@@ -125,6 +125,25 @@ class StageDSpec extends SparkTestBase {
       val sorts = "Sort \\[([^\\]]*)\\], (\\w+)".r.findAllMatchIn(plan).toSeq
       assert(sorts.forall(m => m.group(1).startsWith("doc_id") && m.group(2) == "false"),
         "only the within-partition doc_id statement sort is allowed")
+    }
+  }
+
+  test("fused (default) physical plan: ZERO shuffle stages") {
+    import spark.implicits._
+    val docs = spark.createDataset((0 until 24).map(i =>
+      graft.sources.SynthCorpus.genDoc(i.toLong, 40, skew = false, seed = 7L)))
+    val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI) // default = fused
+    val df = r.triples
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    r.unpersist()
+    withClue(plan) {
+      // docs in, triples out, no wide edge anywhere: the only joins are the
+      // broadcast IRI-decode dims over the per-doc fused stage's output
+      assert(!plan.contains("ShuffleQueryStage") && !plan.contains("Exchange hashpartitioning"),
+        "the fused pipeline must plan without any shuffle")
+      assert(!plan.contains("Sort"), "and without any sort")
+      assert(plan.contains("BroadcastHashJoin"), "IRI decode dims broadcast")
     }
   }
 
@@ -186,7 +205,8 @@ class StageDSpec extends SparkTestBase {
     val docs = spark.createDataset((0 until 12).map(i =>
       graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)))
     def tripleSet(salt: Int): Seq[String] = {
-      val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI, salt = salt)
+      val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
+        Pipeline.Options(salt = salt, fusedPipeline = Some(false)))
       val out = r.triples.collect().map(_.toSeq.mkString("\u0001")).toSeq.sorted
       r.unpersist(); out
     }
@@ -201,7 +221,7 @@ class StageDSpec extends SparkTestBase {
       graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)))
     def outputs(docLocal: Boolean): (Seq[String], Seq[String]) = {
       val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
-        Pipeline.Options(docLocalFinish = Some(docLocal)))
+        Pipeline.Options(docLocalFinish = Some(docLocal), fusedPipeline = Some(false)))
       val t = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
       val m = r.markersDF.collect().map(_.toSeq.mkString("")).toSeq.sorted
       r.unpersist(); (t, m)
@@ -215,11 +235,44 @@ class StageDSpec extends SparkTestBase {
       val fix = spark.createDataset(graft.sources.FixtureDocs.docs())
       def fixSet(docLocal: Boolean): Seq[String] = {
         val r = Pipeline.run(fix, graft.sources.FixtureDocs.BaseURI,
-          Pipeline.Options(docLocalFinish = Some(docLocal)))
+          Pipeline.Options(docLocalFinish = Some(docLocal), fusedPipeline = Some(false)))
         val out = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
         r.unpersist(); out
       }
       assert(fixSet(docLocal = true) == fixSet(docLocal = false))
+    }
+  }
+
+  test("fusedPipeline is output-identical to the staged path (both D1 settings)") {
+    import spark.implicits._
+    val docs = spark.createDataset((0 until 12).map(i =>
+      graft.sources.SynthCorpus.genDoc(i.toLong, 60, skew = true, seed = 11L)) :+
+      // duplicate-line doc: exercises the doc-local D1 canon/alias path
+      ifcDoc("dup", "#1= IFCORGANIZATION($,'x',$,$,$);\n#2= IFCORGANIZATION($,'x',$,$,$);\n" +
+        "#3= IFCAPPLICATION(#2,'v','a','b');\n"))
+    def outputs(fused: Boolean, rmDup: Boolean): (Seq[String], Seq[String]) = {
+      val r = Pipeline.run(docs, graft.sources.SynthCorpus.BaseURI,
+        Pipeline.Options(fusedPipeline = Some(fused), removeDuplicates = rmDup))
+      val t = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
+      val m = r.markersDF.collect().map(_.toSeq.mkString("")).toSeq.sorted
+      r.unpersist(); (t, m)
+    }
+    for (rmDup <- Seq(false, true)) {
+      val (stagedT, stagedM) = outputs(fused = false, rmDup)
+      val (fusedT, fusedM) = outputs(fused = true, rmDup)
+      assert(fusedT == stagedT, s"triples diverge at removeDuplicates=$rmDup")
+      assert(fusedM == stagedM, s"markers diverge at removeDuplicates=$rmDup")
+    }
+    // golden fixture corpus too, when mounted
+    if (graft.sources.FixtureDocs.available()) {
+      val fix = spark.createDataset(graft.sources.FixtureDocs.docs())
+      def fixSet(fused: Boolean): Seq[String] = {
+        val r = Pipeline.run(fix, graft.sources.FixtureDocs.BaseURI,
+          Pipeline.Options(fusedPipeline = Some(fused)))
+        val out = r.triples.collect().map(_.toSeq.mkString("")).toSeq.sorted
+        r.unpersist(); out
+      }
+      assert(fixSet(fused = true) == fixSet(fused = false))
     }
   }
 
