@@ -6,30 +6,33 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** End-to-end four-stage KG-construction job (SURVEY.md §3.4):
-  * Stage A tokenize (narrow flatMap over whole-doc rows) → Stage B link (the
-  * salted (doc_id, local_id) hash join — the one unavoidable wide stage) →
-  * Stage C canonicalize + materialize candidates (narrow flatMap; markers
-  * ride in-band as sentinel rows) → Stage D relational finishing.
+/** End-to-end KG-construction job (SURVEY.md §3.4), two execution forms
+  * over the same four-stage semantics:
   *
-  * Shuffle/pass budget (deliberate):
-  *  - per-document abort/truncation flags (dangling refs, unknown keywords,
-  *    unsupported schemas) are PER-ROW facts of the self-contained documents
-  *    and are decided locally in Stage A — no flag joins, no abort-list
-  *    broadcasts (which would be unbounded at 10^12 docs);
-  *  - `stmts` is materialized once (persisted by default; parquet stage table
-  *    in checkpoint/resume mode) and consumed by the D2 join's three sides;
-  *  - the emitted triple stream is consumed exactly once, unmaterialized
-  *    (except in checkpoint mode, where Stage C is a resumable stage table);
-  *  - the E6 canonical-wrapper selection and the E9 triple-set dedup run
-  *    DOC-LOCALLY by default (every dedup key carries doc_id): statements
-  *    repartition by doc_id BEFORE the ~13x Stage-C triple fan-out, and the
-  *    emitted stream never crosses the network (measured 1.5-1.9x,
-  *    graft.FinishBench). The spill-safe alternative — the same dedup as one
-  *    global fused hash aggregate over the encoded triple stream — serves
-  *    checkpoint mode and near-maxDocChars corpora (Options.docLocalFinish).
+  * FUSED (default, Options.fusedPipeline): documents are self-contained, so
+  * tokenize (A) → reference resolution (B: the doc's own line→keyword map)
+  * → canonicalize/emit (C) → dedup/E6 (D: per-doc hash map) all run inside
+  * ONE narrow mapPartitions over the docs table — docs in, triples out,
+  * ZERO wide edges; only the broadcast-dim IRI decode follows. Measured
+  * 11.0M/8.0M triples/s uniform/skewed at 10k docs × 32 cores
+  * (graft.FinishBench) — 2.8x the staged form.
+  *
+  * STAGED (checkpoint mode and explicit opt-in): Stage A tokenize (narrow
+  * flatMap) → Stage B link (the salted (doc_id, local_id) hash join under
+  * AQE skew splitting) → Stage C emit (narrow flatMap; markers ride in-band
+  * as sentinel rows) → Stage D finishing (doc-local dedup by default, or
+  * the spill-safe global fused hash aggregate). This is the resumable
+  * (stage tables), introspectable (per-stage lineage), skew-splittable form
+  * — and the public operator seam (q24/q25/q26 oracles). Its shuffle
+  * budget: per-doc abort flags decided in Stage A (no flag joins); `stmts`
+  * materialized once for the D2 join's three sides; the emitted stream
+  * consumed exactly once; statements co-locate by doc_id BEFORE the ~13x
+  * triple fan-out so the triple stream never crosses the network.
+  *
+  * Output identity between the forms is pinned by StageDSpec (triples AND
+  * markers, both removeDuplicates settings, golden corpus included).
   * Per-partition lineage rows (stage, partition, rows in/out, errors,
-  * wall_ms) are collected by accumulator from Stages A and C.
+  * wall_ms) are collected by accumulator (F_fused, or Stages A and C).
   */
 object Pipeline {
 
