@@ -230,4 +230,86 @@ class SparqlFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- group composition: OPTIONAL / MINUS / (NOT) EXISTS ----
+
+  private def compatible(b1: Binding, b2: Binding): Boolean =
+    b1.keySet.intersect(b2.keySet).forall(k => b1(k) == b2(k))
+
+  test("random OPTIONAL/MINUS/EXISTS groups: text plan == brute-force algebra") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Gen.oneOf("s0", "s1", "s2", "s3")
+    val preds = Seq("urn:p0", "urn:p1", "urn:p2")
+    val objects = Gen.oneOf("s0", "s1", "l0", "l1")
+    val graphs = Gen.oneOf("d0", "d1")
+    val tripleGen = for { g <- graphs; s <- subjects; p <- Gen.oneOf(preds); o <- objects }
+      yield (g, s, p, o)
+
+    // BGP1 binds ?a (and maybe ?b); BGP2 shares ?a and may add ?c
+    val bgp1Gen = for {
+      p1 <- Gen.oneOf(preds)
+      o1 <- Gen.frequency(2 -> Gen.const("?b"), 1 -> objects)
+    } yield Seq(("?a", p1, o1))
+    val bgp2Gen = for {
+      p2 <- Gen.oneOf(preds)
+      s2 <- Gen.frequency(3 -> Gen.const("?a"), 1 -> subjects)
+      o2 <- Gen.frequency(2 -> Gen.const("?c"), 1 -> objects)
+    } yield Seq((s2, p2, o2))
+    val clauseGen = Gen.oneOf("none", "optional", "minus", "exists", "notexists")
+
+    def render(t: String): String = if (t.startsWith("?")) t else s"<$t>"
+    def renderBgp(b: Seq[(String, String, String)]): String =
+      b.map(p => s"${render(p._1)} ${render(p._2)} ${render(p._3)} .").mkString(" ")
+
+    val prop = Prop.forAll(Gen.listOfN(12, tripleGen), bgp1Gen, bgp2Gen, clauseGen) {
+      (triples, bgp1, bgp2, clause) =>
+      triples.isEmpty || {
+        val vars1 = bgp1.flatMap(p => Seq(p._1, p._3)).filter(_.startsWith("?")).map(_.drop(1)).distinct
+        val vars2 = bgp2.flatMap(p => Seq(p._1, p._3)).filter(_.startsWith("?")).map(_.drop(1)).distinct
+        val outVars = clause match {
+          case "optional" => (vars1 ++ vars2).distinct.sorted
+          case _ => vars1.sorted
+        }
+        val clauseText = clause match {
+          case "none" => ""
+          case "optional" => s" OPTIONAL { ${renderBgp(bgp2)} }"
+          case "minus" => s" MINUS { ${renderBgp(bgp2)} }"
+          case "exists" => s" FILTER EXISTS { ${renderBgp(bgp2)} }"
+          case "notexists" => s" FILTER NOT EXISTS { ${renderBgp(bgp2)} }"
+        }
+        val text = s"SELECT ${outVars.map("?" + _).mkString(" ")} WHERE { ${renderBgp(bgp1)}$clauseText }"
+
+        val df = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+        val got = bag(df.select(("graph" +: outVars).map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).orNull)))
+
+        val sols1 = bruteBgp(triples, bgp1)
+        val sols2 = bruteBgp(triples, bgp2).groupBy(_._1) // per graph
+        def exts(g: String, b: Binding) =
+          sols2.getOrElse(g, Nil).map(_._2).filter(compatible(b, _))
+        val wantSols: Seq[(String, Binding)] = clause match {
+          case "none" => sols1
+          case "optional" => sols1.flatMap { case (g, b) =>
+            val es = exts(g, b)
+            if (es.isEmpty) Seq(g -> b) else es.map(e => g -> (b ++ e))
+          }
+          case "minus" =>
+            // disjoint domains remove nothing (our MINUS requires shared vars)
+            if (vars1.intersect(vars2).isEmpty) sols1
+            else sols1.filterNot { case (g, b) => exts(g, b).nonEmpty }
+          case "exists" => sols1.filter { case (g, b) => exts(g, b).nonEmpty }
+          case "notexists" => sols1.filterNot { case (g, b) => exts(g, b).nonEmpty }
+        }
+        val want = bag(wantSols.map { case (g, b) => g +: outVars.map(v => b.getOrElse(v, null)) })
+        if (got != want) {
+          println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
