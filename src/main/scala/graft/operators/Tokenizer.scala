@@ -71,6 +71,13 @@ object Tokenizer {
   /** Ordered concatenation of the text spans; media spans are skipped but
     * never disturb text order (offset-ordered). */
   def assembleText(doc: Doc): String = {
+    // single-text-span fast path: the common shape needs no copy at all
+    var only: String = null
+    var nText = 0
+    doc.spans.foreach { s =>
+      if (s.kind == "text") { nText += 1; only = s.text }
+    }
+    if (nText == 1 && only != null) return only
     val sb = new StringBuilder
     doc.spans.sortBy(_.offset).foreach(s => if (s.kind == "text") sb.append(s.text))
     sb.toString
@@ -109,36 +116,59 @@ object Tokenizer {
         s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L))
     val text = assembleText(doc)
     val schema = schemaOverride.getOrElse(sniffSchema(text))
-    val lines = text.split("\n", -1)
     // last-write-wins per line number, locally per doc — the whole document
     // is one input row, so the reference's linemap.put overwrite semantics
-    // (IfcSpfParser.java:143) need no shuffle
+    // (IfcSpfParser.java:143) need no shuffle.
+    // Index scan, not split("\n"): split copies every line and trim copies
+    // each again — this walk allocates exactly ONE string per statement
+    // (the scanStatement input), byte-identical to the split+trim result.
     val linemap = scala.collection.mutable.LinkedHashMap[Long, Stmt]()
-    var i = 0
+    val n = text.length
+    var pos = 0
     var seq = 0L
-    while (i < lines.length) {
-      val line = lines(i)
-      if (line.nonEmpty && line.charAt(0) == '#') {
-        // fast path: the overwhelmingly common single-line statement needs no
-        // StringBuilder assembly (one trimmed copy instead of three) — the
-        // multi-line branch below is byte-identical for split statements
+    @inline def trimStart(from: Int, to: Int): Int = {
+      var a = from; while (a < to && text.charAt(a) <= ' ') a += 1; a
+    }
+    @inline def trimEnd(from: Int, to: Int): Int = {
+      var b = to; while (b > from && text.charAt(b - 1) <= ' ') b -= 1; b
+    }
+    @inline def contains(from: Int, to: Int, c: Char): Boolean = {
+      var k = from; while (k < to && text.charAt(k) != c) k += 1; k < to
+    }
+    while (pos < n) {
+      var eol = text.indexOf('\n', pos)
+      if (eol < 0) eol = n
+      // statements start with '#' on the RAW line (pre-trim), as the
+      // reference's linemap scan does
+      if (eol > pos && text.charAt(pos) == '#') {
         val stmtText =
-          if (line.indexOf(';') >= 0) line.trim.substring(1)
-          else {
-            val sb = new StringBuilder(line.trim)
-            var last = line
-            while (!last.contains(";") && i + 1 < lines.length) {
-              i += 1
-              last = lines(i)
-              sb.append(last.trim)
+          if (contains(pos, eol, ';')) {
+            // single-line fast path: one substring of the trimmed range,
+            // leading '#' dropped (trim cannot remove it — it IS charAt(pos))
+            text.substring(pos + 1, trimEnd(pos, eol))
+          } else {
+            // multi-line statement: append trimmed continuation lines until
+            // one contains ';' (inclusive) or the document ends.
+            // java.lang.StringBuilder: the scala one lacks the 3-arg slice
+            // append, and auto-tupling silently turns it into append(Any)
+            val sb = new java.lang.StringBuilder
+            sb.append(text, pos + 1, trimEnd(pos, eol))
+            var more = true
+            while (more && eol < n) {
+              val lineStart = eol + 1
+              eol = text.indexOf('\n', lineStart)
+              if (eol < 0) eol = n
+              val ts = trimStart(lineStart, eol)
+              sb.append(text, ts, trimEnd(ts, eol)) // ts-anchored: all-ws line appends ""
+              more = !contains(lineStart, eol, ';')
             }
-            sb.toString.substring(1)
+            sb.toString
           }
         val st = scanStatement(doc.doc_id, schema, seq, stmtText)
         linemap(st.line_id) = st
         seq += 1L
       }
-      i += 1
+      pos = eol + 1
     }
 
     // Per-document error flags, decided here (the whole document is local):
