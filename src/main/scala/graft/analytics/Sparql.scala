@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *    VALUES (inline data).
   *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
-  *    STRSTARTS, STRENDS.
+  *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
+  *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND.
   *  - Solution modifiers: GROUP BY, HAVING, ORDER BY [ASC|DESC], LIMIT,
   *    OFFSET.
   *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX,
@@ -418,7 +419,8 @@ object Sparql {
     }
 
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
-      "CONTAINS", "STRSTARTS", "STRENDS")
+      "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
+      "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -865,6 +867,49 @@ object Sparql {
       case ExFn("CONTAINS", Seq(a, b)) => compileExpr(a, df).contains(compileExpr(b, df))
       case ExFn("STRSTARTS", Seq(a, b)) => compileExpr(a, df).startsWith(compileExpr(b, df))
       case ExFn("STRENDS", Seq(a, b)) => compileExpr(a, df).endsWith(compileExpr(b, df))
+      case ExFn("STRBEFORE", Seq(a, b)) =>
+        // SPARQL: "" when the needle does not occur (instr is 1-based, 0 = miss)
+        val (s, sep) = (compileExpr(a, df), compileExpr(b, df))
+        val pos = instr(s, sep)
+        when(pos > 0, s.substr(lit(1), pos - 1)).otherwise(lit(""))
+      case ExFn("STRAFTER", Seq(a, b)) =>
+        // FIRST occurrence (substring_index(-1) would take the last)
+        val (s, sep) = (compileExpr(a, df), compileExpr(b, df))
+        val pos = instr(s, sep)
+        when(pos > 0, s.substr(pos + length(sep), length(s))).otherwise(lit(""))
+      case ExFn("SUBSTR", args) if args.size == 2 || args.size == 3 =>
+        // SPARQL and Spark substr are both 1-based; 2-arg form runs to the end
+        val s = compileExpr(args.head, df)
+        val start = compileExpr(args(1), df).try_cast("int")
+        val len = args.lift(2).map(e => compileExpr(e, df).try_cast("int"))
+          .getOrElse(length(s))
+        s.substr(start, len)
+      case ExFn("REPLACE", args) if args.size == 3 || args.size == 4 =>
+        val pat = args(1) match {
+          case ExStr(p) => p
+          case _ => throw new IllegalArgumentException("REPLACE pattern must be a string literal")
+        }
+        val flags = args.lift(3).map {
+          case ExStr(f) => f
+          case _ => throw new IllegalArgumentException("REPLACE flags must be a string literal")
+        }.getOrElse("")
+        val p = if (flags.contains("i")) "(?i)" + pat else pat
+        regexp_replace(compileExpr(args.head, df), p, args(2) match {
+          case ExStr(r) => r
+          case _ => throw new IllegalArgumentException("REPLACE replacement must be a string literal")
+        })
+      case ExFn("CONCAT", args) if args.nonEmpty =>
+        concat(args.map(compileExpr(_, df)): _*)
+      case ExFn("IF", Seq(c, t, f)) =>
+        when(compileExpr(c, df), compileExpr(t, df)).otherwise(compileExpr(f, df))
+      case ExFn("COALESCE", args) if args.nonEmpty =>
+        coalesce(args.map(compileExpr(_, df)): _*)
+      // numeric builtins follow the comparison rule: try_cast, a non-numeric
+      // binding yields NULL and the solution drops at the consuming filter
+      case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
+      case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
+      case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
+      case ExFn("ROUND", Seq(a)) => round(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn(n, args) => throw new IllegalArgumentException(s"$n/${args.size} is not supported")
       case ExExists(_, _) =>
         throw new IllegalArgumentException(

@@ -259,6 +259,56 @@ class SparqlSpec extends SparkTestBase {
       Set(Seq("d1", "d7", rdfType, s"${ifc}Door")))
   }
 
+  // ------------------------------------------------------------ expression builtins
+
+  test("string builtins: SUBSTR, STRBEFORE, STRAFTER, REPLACE, CONCAT") {
+    val got = q(P + """SELECT ?w ?pre ?post ?sub ?rep ?cat WHERE {
+        ?w a ifc:Wall ; ifc:hasHeight ?h .
+        BIND(STRBEFORE(?h, ".") AS ?pre)
+        BIND(STRAFTER(?h, ".") AS ?post)
+        BIND(SUBSTR(?h, 1, 2) AS ?sub)
+        BIND(REPLACE(?h, "\\.", "_") AS ?rep)
+        BIND(CONCAT(?w, "@", ?h) AS ?cat)
+      }""")
+    assert(rows(got, "w", "pre", "post", "sub", "rep", "cat") == Set(
+      Seq("w1", "3", "0", "3.", "3_0", "w1@3.0"),
+      Seq("w2", "12", "5", "12", "12_5", "w2@12.5")))
+  }
+
+  test("STRBEFORE/STRAFTER return empty string on a miss (SPARQL, not substring_index)") {
+    val got = q(P + """SELECT ?w ?b ?a WHERE {
+        ?w a ifc:Wall ; ifc:hasHeight ?h .
+        BIND(STRBEFORE(?h, "x") AS ?b)
+        BIND(STRAFTER(?h, "x") AS ?a)
+      }""")
+    assert(rows(got, "b", "a") == Set(Seq("", "")))
+  }
+
+  test("IF and COALESCE") {
+    val got = q(P + """SELECT ?w ?sz ?fb WHERE {
+        ?w a ifc:Wall ; ifc:hasHeight ?h .
+        OPTIONAL { ?w ifc:noSuch ?m }
+        BIND(IF(?h > 10, "tall", "short") AS ?sz)
+        BIND(COALESCE(?m, ?h, "none") AS ?fb)
+      }""")
+    assert(rows(got, "w", "sz", "fb") == Set(
+      Seq("w1", "short", "3.0"), Seq("w2", "tall", "12.5")))
+  }
+
+  test("numeric builtins ABS/CEIL/FLOOR/ROUND follow the try_cast rule") {
+    val got = q(P + """SELECT ?w ?c ?f ?r ?ab WHERE {
+        ?w a ifc:Wall ; ifc:hasHeight ?h .
+        BIND(CEIL(?h) AS ?c) BIND(FLOOR(?h) AS ?f)
+        BIND(ROUND(?h) AS ?r) BIND(ABS(0 - ?h) AS ?ab)
+      }""")
+    assert(rows(got, "w", "c", "f", "r", "ab") == Set(
+      Seq("w1", 3.0, 3.0, 3.0, 3.0), Seq("w2", 13.0, 12.0, 13.0, 12.5)))
+    // a non-numeric binding under a numeric builtin yields NULL, never an abort
+    val nn = q(P + """SELECT ?w ?c WHERE {
+        ?w a ifc:Wall ; ifc:inStorey ?st . BIND(CEIL(?st) AS ?c) }""")
+    assert(nn.collect().forall(_.isNullAt(nn.columns.indexOf("c"))))
+  }
+
   // ------------------------------------------------------------ errors
 
   test("loud errors: undeclared prefix, unsupported syntax, unbound projection") {
