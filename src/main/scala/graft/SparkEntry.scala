@@ -182,6 +182,24 @@ object SparkEntry {
              ?cell list:hasContents ?v .
              { SELECT ?cell (COUNT(?o) AS ?n)
                WHERE { ?cell !list:hasContents ?o } GROUP BY ?cell }
+           }""")),
+      // SPARQL 1.1 UPDATE: a DELETE/INSERT WHERE predicate rewrite over the
+      // whole store — copy-on-write (anti join + union, no whole-store
+      // distinct); the oracle is the equivalent relational CASE rewrite
+      "q49_sparql_update" -> ((s, _) => graft.analytics.Sparql.update(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           DELETE { ?c list:hasNext ?n }
+           INSERT { ?c <urn:graft:next> ?n }
+           WHERE  { ?c list:hasNext ?n }""")
+        .select("doc_id", "subj", "pred", "obj")),
+      // SPARQL TEXT expression builtins: IF/STRLEN classification plus a
+      // first-occurrence STRAFTER suffix split, both BIND-computed
+      "q50_sparql_builtin" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?cell ?v ?tag ?tail WHERE {
+             ?cell list:hasContents ?v .
+             BIND(IF(STRLEN(?v) > 40, "long", "short") AS ?tag)
+             BIND(STRAFTER(?v, "_") AS ?tail)
            }"""))
     )
 
@@ -315,5 +333,17 @@ object SparkEntry {
        n AS (SELECT subj AS cell, count(*) AS n FROM trip
              WHERE pred <> 'https://w3id.org/list#hasContents' GROUP BY 1)
        SELECT c.doc_id AS graph, c.cell, c.v, n.n
-       FROM c JOIN n ON n.cell = c.cell""")
+       FROM c JOIN n ON n.cell = c.cell""",
+    "q49_sparql_update" ->
+      s"""SELECT doc_id, subj,
+              CASE WHEN pred = 'https://w3id.org/list#hasNext'
+                   THEN 'urn:graft:next' ELSE pred END AS pred, obj
+       FROM read_parquet('${ExpectedGen.TriplesFile}')""",
+    "q50_sparql_builtin" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, subj AS cell, obj AS v,
+              CASE WHEN length(obj) > 40 THEN 'long' ELSE 'short' END AS tag,
+              CASE WHEN strpos(obj, '_') > 0
+                   THEN substr(obj, strpos(obj, '_') + 1) ELSE '' END AS tail
+       FROM trip WHERE pred = 'https://w3id.org/list#hasContents'""")
 }

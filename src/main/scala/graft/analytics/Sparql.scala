@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *  - Query forms: SELECT [DISTINCT] (vars, `*`, and `(aggregate AS ?alias)`
   *    projections), ASK, CONSTRUCT { template }, DESCRIBE ?var WHERE /
   *    DESCRIBE <iri>.
+  *  - Update forms ([[update]]): INSERT DATA / DELETE DATA (ground quads in
+  *    GRAPH blocks), DELETE WHERE, DELETE { } INSERT { } WHERE { },
+  *    `;`-separated sequences — compiled to keyed anti joins + unions over
+  *    the store (copy-on-write: the result is the next table snapshot).
   *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
   *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, forward
   *    negated property sets `!p` / `!(p1|p2)`), nested groups, subqueries
@@ -202,6 +206,14 @@ object Sparql {
   private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
   private[analytics] final case class QDescribe(variable: String, where: Group) extends Query
   private[analytics] final case class QDescribeIri(iri: String) extends Query
+
+  /** SPARQL 1.1 Update operations (a request is a `;`-separated sequence). */
+  private[analytics] sealed trait Update
+  /** ground quads: (graph, subj, pred, obj) — GRAPH block mandatory. */
+  private[analytics] final case class UInsertData(quads: Seq[(String, String, String, String)]) extends Update
+  private[analytics] final case class UDeleteData(quads: Seq[(String, String, String, String)]) extends Update
+  private[analytics] final case class UModify(del: Seq[(Term, Term, Term)],
+      ins: Seq[(Term, Term, Term)], where: Group) extends Update
 
   // ===================================================================
   // Parser
@@ -700,6 +712,81 @@ object Sparql {
       QSelect(distinct, star, ps, where, groupBy.result(), having.result(),
         orderBy.result(), limit, offset)
     }
+
+    // ---------------- update request ----------------
+
+    def updateRequest(): Seq[Update] = {
+      prologue()
+      val ops = Seq.newBuilder[Update]
+      ops += update1()
+      while (takePunct(";")) {
+        prologue() // SPARQL allows a fresh prologue between operations
+        if (!peek.isInstanceOf[TEof]) ops += update1()
+      }
+      peek match {
+        case TEof(_) => ops.result()
+        case t => fail("trailing tokens after update operation", text, t.pos)
+      }
+    }
+
+    private def template(): Seq[(Term, Term, Term)] = {
+      expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b
+    }
+
+    private def update1(): Update =
+      if (takeWord("INSERT")) {
+        if (takeWord("DATA")) UInsertData(quadData())
+        else {
+          val ins = template()
+          expectWord("WHERE")
+          UModify(Nil, ins, group())
+        }
+      } else if (takeWord("DELETE")) {
+        if (takeWord("DATA")) UDeleteData(quadData())
+        else if (isWord(peek, "WHERE")) {
+          // DELETE WHERE { pattern }: the pattern is both template and WHERE
+          i += 1
+          val pats = template()
+          UModify(pats, Nil, Group(Seq(EBlock(pats))))
+        } else {
+          val del = template()
+          val ins = if (takeWord("INSERT")) template() else Nil
+          expectWord("WHERE")
+          UModify(del, ins, group())
+        }
+      } else err("expected INSERT or DELETE")
+
+    /** ground quad data for INSERT/DELETE DATA. The store is a union of
+      * named graphs with no default graph, so every triple must sit inside
+      * a `GRAPH <g> { … }` block; variables and paths are parse errors. */
+    private def quadData(): Seq[(String, String, String, String)] = {
+      def ground(t: Term, at: Int): String = t match {
+        case I(v) => v
+        case V(n) => fail(s"variable ?$n cannot appear in ground quad data", text, at)
+        case P(_) => fail("property paths cannot appear in ground quad data", text, at)
+      }
+      expectPunct("{")
+      val out = Seq.newBuilder[(String, String, String, String)]
+      while (!takePunct("}")) {
+        val at = peek.pos
+        if (takeWord("GRAPH")) {
+          val g = next() match {
+            case TIri(iri, _) => base + iri
+            case p: TPName => resolve(p)
+            case t => fail("expected a graph IRI after GRAPH", text, t.pos)
+          }
+          expectPunct("{")
+          val pats = triplesBlock()
+          expectPunct("}")
+          pats.foreach { case (s, p, o) =>
+            out += ((g, ground(s, at), ground(p, at), ground(o, at)))
+          }
+        } else fail("quad data needs GRAPH <g> { … } blocks " +
+          "(the store is graph-scoped with no default graph)", text, at)
+        takePunct(".")
+      }
+      out.result()
+    }
   }
 
   private[analytics] def parse(text: String): Query = new Parser(text).query()
@@ -1021,6 +1108,61 @@ object Sparql {
         df
       }
     }
+
+    // ---------------- update application ----------------
+
+    private val QuadKey = Seq(graphCol, "subj", "pred", "obj")
+
+    /** template instantiation per solution, graph from the solution's graph
+      * column — the CONSTRUCT projection, deduplicated (RDF set semantics). */
+    private def instantiate(sol: DataFrame, tmpl: Seq[(Term, Term, Term)]): DataFrame = {
+      val bound = sol.columns.toSet
+      def t(x: Term): Column = x match {
+        case V(n) =>
+          require(bound.contains(n), s"template variable ?$n not bound by WHERE")
+          col(n)
+        case I(v) => lit(v)
+        case _ => throw new IllegalArgumentException("paths cannot appear in an update template")
+      }
+      tmpl.map { case (s, p, o) =>
+        sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
+      }.reduce(_.unionByName(_)).distinct()
+    }
+
+    private def quadDF(quads: Seq[(String, String, String, String)]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(QuadKey.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(
+        quads.map(q => org.apache.spark.sql.Row(q._1, q._2, q._3, q._4)).asJava, schema)
+    }
+
+    /** store ∖ rows: one keyed anti join on the quad; extra store columns
+      * (obj_kind, src_line, …) ride through untouched. */
+    private def deleteRows(store: DataFrame, rows: DataFrame): DataFrame =
+      store.join(rows, QuadKey, "left_anti")
+
+    /** store ∪ (rows ∖ store): set semantics kept INCREMENTALLY — only the
+      * genuinely new quads are appended, so no whole-store distinct ever
+      * runs (the two shuffles are keyed on the quad and sized by the smaller
+      * side under AQE). Inserted rows NULL-fill any extra store columns. */
+    private def insertRows(store: DataFrame, rows: DataFrame): DataFrame =
+      store.unionByName(
+        rows.join(store.select(QuadKey.map(col): _*), QuadKey, "left_anti"),
+        allowMissingColumns = true)
+
+    /** one update operation against the compiler's store. Both the DELETE
+      * and INSERT templates are instantiated against the ORIGINAL store's
+      * solutions (SPARQL 1.1 Update §3.1.3), then deletes apply before
+      * inserts. */
+    def applyUpdate(u: Update): DataFrame = u match {
+      case UInsertData(quads) => insertRows(triples, quadDF(quads))
+      case UDeleteData(quads) => deleteRows(triples, quadDF(quads))
+      case UModify(del, ins, where) =>
+        val sol = compileGroup(where)
+        val afterDel = if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del))
+        if (ins.isEmpty) afterDel else insertRows(afterDel, instantiate(sol, ins))
+    }
   }
 
   /** Parse and plan a SPARQL SELECT/CONSTRUCT/DESCRIBE query over the triples
@@ -1039,4 +1181,19 @@ object Sparql {
       case QAsk(where) => !new Compiler(triples, graphCol).compileGroup(where).isEmpty
       case _ => throw new IllegalArgumentException("not an ASK query")
     }
+
+  /** Parse and apply a SPARQL 1.1 Update request (INSERT DATA, DELETE DATA,
+    * DELETE WHERE, DELETE/INSERT … WHERE; `;`-separated sequences run left
+    * to right, each against the previous operation's result). Returns the
+    * updated triples table — the store is never mutated in place; at scale
+    * the caller writes the result as the table's next snapshot (the
+    * copy-on-write model parquet/Iceberg tables already use). Every
+    * operation plans as keyed anti joins + a union: no whole-store distinct,
+    * no collect. Ground quad data must sit inside `GRAPH <g> { … }` blocks
+    * (the store is a union of named graphs, one per document — there is no
+    * default graph to insert into); extra non-quad columns survive deletes
+    * and NULL-fill on inserted rows. */
+  def update(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
+    new Parser(text).updateRequest().foldLeft(triples)((store, op) =>
+      new Compiler(store, graphCol).applyUpdate(op))
 }

@@ -309,6 +309,70 @@ class SparqlSpec extends SparkTestBase {
     assert(nn.collect().forall(_.isNullAt(nn.columns.indexOf("c"))))
   }
 
+  // ------------------------------------------------------------ update
+
+  private def all(df: DataFrame): Set[Seq[Any]] =
+    df.select("doc_id", "subj", "pred", "obj").collect().map(_.toSeq).toSet
+
+  test("INSERT DATA appends only genuinely new quads (set semantics, graph-scoped)") {
+    val got = Sparql.update(kg, P + s"""INSERT DATA {
+        GRAPH <d1> { <w9> a ifc:Wall . <w1> rdf:type ifc:Wall }
+      }""")
+    // <w1> a Wall already exists in d1 → no duplicate row appears
+    assert(got.count() == kg.count() + 1)
+    assert(all(got).contains(Seq("d1", "w9", rdfType, s"${ifc}Wall")))
+  }
+
+  test("DELETE DATA removes exactly the named quads in the named graph") {
+    val got = Sparql.update(kg, P + s"""DELETE DATA {
+        GRAPH <d1> { <w1> rdf:type ifc:Wall } .
+        GRAPH <d9> { <w1> rdf:type ifc:Wall }
+      }""")
+    assert(all(got) == all(kg) - Seq("d1", "w1", rdfType, s"${ifc}Wall"))
+  }
+
+  test("DELETE WHERE uses the pattern as both template and constraint") {
+    val got = Sparql.update(kg, P + "DELETE WHERE { ?w ifc:hasHeight ?h }")
+    assert(all(got) == all(kg).filterNot(_(2) == s"${ifc}hasHeight"))
+  }
+
+  test("DELETE/INSERT WHERE rewrites against the ORIGINAL store's solutions") {
+    val got = Sparql.update(kg, P + """DELETE { ?w ifc:inStorey ?st }
+        INSERT { ?st <urn:hosts> ?w } WHERE { ?w ifc:inStorey ?st }""")
+    val expectGone = all(kg).filterNot(_(2) == s"${ifc}inStorey")
+    val expectNew = Set(Seq("d1", "s1", "urn:hosts", "w1"): Seq[Any],
+      Seq("d1", "s1", "urn:hosts", "w2"), Seq("d2", "s9", "urn:hosts", "w1"))
+    assert(all(got) == expectGone ++ expectNew)
+  }
+
+  test("';'-separated update sequence runs left to right") {
+    val got = Sparql.update(kg, P + s"""
+      INSERT DATA { GRAPH <d3> { <x> a ifc:Door } } ;
+      DELETE WHERE { ?d a ifc:Door }""")
+    // the freshly inserted d3 door is visible to (and deleted by) op 2
+    assert(all(got) == all(kg) - Seq("d1", "d7", rdfType, s"${ifc}Door"))
+  }
+
+  test("update keeps extra store columns: deletes preserve, inserts NULL-fill") {
+    import org.apache.spark.sql.functions.lit
+    val wide = kg.withColumn("src_line", lit(7L))
+    val got = Sparql.update(wide, P + """DELETE { ?w ifc:hasHeight ?h }
+        INSERT { ?w <urn:h> ?h } WHERE { ?w ifc:hasHeight ?h }""")
+    val bySrc = got.collect().groupBy(r => r.isNullAt(r.fieldIndex("src_line")))
+    assert(bySrc(false).length == kg.count() - 2) // survivors keep src_line=7
+    assert(bySrc(true).map(_.getString(got.columns.indexOf("pred"))).toSet == Set("urn:h"))
+  }
+
+  test("update loud errors: variables in ground data, bare triples without GRAPH") {
+    def bad(text: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Sparql.update(kg, text).collect())
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    bad(P + "INSERT DATA { GRAPH <d1> { ?v a ifc:Wall } }", "variable ?v")
+    bad(P + "INSERT DATA { <a> <b> <c> }", "GRAPH")
+    bad(P + "SELECT ?x WHERE { ?x ?p ?o }", "expected INSERT or DELETE")
+  }
+
   // ------------------------------------------------------------ errors
 
   test("loud errors: undeclared prefix, unsupported syntax, unbound projection") {
