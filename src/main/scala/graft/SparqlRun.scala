@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * (parquet by default; csv writes a header and is meant for small,
   * human-read results). ASK prints `true`/`false` and writes a one-row
   * table with a boolean `ask` column, so scripted callers have both a
-  * process-output and a file contract.
+  * process-output and a file contract. An UPDATE request (INSERT/DELETE)
+  * writes the UPDATED TRIPLES TABLE to `outDir` — copy-on-write: the
+  * input table is never touched, the output is its next snapshot.
   */
 object SparqlRun {
 
@@ -48,27 +50,31 @@ object SparqlRun {
   def run(spark: SparkSession, triplesPath: String, text: String, outDir: String,
           graphCol: String = "doc_id", format: String = "parquet"): Unit = {
     val triples = spark.read.parquet(triplesPath)
-    val result =
-      if (isAsk(text)) {
+    val result = form(text) match {
+      case "ASK" =>
         val answer = Sparql.ask(triples, text, graphCol)
         println(answer) // the process-output contract
         import spark.implicits._
         Seq(answer).toDF("ask")
-      } else Sparql.query(triples, text, graphCol)
+      case "INSERT" | "DELETE" => Sparql.update(triples, text, graphCol)
+      case _ => Sparql.query(triples, text, graphCol)
+    }
     val w = result.write.mode("overwrite")
     if (format == "csv") w.option("header", "true").csv(outDir) else w.parquet(outDir)
   }
 
-  /** ASK detection without a parse: first query-form keyword outside
-    * comments, IRIs, and prologue prefix labels (an IRI could contain
-    * "select"; a prefix could be named "ask:"). */
-  private[graft] def isAsk(text: String): Boolean = {
+  /** First form keyword outside comments, IRIs, and prologue prefix labels
+    * (an IRI could contain "select"; a prefix could be named "ask:") —
+    * routes to ask / update / query without a full parse. */
+  private[graft] def form(text: String): String = {
     val clean = text.replaceAll("<[^>\\n]*>", " ") // IRIs first: they may contain '#'
       .linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")
       .replaceAll("(?i)\\bPREFIX\\b\\s*[A-Za-z0-9_.-]*:", " ")
-    val kw = raw"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\b".r
-    kw.findFirstIn(clean).exists(_.equalsIgnoreCase("ASK"))
+    val kw = raw"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE)\b".r
+    kw.findFirstIn(clean).map(_.toUpperCase).getOrElse("")
   }
+
+  private[graft] def isAsk(text: String): Boolean = form(text) == "ASK"
 
   private def parseArgs(args: Array[String]): (Vector[String], Map[String, String]) = {
     var pos = Vector.empty[String]

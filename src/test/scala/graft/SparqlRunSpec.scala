@@ -62,5 +62,16 @@ class SparqlRunSpec extends SparkTestBase {
     assert(SparqlRun.isAsk("PREFIX p: <urn:select/x#> ASK { ?s ?p ?o }"))
     assert(!SparqlRun.isAsk("# ask in a comment\nSELECT ?s WHERE { ?s ?p ?o }"))
     assert(!SparqlRun.isAsk("PREFIX ask: <urn:ask#>\nCONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
+    assert(SparqlRun.form("PREFIX p: <urn:x#> DELETE WHERE { ?s ?p ?o }") == "DELETE")
+    assert(SparqlRun.form("INSERT DATA { GRAPH <g> { <a> <b> <c> } }") == "INSERT")
+  }
+
+  test("an UPDATE request writes the updated triples table") {
+    val out = tmp("upd")
+    SparqlRun.run(spark, writeTriples(),
+      s"DELETE WHERE { ?s <$rdfType> <urn:Door> }", out)
+    val upd = spark.read.parquet(out)
+    assert(upd.filter(upd("pred") === rdfType && upd("obj") === "urn:Door").count() == 0)
+    assert(upd.count() > 0)
   }
 }
