@@ -312,4 +312,75 @@ class SparqlFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- UPDATE: random modify requests vs brute-force set algebra ----
+
+  test("random DELETE/INSERT WHERE requests: update == (store ∖ del) ∪ ins") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Seq("s0", "s1", "s2")
+    val preds = Seq("urn:p0", "urn:p1")
+    val objects = Seq("s0", "s1", "l0", "l1")
+    val tripleGen = for {
+      g <- Gen.oneOf("d0", "d1")
+      s <- Gen.oneOf(subjects); p <- Gen.oneOf(preds); o <- Gen.oneOf(objects)
+    } yield (g, s, p, o)
+
+    val vars = Seq("?a", "?b")
+    def wTerm(consts: Seq[String]): Gen[String] =
+      Gen.frequency(2 -> Gen.oneOf(vars), 1 -> Gen.oneOf(consts))
+    val patGen = for {
+      s <- wTerm(subjects); p <- Gen.oneOf(preds); o <- wTerm(objects)
+    } yield (s, p, o)
+
+    def render(t: String): String = if (t.startsWith("?")) t else s"<$t>"
+    def renderPats(ps: Seq[(String, String, String)]): String =
+      ps.map(p => s"${render(p._1)} ${render(p._2)} ${render(p._3)} .").mkString(" ")
+
+    val reqGen = for {
+      nPat <- Gen.choose(1, 2)
+      where <- Gen.listOfN(nPat, patGen)
+      bound = where.flatMap(p => Seq(p._1, p._3)).filter(_.startsWith("?")).distinct
+      // template terms: bound vars or fresh constants (urn:new marks inserts)
+      tTerm = Gen.frequency(
+        (if (bound.nonEmpty) 2 else 0) -> Gen.oneOf(if (bound.nonEmpty) bound else Seq("?x")),
+        1 -> Gen.oneOf("s0", "urn:new", "l9"))
+      tmplGen = for { s <- tTerm; p <- Gen.oneOf(preds :+ "urn:pnew"); o <- tTerm } yield (s, p, o)
+      form <- Gen.oneOf("del", "ins", "both")
+      del <- Gen.listOfN(1, tmplGen)
+      ins <- Gen.listOfN(1, tmplGen)
+    } yield (where, form, del, ins)
+
+    val prop = Prop.forAll(Gen.listOfN(12, tripleGen), reqGen) { (raw, req) =>
+      val store = raw.distinct // RDF stores are sets; update preserves set-ness
+      val (where, form, del, ins) = req
+      store.isEmpty || {
+        val text = form match {
+          case "del" => s"DELETE { ${renderPats(del)} } WHERE { ${renderPats(where)} }"
+          case "ins" => s"INSERT { ${renderPats(ins)} } WHERE { ${renderPats(where)} }"
+          case "both" => s"DELETE { ${renderPats(del)} } INSERT { ${renderPats(ins)} } " +
+            s"WHERE { ${renderPats(where)} }"
+        }
+        val got = Sparql.update(store.toDF("doc_id", "subj", "pred", "obj"), text)
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+
+        val sols = bruteBgp(store, where)
+        def inst(tmpl: Seq[(String, String, String)]): Set[Triple] =
+          (for ((g, b) <- sols; (s, p, o) <- tmpl) yield {
+            def sub(t: String) = if (t.startsWith("?")) b(t.drop(1)) else t
+            (g, sub(s), sub(p), sub(o))
+          }).toSet
+        val delRows = if (form == "ins") Set.empty[Triple] else inst(del)
+        val insRows = if (form == "del") Set.empty[Triple] else inst(ins)
+        val want = (store.toSet -- delRows) ++ insRows
+        val gotSet = got.toSet
+        val ok = gotSet == want && got.size == gotSet.size // set result, no dup rows
+        if (!ok) println(s"UPDATE: $text\nSTORE: $store\nGOT: $gotSet\nWANT: $want")
+        ok
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
