@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *    negated property sets `!p` / `!(p1|p2)`), nested groups, subqueries
   *    `{ SELECT … }` (joined on shared projected variables), OPTIONAL,
   *    UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs, BIND(expr AS ?v),
-  *    VALUES (inline data).
+  *    VALUES (inline data), GRAPH ?g / GRAPH <iri> (the named graphs ARE
+  *    the documents: ?g binds the group's graph column, <iri> pins it).
   *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
@@ -54,10 +55,17 @@ import org.apache.spark.sql.functions._
   *    non-matching, where SPARQL's compatibility would let it join; MINUS
   *    is an anti join on the shared variables. Exact when groups bind their
   *    variables — the overwhelmingly common shape.
+  *  - SELECT projections may be plain variables, `(aggregate AS ?a)`, or
+  *    `(expression AS ?a)` — expressions may mix aggregates with arithmetic
+  *    and builtins in grouped queries (compiled as synthetic agg columns,
+  *    the HAVING mechanism).
+  *  - GRAPH ?g binds the doc_id (the store's graph names are document ids,
+  *    not IRIs — the documented data-model delta); GRAPH <iri> compiles to
+  *    a pushed-down graph-column filter.
   *  - Unsupported (loud parse errors, never silent): blank-node syntax and
   *    collections `( … )` in triple positions (the pipeline skolemizes every
-  *    node, so its output contains neither), GRAPH/SERVICE, inverse members
-  *    in negated property sets.
+  *    node, so its output contains neither), SERVICE (no federation),
+  *    inverse members in negated property sets.
   */
 object Sparql {
 
@@ -190,12 +198,16 @@ object Sparql {
   private[analytics] final case class EValues(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends Element
   private[analytics] final case class EGroup(g: Group) extends Element
   private[analytics] final case class ESubSelect(q: QSelect) extends Element
+  /** GRAPH clause: Left(var) binds the graph column, Right(iri) filters it. */
+  private[analytics] final case class EGraph(name: Either[String, String], g: Group) extends Element
   private[analytics] final case class Group(elems: Seq[Element])
 
   private[analytics] sealed trait ProjValue
   private[analytics] final case class PVar(name: String) extends ProjValue
   private[analytics] final case class PAgg(fn: String, arg: Option[String],
       distinct: Boolean, sep: Option[String] = None) extends ProjValue
+  /** general `(expression AS ?alias)` projection; may contain ExAgg nodes. */
+  private[analytics] final case class PExpr(e: Expr) extends ProjValue
   private[analytics] final case class Projection(alias: String, value: ProjValue)
 
   private[analytics] sealed trait Query
@@ -521,9 +533,17 @@ object Sparql {
               g = EUnion(branches.result())
             }
             elems += g
-          case t if isWord(t, "GRAPH") || isWord(t, "SERVICE") =>
-            fail(s"${t.asInstanceOf[TWord].word.toUpperCase} is not supported " +
-              "(solutions are graph-scoped to doc_id already)", text, t.pos)
+          case t if isWord(t, "GRAPH") =>
+            i += 1
+            val gname = next() match {
+              case TVar(n, _) => Left(n)
+              case TIri(iri, _) => Right(base + iri)
+              case p: TPName => Right(resolve(p))
+              case tk => fail("expected ?var or graph IRI after GRAPH", text, tk.pos)
+            }
+            elems += EGraph(gname, group())
+          case t if isWord(t, "SERVICE") =>
+            fail("SERVICE is not supported (no federation)", text, t.pos)
           case t if isWord(t, "SELECT") =>
             i += 1; elems += ESubSelect(selectQuery())
           case _ => elems += EBlock(triplesBlock())
@@ -646,10 +666,10 @@ object Sparql {
         case TVar(n, _) => i += 1; projs += Projection(n, PVar(n))
         case TPunct("(", _) =>
           i += 1
-          val p = next() match {
-            case TWord(w, _) if AggNames.contains(w.toUpperCase) => aggTail(w)
-            case TVar(n, _) => PVar(n)
-            case t => fail("expected aggregate or variable in (… AS ?alias)", text, t.pos)
+          val p = exprOr() match {
+            case ExAgg(fn, arg, d, sep) => PAgg(fn, arg, d, sep)
+            case ExVar(n) => PVar(n)
+            case e => PExpr(e)
           }
           expectWord("AS")
           val alias = next() match {
@@ -823,6 +843,20 @@ object Sparql {
           acc = if (acc == null) df else joinOn(acc, df)
         case EGroup(sub) =>
           val df = compileGroup(sub)
+          acc = if (acc == null) df else joinOn(acc, df)
+        case EGraph(gname, sub) =>
+          // the store's named graphs are the documents: every group already
+          // carries GraphCol, so GRAPH only exposes (var) or pins (iri) it —
+          // the iri filter pushes down through the group's pattern scans
+          val inner = compileGroup(sub)
+          val df = gname match {
+            case Right(iri) => inner.filter(col(GraphCol) === lit(iri))
+            case Left(v) =>
+              require(v != GraphCol, s"GRAPH variable ?$v shadows the graph column")
+              require(!inner.columns.contains(v),
+                s"GRAPH variable ?$v is already bound inside the group")
+              inner.withColumn(v, col(GraphCol))
+          }
           acc = if (acc == null) df else joinOn(acc, df)
         case ESubSelect(q) =>
           val df = selectDF(q)
@@ -1055,13 +1089,34 @@ object Sparql {
         triples.filter(col("subj") === lit(iri))
     }
 
+    /** does the expression contain an aggregate call anywhere? (decides
+      * whether a `(expr AS ?a)` projection forces the grouped compile path) */
+    private def hasAgg(e: Expr): Boolean = e match {
+      case _: ExAgg => true
+      case ExCmp(_, l, r) => hasAgg(l) || hasAgg(r)
+      case ExArith(_, l, r) => hasAgg(l) || hasAgg(r)
+      case ExAnd(l, r) => hasAgg(l) || hasAgg(r)
+      case ExOr(l, r) => hasAgg(l) || hasAgg(r)
+      case ExNot(x) => hasAgg(x)
+      case ExIn(x, _, _) => hasAgg(x)
+      case ExFn(_, args) => args.exists(hasAgg)
+      case _ => false
+    }
+
     private def selectDF(q: QSelect): DataFrame = {
       val QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) = q;
       {
         var df = compileGroup(where)
-        if (groupBy.nonEmpty || having.nonEmpty || projs.exists(_.value.isInstanceOf[PAgg])) {
-          // HAVING aggregates become synthetic agg columns (__h0…), the
-          // constraint a plain post-aggregate filter over them
+        val grouped = groupBy.nonEmpty || having.nonEmpty || projs.exists {
+          case Projection(_, _: PAgg) => true
+          case Projection(_, PExpr(e)) => hasAgg(e)
+          case _ => false
+        }
+        if (grouped) {
+          // HAVING aggregates — and aggregates nested inside `(expr AS ?a)`
+          // projections — become synthetic agg columns (__h0…); the HAVING
+          // constraint / projection expression is then a plain post-aggregate
+          // expression over them
           val hAggs = scala.collection.mutable.LinkedHashMap[ExAgg, String]()
           def subst(e: Expr): Expr = e match {
             case a: ExAgg => ExVar(hAggs.getOrElseUpdate(a, s"__h${hAggs.size}"))
@@ -1075,6 +1130,10 @@ object Sparql {
             case other => other
           }
           val havingSub = having.map(subst)
+          val projSub = projs.map {
+            case Projection(alias, PExpr(e)) => Projection(alias, PExpr(subst(e)))
+            case p => p
+          }
           val aggs = projs.collect { case Projection(alias, PAgg(fn, arg, d, sep)) =>
             aggColumn(fn, arg, d, sep).as(alias)
           } ++ hAggs.map { case (ExAgg(fn, arg, d, sep), alias) =>
@@ -1084,12 +1143,18 @@ object Sparql {
           val keys = groupBy.map(col)
           df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           havingSub.foreach(e => df = df.filter(compileExpr(e, df)))
-          val plain = projs.collect { case Projection(alias, PVar(n)) => (alias, n) }
-          plain.foreach { case (_, n) =>
-            require(groupBy.contains(n), s"projected ?$n is neither grouped nor aggregated")
+          projSub.foreach {
+            case Projection(_, PVar(n)) =>
+              require(groupBy.contains(n), s"projected ?$n is neither grouped nor aggregated")
+            case _ => ()
           }
-          df = df.select(projs.map {
+          val out = df
+          df = df.select(projSub.map {
             case Projection(alias, PVar(n)) => col(n).as(alias)
+            case Projection(alias, PExpr(e)) =>
+              // compileExpr's unbound-var check enforces "grouped or
+              // aggregated" for variables inside the expression
+              compileExpr(e, out).as(alias)
             case Projection(alias, _) => col(alias)
           }: _*)
         } else if (!star) {
@@ -1097,6 +1162,7 @@ object Sparql {
             case Projection(alias, PVar(n)) =>
               require(df.columns.contains(n), s"projected variable ?$n is not bound")
               col(n).as(alias)
+            case Projection(alias, PExpr(e)) => compileExpr(e, df).as(alias)
             case Projection(_, _: PAgg) => throw new IllegalStateException("unreachable")
           }: _*)
         }

@@ -309,6 +309,60 @@ class SparqlSpec extends SparkTestBase {
     assert(nn.collect().forall(_.isNullAt(nn.columns.indexOf("c"))))
   }
 
+  // ------------------------------------------------------------ GRAPH
+
+  test("GRAPH ?g binds the graph name (doc_id) of the group's solutions") {
+    val got = q(P + "SELECT ?g ?w WHERE { GRAPH ?g { ?w a ifc:Wall } }")
+    assert(rows(got, "g", "w") == Set(
+      Seq("d1", "w1"), Seq("d1", "w2"), Seq("d2", "w1")))
+  }
+
+  test("GRAPH <iri> pins the group to one named graph") {
+    val got = q(P + "SELECT ?w WHERE { GRAPH <d2> { ?w a ifc:Wall } }")
+    assert(rows(got, "graph", "w") == Set(Seq("d2", "w1")))
+  }
+
+  test("GRAPH composes with surrounding patterns (same-graph join)") {
+    val got = q(P + """SELECT ?g ?w ?st WHERE {
+      ?w ifc:inStorey ?st . GRAPH ?g { ?st a ifc:Storey } }""")
+    assert(rows(got, "g", "w", "st") == Set(
+      Seq("d1", "w1", "s1"), Seq("d1", "w2", "s1"), Seq("d2", "w1", "s9")))
+  }
+
+  test("GRAPH loud errors: variable already bound inside the group") {
+    val e = intercept[IllegalArgumentException](
+      q(P + "SELECT ?x WHERE { GRAPH ?x { ?x a ifc:Wall } }").collect())
+    assert(e.getMessage.contains("already bound"))
+  }
+
+  // ------------------------------------------------------------ expression projections
+
+  test("(expression AS ?alias) without aggregates is a computed projection") {
+    val got = q(P + """SELECT ?w (CONCAT(?w, "@", ?st) AS ?tag)
+      WHERE { ?w a ifc:Wall ; ifc:inStorey ?st }""")
+    assert(rows(got, "w", "tag") == Set(
+      Seq("w1", "w1@s1"), Seq("w2", "w2@s1"), Seq("w1", "w1@s9")))
+  }
+
+  test("(expression over aggregates AS ?alias) compiles via synthetic agg columns") {
+    val got = q(P + """SELECT ?st ((MAX(?h) - MIN(?h)) AS ?range)
+      WHERE { ?w ifc:hasHeight ?h ; ifc:inStorey ?st } GROUP BY ?st""")
+    assert(rows(got, "st", "range") == Set(Seq("s1", 9.5)))
+  }
+
+  test("aggregate expressions may mix builtins and group keys") {
+    val got = q(P + """SELECT ?st (CONCAT(?st, "#", STR(COUNT(?w))) AS ?lbl)
+      WHERE { ?w a ifc:Wall ; ifc:inStorey ?st } GROUP BY ?st""")
+    assert(rows(got, "st", "lbl") == Set(Seq("s1", "s1#2"), Seq("s9", "s9#1")))
+  }
+
+  test("expression projections over ungrouped variables fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      q(P + """SELECT ?st ((MAX(?h) + STRLEN(?w)) AS ?x)
+        WHERE { ?w ifc:hasHeight ?h ; ifc:inStorey ?st } GROUP BY ?st""").collect())
+    assert(e.getMessage.contains("?w is not bound"))
+  }
+
   // ------------------------------------------------------------ update
 
   private def all(df: DataFrame): Set[Seq[Any]] =
@@ -384,7 +438,7 @@ class SparqlSpec extends SparkTestBase {
     }
     bad("SELECT ?x WHERE { ?x foo:bar ?y }", "undeclared prefix")
     bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y ] }", "blank-node")
-    bad(P + "SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }", "GRAPH")
+    bad(P + "SELECT ?x WHERE { SERVICE <http://x> { ?x ?p ?o } }", "SERVICE")
     bad(P + "SELECT ?z WHERE { ?x a ifc:Wall }", "?z is not bound")
     bad(P + "SELECT ?x WHERE { ?x !(^ifc:p) ?y }", "inverse members")
     val e = intercept[IllegalArgumentException](q(P + "ASK { ?x a ifc:Wall }"))
