@@ -200,7 +200,23 @@ object SparkEntry {
              ?cell list:hasContents ?v .
              BIND(IF(STRLEN(?v) > 40, "long", "short") AS ?tag)
              BIND(STRAFTER(?v, "_") AS ?tail)
-           }"""))
+           }""")),
+      // SPARQL GRAPH clause: ?g binds the named graph (the documents ARE the
+      // graphs) and the GRAPH group same-graph-joins with the outer pattern;
+      // plus a non-grouped (expression AS ?alias) computed projection
+      "q51_sparql_graph" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?g ?cell ?v (CONCAT(?g, "/", ?cell) AS ?key) WHERE {
+             ?cell list:hasContents ?v .
+             GRAPH ?g { ?cell list:hasNext ?nxt }
+           }""")),
+      // SPARQL expression projections over aggregates: arithmetic and
+      // builtins on synthetic agg columns (the HAVING mechanism), grouped
+      "q52_sparql_exprproj" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?cls (CONCAT(?cls, "#", STR(COUNT(?i))) AS ?lbl)
+                  ((COUNT(?i) * 2) AS ?dbl)
+           WHERE { ?i rdf:type ?cls } GROUP BY ?cls"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -345,5 +361,19 @@ object SparkEntry {
               CASE WHEN length(obj) > 40 THEN 'long' ELSE 'short' END AS tag,
               CASE WHEN strpos(obj, '_') > 0
                    THEN substr(obj, strpos(obj, '_') + 1) ELSE '' END AS tail
-       FROM trip WHERE pred = 'https://w3id.org/list#hasContents'""")
+       FROM trip WHERE pred = 'https://w3id.org/list#hasContents'""",
+    "q51_sparql_graph" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       c AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasContents'),
+       n AS (SELECT doc_id, subj FROM trip WHERE pred = 'https://w3id.org/list#hasNext')
+       SELECT c.doc_id AS graph, c.doc_id AS g, c.subj AS cell, c.obj AS v,
+              c.doc_id || '/' || c.subj AS key
+       FROM c JOIN n ON n.doc_id = c.doc_id AND n.subj = c.subj""",
+    "q52_sparql_exprproj" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT obj AS cls, obj || '#' || CAST(count(*) AS VARCHAR) AS lbl,
+              CAST(count(*) * 2 AS DOUBLE) AS dbl
+       FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       GROUP BY 1""")
 }

@@ -313,6 +313,78 @@ class SparqlFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- GRAPH groups: same-graph join, var binds / iri pins the graph ----
+
+  test("random GRAPH groups: text plan == brute-force same-graph join") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Gen.oneOf("s0", "s1", "s2", "s3")
+    val preds = Seq("urn:p0", "urn:p1", "urn:p2")
+    val objects = Gen.oneOf("s0", "s1", "l0", "l1")
+    val tripleGen = for { g <- Gen.oneOf("d0", "d1"); s <- subjects; p <- Gen.oneOf(preds); o <- objects }
+      yield (g, s, p, o)
+
+    val bgp1Gen = for {
+      p1 <- Gen.oneOf(preds)
+      o1 <- Gen.frequency(2 -> Gen.const("?b"), 1 -> objects)
+    } yield Seq(("?a", p1, o1))
+    val bgp2Gen = for {
+      p2 <- Gen.oneOf(preds)
+      s2 <- Gen.frequency(3 -> Gen.const("?a"), 1 -> subjects)
+      o2 <- Gen.frequency(2 -> Gen.const("?c"), 1 -> objects)
+    } yield Seq((s2, p2, o2))
+    val modeGen = Gen.oneOf("var", "d0", "d1")
+
+    def render(t: String): String = if (t.startsWith("?")) t else s"<$t>"
+    def renderBgp(b: Seq[(String, String, String)]): String =
+      b.map(p => s"${render(p._1)} ${render(p._2)} ${render(p._3)} .").mkString(" ")
+
+    val prop = Prop.forAll(Gen.listOfN(12, tripleGen), bgp1Gen, bgp2Gen, modeGen) {
+      (triples, bgp1, bgp2, mode) =>
+      triples.isEmpty || {
+        val vars1 = bgp1.flatMap(p => Seq(p._1, p._3)).filter(_.startsWith("?")).map(_.drop(1)).distinct
+        val vars2 = bgp2.flatMap(p => Seq(p._1, p._3)).filter(_.startsWith("?")).map(_.drop(1)).distinct
+        val outVars = (vars1 ++ vars2).distinct.sorted
+        val (graphClause, proj) = mode match {
+          case "var" =>
+            (s"GRAPH ?g { ${renderBgp(bgp2)} }",
+             s"""?g ${outVars.map("?" + _).mkString(" ")} (CONCAT(?g, "!") AS ?gx)""")
+          case iri =>
+            (s"GRAPH <$iri> { ${renderBgp(bgp2)} }",
+             outVars.map("?" + _).mkString(" "))
+        }
+        val text = s"SELECT $proj WHERE { ${renderBgp(bgp1)} $graphClause }"
+
+        val df = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+        val cols = "graph" +: (if (mode == "var") Seq("g") else Nil) ++: outVars ++:
+          (if (mode == "var") Seq("gx") else Nil)
+        val got = bag(df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).orNull)))
+
+        val sols1 = bruteBgp(triples, bgp1)
+        val sols2 = bruteBgp(triples, bgp2).groupBy(_._1)
+        val joined = sols1.flatMap { case (g, b) =>
+          sols2.getOrElse(g, Nil).map(_._2).filter(compatible(b, _)).map(e => g -> (b ++ e))
+        }
+        val kept = mode match {
+          case "var" => joined
+          case iri => joined.filter(_._1 == iri)
+        }
+        val want = bag(kept.map { case (g, b) =>
+          val vs = outVars.map(v => b(v))
+          if (mode == "var") (g +: g +: vs) :+ (g + "!") else g +: vs
+        })
+        if (got != want) {
+          println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- UPDATE: random modify requests vs brute-force set algebra ----
 
   test("random DELETE/INSERT WHERE requests: update == (store ∖ del) ∪ ins") {
