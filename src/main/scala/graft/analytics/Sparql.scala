@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *
   * Supported subset (grammar in [[parse]]):
   *  - Query forms: SELECT [DISTINCT] (vars, `*`, and `(aggregate AS ?alias)`
-  *    projections), ASK, CONSTRUCT { template }, DESCRIBE ?var WHERE /
-  *    DESCRIBE <iri>.
+  *    projections), ASK, CONSTRUCT { template } / CONSTRUCT WHERE,
+  *    DESCRIBE ?var WHERE / DESCRIBE <iri>.
   *  - Update forms ([[update]]): INSERT DATA / DELETE DATA (ground quads in
   *    GRAPH blocks), DELETE WHERE, DELETE { } INSERT { } WHERE { },
   *    `;`-separated sequences — compiled to keyed anti joins + unions over
@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
-  *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND.
-  *  - Solution modifiers: GROUP BY, HAVING, ORDER BY [ASC|DESC], LIMIT,
-  *    OFFSET.
-  *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM, AVG, MIN, MAX,
-  *    SAMPLE (deterministic: min), GROUP_CONCAT([DISTINCT] ?v [;
+  *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, MD5, SHA1,
+  *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC.
+  *  - Solution modifiers: GROUP BY, HAVING, ORDER BY (vars, ASC/DESC(expr),
+  *    bare constraints; keys compile against the PROJECTED solution, so a
+  *    plain var order key must survive projection), LIMIT, OFFSET.
+  *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM/AVG [DISTINCT],
+  *    MIN, MAX, SAMPLE (deterministic: min), GROUP_CONCAT([DISTINCT] ?v [;
   *    SEPARATOR="…"]) (deterministic: sorted).
   *
   * Semantics over THIS data model (documented deltas from the rec):
@@ -213,7 +215,7 @@ object Sparql {
   private[analytics] sealed trait Query
   private[analytics] final case class QSelect(distinct: Boolean, star: Boolean,
       projs: Seq[Projection], where: Group, groupBy: Seq[String], having: Seq[Expr],
-      orderBy: Seq[(String, Boolean)], limit: Option[Int], offset: Option[Int]) extends Query
+      orderBy: Seq[(Expr, Boolean)], limit: Option[Int], offset: Option[Int]) extends Query
   private[analytics] final case class QAsk(where: Group) extends Query
   private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
   private[analytics] final case class QDescribe(variable: String, where: Group) extends Query
@@ -444,7 +446,8 @@ object Sparql {
 
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
       "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
-      "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND")
+      "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND",
+      "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -609,9 +612,20 @@ object Sparql {
           takeWord("WHERE")
           QAsk(group())
         case t if isWord(t, "CONSTRUCT") => i += 1
-          val tmpl = { expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b }
-          expectWord("WHERE")
-          QConstruct(tmpl, group())
+          if (isWord(peek, "WHERE")) {
+            // CONSTRUCT WHERE { … } shorthand: the pattern is the template,
+            // so it must be a plain triples block (no paths/filters/groups)
+            i += 1
+            val g = group()
+            val pats = g.elems.collect { case EBlock(ps) => ps }.flatten
+            require(g.elems.forall(_.isInstanceOf[EBlock]) && pats.nonEmpty,
+              "CONSTRUCT WHERE requires a plain triples block (no FILTER/OPTIONAL/…)")
+            QConstruct(pats, g)
+          } else {
+            val tmpl = { expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b }
+            expectWord("WHERE")
+            QConstruct(tmpl, group())
+          }
         case t if isWord(t, "DESCRIBE") => i += 1
           next() match {
             case TVar(n, _) =>
@@ -698,20 +712,22 @@ object Sparql {
         while (peek match { case TPunct("(", _) => true; case _ => false })
           having += exprOr()
       }
-      val orderBy = Seq.newBuilder[(String, Boolean)]
+      // OrderCondition ::= (ASC|DESC) BrackettedExpression | Constraint | Var
+      // (order keys are compiled against the PROJECTED solution, so they may
+      // reference projected aliases; a var must survive projection)
+      val orderBy = Seq.newBuilder[(Expr, Boolean)]
       if (takeWord("ORDER")) {
         expectWord("BY")
         var m = true
         while (m) peek match {
-          case TVar(n, _) => i += 1; orderBy += ((n, true))
+          case TVar(n, _) => i += 1; orderBy += ((ExVar(n), true))
           case t if isWord(t, "ASC") || isWord(t, "DESC") =>
             val asc = isWord(t, "ASC"); i += 1
             expectPunct("(")
-            next() match {
-              case TVar(n, _) => orderBy += ((n, asc))
-              case tk => fail("ORDER BY supports variables only", text, tk.pos)
-            }
+            orderBy += ((exprOr(), asc))
             expectPunct(")")
+          case TWord(w, _) if FnNames.contains(w.toUpperCase) =>
+            orderBy += ((exprPrimary(), true)) // bare Constraint, e.g. STRLEN(?x)
           case _ => m = false
         }
       }
@@ -1027,6 +1043,21 @@ object Sparql {
         coalesce(args.map(compileExpr(_, df)): _*)
       // numeric builtins follow the comparison rule: try_cast, a non-numeric
       // binding yields NULL and the solution drops at the consuming filter
+      case ExFn("ENCODE_FOR_URI", Seq(a)) =>
+        // url_encode is application/x-www-form-urlencoded; RFC 3986 differs
+        // on exactly three outputs: space (+ vs %20), '*' (bare vs %2A) and
+        // '~' (%7E vs bare). url_encode never emits a bare '+' or '*' for any
+        // other input byte, so three replaces make it exact.
+        replace(replace(replace(url_encode(compileExpr(a, df)),
+          lit("+"), lit("%20")), lit("*"), lit("%2A")), lit("%7E"), lit("~"))
+      case ExFn("MD5", Seq(a)) => md5(compileExpr(a, df).cast("binary"))
+      case ExFn("SHA1", Seq(a)) => sha1(compileExpr(a, df).cast("binary"))
+      case ExFn("SHA256", Seq(a)) => sha2(compileExpr(a, df).cast("binary"), 256)
+      // the store is untyped strings, so IRI/URI construction is identity
+      // (like STR); relative-IRI resolution would need a typed term model
+      case ExFn("IRI" | "URI", Seq(a)) => compileExpr(a, df)
+      case ExFn("ISNUMERIC", Seq(a)) =>
+        compileExpr(a, df).try_cast("double").isNotNull
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
@@ -1051,9 +1082,12 @@ object Sparql {
         case "COUNT" if arg.isEmpty => count(lit(1))
         case "COUNT" if d => countDistinct(a)
         case "COUNT" => count(a)
+        case "SUM" if d => sum_distinct(a.try_cast("double"))
         case "SUM" => sum(a.try_cast("double"))
+        case "AVG" if d => // avg(DISTINCT) by definition; no functions._ variant
+          sum_distinct(a.try_cast("double")) / countDistinct(a.try_cast("double"))
         case "AVG" => avg(a.try_cast("double"))
-        case "MIN" => min(a.try_cast("double"))
+        case "MIN" => min(a.try_cast("double")) // DISTINCT is a no-op on MIN/MAX
         case "MAX" => max(a.try_cast("double"))
         case "SAMPLE" => min(a)
         case "GROUP_CONCAT" =>
@@ -1168,7 +1202,10 @@ object Sparql {
         }
         if (distinct) df = df.distinct()
         if (orderBy.nonEmpty)
-          df = df.orderBy(orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+          df = df.orderBy(orderBy.map { case (e, asc) =>
+            val c = compileExpr(e, df)
+            if (asc) c.asc else c.desc
+          }: _*)
         offset.foreach(o => df = df.offset(o))
         limit.foreach(l => df = df.limit(l))
         df

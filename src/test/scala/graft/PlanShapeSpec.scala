@@ -116,5 +116,13 @@ class PlanShapeSpec extends SparkTestBase {
     val p2 = nps.queryExecution.executedPlan.toString
     withClue(p2)(assert(p2.contains("Not(EqualTo(pred,urn:p))"),
       "the negated-property-set filter must reach the parquet reader"))
+
+    // GRAPH <iri> compiles to a plain graph-column predicate, so it must
+    // push through the group's pattern scan down to the parquet reader too
+    val gq = Sparql.query(triples, "SELECT ?s ?o WHERE { GRAPH <d1> { ?s <urn:p> ?o } }")
+    gq.collect()
+    val p3 = gq.queryExecution.executedPlan.toString
+    withClue(p3)(assert(p3.contains("EqualTo(doc_id,d1)"),
+      "the GRAPH <iri> filter must reach the parquet reader"))
   }
 }

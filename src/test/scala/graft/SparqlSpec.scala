@@ -309,6 +309,49 @@ class SparqlSpec extends SparkTestBase {
     assert(nn.collect().forall(_.isNullAt(nn.columns.indexOf("c"))))
   }
 
+  test("SUM and AVG honor DISTINCT") {
+    // heights bag: 3.0, 12.5 (all walls) plus a second 3.0 from the <4 branch
+    val got = q(P + """SELECT (SUM(?h) AS ?s) (SUM(DISTINCT ?h) AS ?sd)
+      (AVG(?h) AS ?a) (AVG(DISTINCT ?h) AS ?ad) WHERE {
+        { ?w ifc:hasHeight ?h } UNION { ?w2 ifc:hasHeight ?h . FILTER (?h < 4) } }""")
+    assert(rows(got, "s", "sd", "a", "ad") == Set(
+      Seq(18.5, 15.5, 18.5 / 3, 15.5 / 2)))
+  }
+
+  test("ORDER BY accepts ASC/DESC(expression) and bare constraints") {
+    val g1 = q(P + "SELECT ?w ?h WHERE { ?w ifc:hasHeight ?h } ORDER BY DESC(?h + 0)")
+    assert(g1.select("w").collect().map(_.getString(0)).toSeq == Seq("w2", "w1"))
+    val g2 = q(P + "SELECT ?w ?h WHERE { ?w ifc:hasHeight ?h } ORDER BY STRLEN(?h)")
+    assert(g2.select("w").collect().map(_.getString(0)).toSeq == Seq("w1", "w2"))
+  }
+
+  test("CONSTRUCT WHERE shorthand: the pattern is the template") {
+    val got = q(P + "CONSTRUCT WHERE { ?w a ifc:Wall }")
+    assert(rows(got, "doc_id", "subj", "pred", "obj") == Set(
+      Seq("d1", "w1", rdfType, s"${ifc}Wall"),
+      Seq("d1", "w2", rdfType, s"${ifc}Wall"),
+      Seq("d2", "w1", rdfType, s"${ifc}Wall")))
+    val e = intercept[IllegalArgumentException](
+      q(P + "CONSTRUCT WHERE { ?w a ifc:Wall . FILTER (?w = \"w1\") }"))
+    assert(e.getMessage.contains("plain triples block"))
+  }
+
+  test("ENCODE_FOR_URI (RFC 3986), MD5/SHA1, IRI identity, ISNUMERIC") {
+    val got = q(P + """SELECT ?e ?m ?s ?i WHERE { ?x a ifc:Door .
+      BIND(ENCODE_FOR_URI("a b*c~d/é") AS ?e)
+      BIND(MD5("abc") AS ?m) BIND(SHA1("abc") AS ?s)
+      BIND(IRI(CONCAT("urn:", ?x)) AS ?i) }""")
+    assert(rows(got, "e", "m", "s", "i") == Set(Seq(
+      "a%20b%2Ac~d%2F%C3%A9",
+      "900150983cd24fb0d6963f7d28e17f72",
+      "a9993e364706816aba3e25717850c26c9cd0d89d",
+      "urn:d7")))
+    val num = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h . FILTER ISNUMERIC(?h) }")
+    assert(rows(num, "w") == Set(Seq("w1"), Seq("w2")))
+    val non = q(P + "SELECT ?w WHERE { ?w a ifc:Wall . FILTER (!ISNUMERIC(?w)) }")
+    assert(rows(non, "graph", "w") == Set(Seq("d1", "w1"), Seq("d1", "w2"), Seq("d2", "w1")))
+  }
+
   // ------------------------------------------------------------ GRAPH
 
   test("GRAPH ?g binds the graph name (doc_id) of the group's solutions") {
