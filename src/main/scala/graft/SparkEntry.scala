@@ -216,7 +216,12 @@ object SparkEntry {
         """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
            SELECT ?cls (CONCAT(?cls, "#", STR(COUNT(?i))) AS ?lbl)
                   ((COUNT(?i) * 2) AS ?dbl)
-           WHERE { ?i rdf:type ?cls } GROUP BY ?cls"""))
+           WHERE { ?i rdf:type ?cls } GROUP BY ?cls""")),
+      // SPARQL DISTINCT aggregates (COUNT/SUM over a BIND-computed column)
+      "q53_sparql_distinct" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?cls (COUNT(DISTINCT ?i) AS ?nd) (SUM(DISTINCT ?len) AS ?sd)
+           WHERE { ?i rdf:type ?cls . BIND(STRLEN(?i) AS ?len) } GROUP BY ?cls"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -373,6 +378,13 @@ object SparkEntry {
       s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
        SELECT obj AS cls, obj || '#' || CAST(count(*) AS VARCHAR) AS lbl,
               CAST(count(*) * 2 AS DOUBLE) AS dbl
+       FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       GROUP BY 1""",
+    "q53_sparql_distinct" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT obj AS cls, count(DISTINCT subj) AS nd,
+              CAST(sum(DISTINCT length(subj)) AS DOUBLE) AS sd
        FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
        GROUP BY 1""")
