@@ -221,7 +221,19 @@ object SparkEntry {
       "q53_sparql_distinct" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
         """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
            SELECT ?cls (COUNT(DISTINCT ?i) AS ?nd) (SUM(DISTINCT ?len) AS ?sd)
-           WHERE { ?i rdf:type ?cls . BIND(STRLEN(?i) AS ?len) } GROUP BY ?cls"""))
+           WHERE { ?i rdf:type ?cls . BIND(STRLEN(?i) AS ?len) } GROUP BY ?cls""")),
+      // N-Triples SOURCE: serialize the whole store through the sink's
+      // codegen'd line expression, parse every line back with the splittable
+      // reader — the full wire roundtrip (escapes, datatypes, term kinds)
+      // checked against the original table (xsd:string reads back as "", the
+      // RDF 1.1 implicit-datatype rule canonical NT encodes by omission)
+      "q54_nt_roundtrip" -> ((s, _) => {
+        val lines = goldenTriples(s)
+          .select(graft.sinks.NTriplesSink.line().as("value"))
+          .as(org.apache.spark.sql.Encoders.STRING)
+        graft.sources.NTriplesSource.parse(lines)
+          .select("subj", "pred", "obj", "obj_kind", "obj_datatype")
+      })
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -387,5 +399,11 @@ object SparkEntry {
               CAST(sum(DISTINCT length(subj)) AS DOUBLE) AS sd
        FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
-       GROUP BY 1""")
+       GROUP BY 1""",
+    "q54_nt_roundtrip" ->
+      s"""SELECT subj, pred, obj, obj_kind,
+              CASE WHEN obj_kind = 'iri' THEN ''
+                   WHEN obj_datatype = 'http://www.w3.org/2001/XMLSchema#string' THEN ''
+                   ELSE obj_datatype END AS obj_datatype
+       FROM read_parquet('${ExpectedGen.TriplesFile}')""")
 }

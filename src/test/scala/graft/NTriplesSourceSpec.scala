@@ -1,0 +1,99 @@
+package graft
+
+import graft.model.FinalTriple
+import graft.sinks.NTriplesSink
+import graft.sources.NTriplesSource
+
+class NTriplesSourceSpec extends SparkTestBase {
+
+  private def ft(subj: String, pred: String, obj: String,
+                 kind: String = "literal", dt: String = ""): FinalTriple =
+    FinalTriple("d", subj, pred, obj, kind, dt, 0L, 0)
+
+  test("parses every term form: iri, bnode, plain/typed/tagged literals") {
+    val rows = Seq(
+      """<urn:s> <urn:p> <urn:o> .""",
+      """_:b1 <urn:p> _:b2 .""",
+      """<urn:s> <urn:p> "plain" .""",
+      """<urn:s> <urn:p> "3.5"^^<http://www.w3.org/2001/XMLSchema#double> .""",
+      """<urn:s> <urn:p> "bonjour"@fr-BE .""",
+      "   # a comment line",
+      "",
+      """<urn:s> <urn:p> "trailing" . # inline comment"""
+    ).flatMap(NTriplesSource.parseLine)
+    assert(rows.map(r => (r.subj, r.obj, r.obj_kind, r.obj_datatype, r.obj_lang)) == Seq(
+      ("urn:s", "urn:o", "iri", "", ""),
+      ("_:b1", "_:b2", "bnode", "", ""),
+      ("urn:s", "plain", "literal", "", ""),
+      ("urn:s", "3.5", "literal", "http://www.w3.org/2001/XMLSchema#double", ""),
+      ("urn:s", "bonjour", "literal", "", "fr-BE"),
+      ("urn:s", "trailing", "literal", "", "")))
+  }
+
+  test("ECHAR and UCHAR escapes, including an astral \\U surrogate pair") {
+    val r = NTriplesSource.parseLine(
+      """<urn:s> <urn:p> "tab\there\nq\"uote\\backé\U0001F600" .""").get
+    assert(r.obj == "tab\there\nq\"uote\\backé" + new String(Character.toChars(0x1F600)))
+  }
+
+  test("malformed lines fail loudly with position") {
+    def bad(line: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](NTriplesSource.parseLine(line))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    bad("""<urn:s> <urn:p> <urn:o .""", "unterminated IRI")
+    bad("""<urn:s> <urn:p> <urn:o>""", "expected terminating '.'")
+    bad("""<urn:s> <urn:p> <urn:o> . junk""", "trailing content")
+    bad("""<urn:s> <urn:p> "x\z" .""", "unknown escape")
+    bad("""<urn:s> <urn:p> "open .""", "unterminated literal")
+    bad("""42 <urn:p> <urn:o> .""", "expected IRI or blank node subject")
+  }
+
+  test("sink -> source roundtrip is exact, driver-side (gnarly strings)") {
+    val triples = Seq(
+      ft("urn:a", "urn:p", "urn:b", kind = "iri"),
+      ft("urn:a", "urn:p", "line\nbreak\ttab\r\"quotes\" \\slash"),
+      ft("urn:a", "urn:q", "typed",
+        dt = "http://www.w3.org/2001/XMLSchema#decimal"),
+      // xsd:string is omitted on the wire, reads back as "" (RDF 1.1 implicit)
+      ft("urn:a", "urn:q", "stringly",
+        dt = "http://www.w3.org/2001/XMLSchema#string"))
+    val nt = NTriplesSink.serialize(triples)
+    val got = nt.linesIterator.flatMap(NTriplesSource.parseLine).toSeq
+    val want = triples.map(t => (t.subj, t.pred, t.obj, t.obj_kind,
+      if (t.obj_datatype == "http://www.w3.org/2001/XMLSchema#string") "" else t.obj_datatype))
+    assert(got.map(r => (r.subj, r.pred, r.obj, r.obj_kind, r.obj_datatype)).sorted ==
+      want.sorted)
+  }
+
+  test("sink -> source roundtrip is exact, distributed (write.text -> read)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt-src").toString + "/nt"
+    val triples = (1 to 500).map(i =>
+      ft(s"urn:s$i", "urn:p", if (i % 3 == 0) s"urn:o$i" else s"v\n$i\t\"x\\",
+        kind = if (i % 3 == 0) "iri" else "literal",
+        dt = if (i % 5 == 0 && i % 3 != 0) "urn:dt" else ""))
+    NTriplesSink.write(triples.toDF(), dir)
+    val got = NTriplesSource.read(spark, dir)
+      .select("subj", "pred", "obj", "obj_kind", "obj_datatype")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == triples.map(t => (t.subj, t.pred, t.obj, t.obj_kind, t.obj_datatype)).toSet)
+    assert(NTriplesSource.read(spark, dir).count() == 500)
+  }
+
+  test("scalacheck: arbitrary literal strings survive the wire") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.asciiPrintableChar,
+      1 -> Gen.oneOf('\n', '\r', '\t', '"', '\\'),
+      1 -> Gen.choose(0x80.toChar, 0x2FFF.toChar))).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val nt = NTriplesSink.serialize(Seq(ft("urn:s", "urn:p", s)))
+      val parsed = nt.linesIterator.flatMap(NTriplesSource.parseLine).toSeq
+      parsed.sizeIs == 1 && parsed.head.obj == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
