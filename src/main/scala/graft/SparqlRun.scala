@@ -56,7 +56,8 @@ object SparqlRun {
         println(answer) // the process-output contract
         import spark.implicits._
         Seq(answer).toDF("ask")
-      case "INSERT" | "DELETE" => Sparql.update(triples, text, graphCol)
+      case "INSERT" | "DELETE" | "CLEAR" | "DROP" | "CREATE" | "ADD" | "COPY" |
+           "MOVE" | "LOAD" => Sparql.update(triples, text, graphCol)
       case _ => Sparql.query(triples, text, graphCol)
     }
     val w = result.write.mode("overwrite")
@@ -70,7 +71,7 @@ object SparqlRun {
     val clean = text.replaceAll("<[^>\\n]*>", " ") // IRIs first: they may contain '#'
       .linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")
       .replaceAll("(?i)\\bPREFIX\\b\\s*[A-Za-z0-9_.-]*:", " ")
-    val kw = raw"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE)\b".r
+    val kw = raw"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE|CLEAR|DROP|CREATE|ADD|COPY|MOVE|LOAD)\b".r
     kw.findFirstIn(clean).map(_.toUpperCase).getOrElse("")
   }
 

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *  - Update forms ([[update]]): INSERT DATA / DELETE DATA (ground quads in
   *    GRAPH blocks), DELETE WHERE, DELETE { } INSERT { } WHERE { },
   *    `;`-separated sequences — compiled to keyed anti joins + unions over
-  *    the store (copy-on-write: the result is the next table snapshot).
+  *    the store (copy-on-write: the result is the next table snapshot);
+  *    graph management CLEAR/DROP (coincide: graphs exist implicitly),
+  *    CREATE (no-op), ADD/COPY/MOVE <g1> TO <g2>, and LOAD <path> INTO
+  *    GRAPH <g> (.nt splittable / .ttl file-per-doc sources). DEFAULT-graph
+  *    forms fail loudly — the store is named-graphs-only.
   *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
   *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, forward
   *    negated property sets `!p` / `!(p1|p2)`), nested groups, subqueries
@@ -228,6 +232,18 @@ object Sparql {
   private[analytics] final case class UDeleteData(quads: Seq[(String, String, String, String)]) extends Update
   private[analytics] final case class UModify(del: Seq[(Term, Term, Term)],
       ins: Seq[(Term, Term, Term)], where: Group) extends Update
+  /** CLEAR/DROP (they coincide here: graphs exist implicitly, so there is no
+    * empty-graph state to distinguish): Some(g) clears one graph, None is
+    * NAMED/ALL. */
+  private[analytics] final case class UClear(graph: Option[String]) extends Update
+  /** CREATE GRAPH — a no-op for the same implicit-existence reason. */
+  private[analytics] case object UCreate extends Update
+  /** ADD/COPY/MOVE from → to (SILENT accepted; these never fail on a missing
+    * graph anyway). */
+  private[analytics] final case class UGraphOp(kind: String, from: String, to: String) extends Update
+  /** LOAD <path> INTO GRAPH <g>: .nt via the splittable NTriplesSource, .ttl
+    * via TurtleSource. */
+  private[analytics] final case class ULoad(path: String, graph: String) extends Update
 
   // ===================================================================
   // Parser
@@ -790,7 +806,42 @@ object Sparql {
           expectWord("WHERE")
           UModify(del, ins, group())
         }
-      } else err("expected INSERT or DELETE")
+      } else if (takeWord("CLEAR") || takeWord("DROP")) {
+        takeWord("SILENT")
+        if (takeWord("GRAPH")) UClear(Some(graphIri()))
+        else if (takeWord("NAMED") || takeWord("ALL")) UClear(None)
+        else if (isWord(peek, "DEFAULT"))
+          fail("the store has no default graph (named graphs only)", text, peek.pos)
+        else fail("expected GRAPH <iri>, NAMED, ALL or DEFAULT", text, peek.pos)
+      } else if (takeWord("CREATE")) {
+        takeWord("SILENT"); expectWord("GRAPH"); graphIri(); UCreate
+      } else if (isWord(peek, "ADD") || isWord(peek, "COPY") || isWord(peek, "MOVE")) {
+        val kind = peek match { case TWord(w, _) => w.toUpperCase; case _ => "" }
+        i += 1
+        takeWord("SILENT")
+        def graphOrDefault(): String =
+          if (isWord(peek, "DEFAULT"))
+            fail("the store has no default graph (named graphs only)", text, peek.pos)
+          else { takeWord("GRAPH"); graphIri() }
+        val from = graphOrDefault()
+        expectWord("TO")
+        UGraphOp(kind, from, graphOrDefault())
+      } else if (takeWord("LOAD")) {
+        takeWord("SILENT")
+        val path = next() match {
+          case TIri(v, _) => v
+          case t => fail("expected a <file-or-dir-path> after LOAD", text, t.pos)
+        }
+        // no default graph to load into, so INTO GRAPH is mandatory
+        expectWord("INTO"); expectWord("GRAPH")
+        ULoad(path, graphIri())
+      } else err("expected INSERT, DELETE, CLEAR, DROP, CREATE, ADD, COPY, MOVE or LOAD")
+
+    private def graphIri(): String = next() match {
+      case TIri(iri, _) => base + iri
+      case p: TPName => resolve(p)
+      case t => fail("expected a graph IRI", text, t.pos)
+    }
 
     /** ground quad data for INSERT/DELETE DATA. The store is a union of
       * named graphs with no default graph, so every triple must sit inside
@@ -1265,6 +1316,37 @@ object Sparql {
         val sol = compileGroup(where)
         val afterDel = if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del))
         if (ins.isEmpty) afterDel else insertRows(afterDel, instantiate(sol, ins))
+      case UClear(Some(g)) => triples.filter(col(graphCol) =!= lit(g))
+      case UClear(None) => triples.limit(0)
+      case UCreate => triples
+      case UGraphOp(kind, from, to) =>
+        if (from == to) triples // spec: same-graph ADD/COPY/MOVE is a no-op
+        else {
+          // full rows ride: extra store columns survive the retagging
+          val src = triples.filter(col(graphCol) === lit(from))
+            .withColumn(graphCol, lit(to))
+          kind match {
+            case "ADD" => insertRows(triples, src) // set semantics vs dest
+            case "COPY" => triples.filter(col(graphCol) =!= lit(to)).unionByName(src)
+            case "MOVE" => triples
+              .filter(col(graphCol) =!= lit(to) && col(graphCol) =!= lit(from))
+              .unionByName(src)
+          }
+        }
+      case ULoad(path, g) =>
+        val lower = path.toLowerCase
+        val loaded =
+          if (lower.endsWith(".nt"))
+            graft.sources.NTriplesSource.read(spark, path).withColumn(graphCol, lit(g))
+          else if (lower.endsWith(".ttl"))
+            graft.sources.TurtleSource.read(spark, path).withColumn(graphCol, lit(g))
+          else throw new IllegalArgumentException(
+            s"LOAD supports .nt and .ttl sources, got: $path")
+        // project to the store's shape (never widen the store schema) and
+        // dedup the file's own lines — RDF load is set semantics
+        val cols = QuadKey ++ Seq("obj_kind", "obj_datatype", "obj_lang")
+          .filter(c => triples.columns.contains(c) && loaded.columns.contains(c))
+        insertRows(triples, loaded.select(cols.map(col): _*).distinct())
     }
   }
 

@@ -460,6 +460,57 @@ class SparqlSpec extends SparkTestBase {
     assert(bySrc(true).map(_.getString(got.columns.indexOf("pred"))).toSet == Set("urn:h"))
   }
 
+  test("graph management: CLEAR/DROP, CREATE, ADD/COPY/MOVE") {
+    def upd(text: String) = Sparql.update(kg, P + text)
+    assert(upd("CLEAR GRAPH <d1>").select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet == Set("d2"))
+    assert(upd("DROP SILENT GRAPH <d2>").filter("doc_id = 'd2'").count() == 0)
+    assert(upd("CLEAR ALL").count() == 0)
+    assert(upd("CREATE GRAPH <d9>").count() == kg.count())
+    // ADD keeps both graphs, set semantics on the dest: of d2's 3 triples,
+    // (w1 a Wall) already exists in d1 — 8 + 2 new = 10 in d1, 3 in d2
+    val added = upd("ADD <d2> TO <d1>")
+    assert(added.filter("doc_id = 'd1'").count() == 10)
+    assert(added.count() == 13)
+    // COPY replaces the dest graph outright
+    val copied = upd("COPY <d2> TO <d1>")
+    assert(copied.filter("doc_id = 'd1'").count() == 3)
+    assert(copied.count() == 6)
+    // MOVE = COPY + drop the source; same-graph MOVE is a no-op
+    val moved = upd("MOVE <d2> TO <d1>")
+    assert(moved.count() == 3)
+    assert(moved.filter("doc_id = 'd2'").count() == 0)
+    assert(upd("MOVE <d1> TO <d1>").count() == kg.count())
+    // sequences compose left to right
+    assert(upd("CLEAR GRAPH <d2> ; CLEAR GRAPH <d1>").count() == 0)
+  }
+
+  test("LOAD reads .nt and .ttl files into a named graph (set semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparql-load")
+    val nt = dir.resolve("data.nt")
+    java.nio.file.Files.write(nt,
+      ("<urn:x> <urn:p> \"v\" .\n<urn:x> <urn:p> <urn:y> .\n" +
+       "<urn:x> <urn:p> \"v\" .\n").getBytes("UTF-8")) // dup line → one row
+    val afterNt = Sparql.update(kg, s"LOAD <${nt}> INTO GRAPH <dx>")
+    assert(afterNt.filter("doc_id = 'dx'").count() == 2)
+    assert(afterNt.count() == kg.count() + 2)
+
+    val ttl = dir.resolve("data.ttl")
+    java.nio.file.Files.write(ttl,
+      "@prefix ex: <urn:ex#> .\nex:a ex:p ex:b ; ex:q \"lit\" .\n".getBytes("UTF-8"))
+    val afterTtl = Sparql.update(kg, s"LOAD SILENT <${ttl}> INTO GRAPH <dy>")
+    assert(afterTtl.filter("doc_id = 'dy'").count() == 2)
+
+    def bad(text: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Sparql.update(kg, text).collect())
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    bad(s"LOAD <${nt}>", "expected INTO")
+    bad(s"LOAD <${dir.resolve("x.json")}> INTO GRAPH <dz>", ".nt and .ttl")
+    bad("CLEAR DEFAULT", "no default graph")
+    bad("ADD DEFAULT TO <d1>", "no default graph")
+  }
+
   test("update loud errors: variables in ground data, bare triples without GRAPH") {
     def bad(text: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.update(kg, text).collect())
@@ -467,7 +518,7 @@ class SparqlSpec extends SparkTestBase {
     }
     bad(P + "INSERT DATA { GRAPH <d1> { ?v a ifc:Wall } }", "variable ?v")
     bad(P + "INSERT DATA { <a> <b> <c> }", "GRAPH")
-    bad(P + "SELECT ?x WHERE { ?x ?p ?o }", "expected INSERT or DELETE")
+    bad(P + "SELECT ?x WHERE { ?x ?p ?o }", "expected INSERT, DELETE, CLEAR")
   }
 
   // ------------------------------------------------------------ errors
