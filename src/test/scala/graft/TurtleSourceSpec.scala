@@ -60,6 +60,35 @@ class TurtleSourceSpec extends SparkTestBase {
     assert(want.values.sum > 250, "corpus should be non-trivial") // 304 golden triples
   }
 
+  test("pipeline TTL export reads back through TurtleSource (sink-source compat)") {
+    import graft.model.FinalTriple
+    import graft.sources.FixtureDocs
+    import org.apache.spark.sql.Encoders
+    assume(FixtureDocs.available())
+    val ontNS = "http://standards.buildingsmart.org/IFC/DEV/IFC4/ADD2_TC1/OWL#"
+    val docs = spark.createDataset(Seq(FixtureDocs.doc(12), FixtureDocs.doc(13)))(
+      Encoders.product[graft.model.Doc])
+    val r = graft.operators.Pipeline.run(docs, FixtureDocs.BaseURI)(spark)
+    val byDoc = r.triples.as[FinalTriple](Encoders.product[FinalTriple])
+      .collect().toSeq.groupBy(_.doc_id)
+    assert(byDoc.nonEmpty && byDoc.values.forall(_.nonEmpty))
+    val dir = Files.createTempDirectory("graft-ttl-compat").toString
+    byDoc.foreach { case (doc, ts) =>
+      write(dir, s"$doc.ttl", graft.sinks.TurtleSink.serialize(ts, FixtureDocs.BaseURI, ontNS))
+    }
+    val got = TurtleSource.read(spark, dir)
+      .select("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype")
+      .collect().map(r0 => (r0.getString(0), r0.getString(1), r0.getString(2),
+        r0.getString(3), r0.getString(4), r0.getString(5))).toSet
+    val want = byDoc.values.flatten.map { t =>
+      // the sink omits xsd:string (RDF 1.1 implicit), the source reads "" back
+      val dt = if (t.obj_datatype.endsWith("#string")) "" else t.obj_datatype
+      (t.doc_id, t.subj, t.pred, t.obj, t.obj_kind, dt)
+    }.toSet
+    assert(got == want)
+    r.unpersist()
+  }
+
   test("malformed turtle fails loudly naming the document") {
     val dir = Files.createTempDirectory("graft-ttl-bad").toString
     write(dir, "broken.ttl", "@prefix ex: <urn:ex#> .\nex:a ex:b .\n")
