@@ -61,6 +61,10 @@ import org.apache.spark.sql.functions._
   *    non-matching, where SPARQL's compatibility would let it join; MINUS
   *    is an anti join on the shared variables. Exact when groups bind their
   *    variables — the overwhelmingly common shape.
+  *  - An OPTIONAL group's own top-level FILTERs follow the LeftJoin(Ω1, Ω2,
+  *    expr) rule: filters referencing OUTER variables ride the join
+  *    condition (evaluated over the merged binding, non-matches NULL-pad);
+  *    inner-bound filters apply inside the group (equivalent per spec).
   *  - SELECT projections may be plain variables, `(aggregate AS ?a)`, or
   *    `(expression AS ?a)` — expressions may mix aggregates with arithmetic
   *    and builtins in grouped queries (compiled as synthetic agg columns,
@@ -938,8 +942,51 @@ object Sparql {
           }.reduce(_.unionByName(_))
           acc = if (acc == null) df else joinOn(acc, df)
         case EOptional(sub) =>
-          val df = compileGroup(sub)
-          acc = need("OPTIONAL").join(df, joinKeys(acc, df), "left")
+          val a = need("OPTIONAL")
+          // SPARQL LeftJoin(Ω1, Ω2, expr): the optional group's own top-level
+          // FILTERs are the left-join condition, evaluated over the MERGED
+          // binding — so a filter referencing an OUTER variable must ride the
+          // join, not apply inside Ω2 (where the var is unbound). A filter
+          // whose vars the inner group itself binds is equivalent either way
+          // (false ⇒ the merge fails ⇒ μ1 survives NULL-padded), so those —
+          // and EXISTS constraints, which compile to joins — stay inside.
+          val innerNoF = compileGroup(Group(sub.elems.filterNot(_.isInstanceOf[EFilter])))
+          val innerCols = innerNoF.columns.toSet
+          val (hoisted, kept) = sub.elems.collect { case EFilter(e) => e }.partition { e =>
+            val fv = freeVars(e)
+            !fv.contains(ExistsMarker) && !fv.forall(innerCols.contains)
+          }
+          if (hoisted.isEmpty) {
+            val df = kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e))
+            acc = a.join(df, joinKeys(a, df), "left")
+          } else {
+            val inner = kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e))
+            val keys = joinKeys(a, inner)
+            val suffix = "__opt"
+            val renamed = inner.columns.foldLeft(inner)((d, c) =>
+              d.withColumnRenamed(c, c + suffix))
+            // schema probe for unbound-var checks; col() stays unresolved
+            // until the real join, so the Columns transfer
+            val probe = a.crossJoin(renamed)
+            def subst(e: Expr): Expr = e match {
+              case ExVar(n) if innerCols.contains(n) && !keys.contains(n) => ExVar(n + suffix)
+              case ExCmp(op, l, r) => ExCmp(op, subst(l), subst(r))
+              case ExArith(op, l, r) => ExArith(op, subst(l), subst(r))
+              case ExAnd(l, r) => ExAnd(subst(l), subst(r))
+              case ExOr(l, r) => ExOr(subst(l), subst(r))
+              case ExNot(x) => ExNot(subst(x))
+              case ExIn(x, s, n) => ExIn(subst(x), s, n)
+              case ExFn(n, args) => ExFn(n, args.map(subst))
+              case other => other
+            }
+            val eqCond = keys.map(k => col(k) === col(k + suffix)).reduceOption(_ && _)
+            val fCond = hoisted.map(e => compileExpr(subst(e), probe)).reduce(_ && _)
+            var joined = a.join(renamed, eqCond.map(_ && fCond).getOrElse(fCond), "left")
+            keys.foreach(k => joined = joined.drop(k + suffix))
+            innerCols.filterNot(keys.contains).foreach(c =>
+              joined = joined.withColumnRenamed(c + suffix, c))
+            acc = joined
+          }
         case EMinus(sub) =>
           val a = need("MINUS")
           val df = compileGroup(sub)
@@ -969,6 +1016,25 @@ object Sparql {
       }
       val a = need("the group")
       filters.result().foldLeft(a)((d, e) => applyFilter(d, e))
+    }
+
+    /** sentinel in freeVars marking an EXISTS constraint (join-compiled, so
+      * never hoistable into an OPTIONAL's left-join condition). */
+    private val ExistsMarker = "?__exists__"
+
+    /** variables an expression references (plus [[ExistsMarker]]). */
+    private def freeVars(e: Expr): Set[String] = e match {
+      case ExVar(n) => Set(n)
+      case ExCmp(_, l, r) => freeVars(l) ++ freeVars(r)
+      case ExArith(_, l, r) => freeVars(l) ++ freeVars(r)
+      case ExAnd(l, r) => freeVars(l) ++ freeVars(r)
+      case ExOr(l, r) => freeVars(l) ++ freeVars(r)
+      case ExNot(x) => freeVars(x)
+      case ExIn(x, set, _) => freeVars(x) ++ set.flatMap(freeVars)
+      case ExFn(_, args) => args.flatMap(freeVars).toSet
+      case ExAgg(_, arg, _, _) => arg.toSet
+      case ExExists(_, _) => Set(ExistsMarker)
+      case _ => Set.empty
     }
 
     private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {

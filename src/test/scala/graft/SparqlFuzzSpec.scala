@@ -313,6 +313,77 @@ class SparqlFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- OPTIONAL with outer-referencing filters: the LeftJoin expr ----
+
+  test("random OPTIONAL groups with outer-referencing filters == brute-force left join") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Gen.oneOf("s0", "s1", "s2", "s3")
+    val preds = Seq("urn:p0", "urn:p1", "urn:p2")
+    val objects = Gen.oneOf("s0", "s1", "l0", "3", "7")
+    val tripleGen = for { g <- Gen.oneOf("d0", "d1"); s <- subjects; p <- Gen.oneOf(preds); o <- objects }
+      yield (g, s, p, o)
+
+    // bgp1 always binds ?a and ?b; bgp2 shares ?a and may bind ?c
+    val bgp1Gen = Gen.oneOf(preds).map(p1 => Seq(("?a", p1, "?b")))
+    val bgp2Gen = for {
+      p2 <- Gen.oneOf(preds)
+      o2 <- Gen.frequency(2 -> Gen.const("?c"), 1 -> objects)
+    } yield Seq(("?a", p2, o2))
+    // filter over the MERGED binding: outer ?b against a const, a number, or
+    // the inner ?c (lexical — neither side numeric)
+    val filtGen = Gen.oneOf("b=l0", "b=s1", "b>2", "b=c")
+
+    def render(t: String): String =
+      if (t.startsWith("?")) t
+      else if (t.forall(_.isDigit)) t
+      else s"<$t>"
+    def renderBgp(b: Seq[(String, String, String)]): String =
+      b.map(p => s"${render(p._1)} ${render(p._2)} ${render(p._3)} .").mkString(" ")
+
+    val prop = Prop.forAll(Gen.listOfN(12, tripleGen), bgp1Gen, bgp2Gen, filtGen) {
+      (triples, bgp1, bgp2, filt) =>
+      val innerBindsC = bgp2.exists(_._3 == "?c")
+      triples.isEmpty || (filt == "b=c" && !innerBindsC) || {
+        val filterText = filt match {
+          case "b=l0" => """?b = "l0""""
+          case "b=s1" => """?b = "s1""""
+          case "b>2" => "?b > 2"
+          case "b=c" => "?b = ?c"
+        }
+        val outVars = (Seq("a", "b") ++ (if (innerBindsC) Seq("c") else Nil)).sorted
+        val text = s"SELECT ${outVars.map("?" + _).mkString(" ")} WHERE { " +
+          s"${renderBgp(bgp1)} OPTIONAL { ${renderBgp(bgp2)} FILTER ($filterText) } }"
+
+        val df = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+        val got = bag(df.select(("graph" +: outVars).map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).orNull)))
+
+        def cond(m: Binding): Boolean = filt match {
+          case "b=l0" => m("b") == "l0"
+          case "b=s1" => m("b") == "s1"
+          case "b>2" => m("b").toDoubleOption.exists(_ > 2)
+          case "b=c" => m("b") == m("c")
+        }
+        val sols1 = bruteBgp(triples, bgp1)
+        val sols2 = bruteBgp(triples, bgp2).groupBy(_._1)
+        val wantSols = sols1.flatMap { case (g, b) =>
+          val es = sols2.getOrElse(g, Nil).map(_._2)
+            .filter(e => compatible(b, e) && cond(b ++ e))
+          if (es.isEmpty) Seq(g -> b) else es.map(e => g -> (b ++ e))
+        }
+        val want = bag(wantSols.map { case (g, b) => g +: outVars.map(v => b.getOrElse(v, null)) })
+        if (got != want) {
+          println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- GRAPH groups: same-graph join, var binds / iri pins the graph ----
 
   test("random GRAPH groups: text plan == brute-force same-graph join") {

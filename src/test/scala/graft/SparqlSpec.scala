@@ -97,6 +97,25 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(got, "graph", "w") == Set(Seq("d2", "w1")))
   }
 
+  test("OPTIONAL filter referencing outer variables is the left-join condition") {
+    // ?h is bound OUTSIDE the optional group: the filter must evaluate over
+    // the merged binding (LeftJoin expr), keeping non-matching rows NULL-padded
+    val got = q(P + """SELECT ?w ?h ?st WHERE { ?w ifc:hasHeight ?h .
+      OPTIONAL { ?w ifc:inStorey ?st FILTER (?h > 4) } }""")
+    assert(rows(got, "w", "h", "st") == Set(
+      Seq("w1", "3.0", null), Seq("w2", "12.5", "s1")))
+    // mixed outer + inner vars in one conjunction
+    val mixed = q(P + """SELECT ?w ?h ?st WHERE { ?w ifc:hasHeight ?h .
+      OPTIONAL { ?w ifc:inStorey ?st FILTER (?h > 4 && ?st = "s1") } }""")
+    assert(rows(mixed, "w", "h", "st") == Set(
+      Seq("w1", "3.0", null), Seq("w2", "12.5", "s1")))
+    // inner-only filters keep the inside-apply path (equivalent per spec)
+    val innerOnly = q(P + """SELECT ?w ?h WHERE { ?w a ifc:Wall .
+      OPTIONAL { ?w ifc:hasHeight ?h FILTER (?h > 4) } }""")
+    assert(rows(innerOnly, "graph", "w", "h") == Set(
+      Seq("d1", "w1", null), Seq("d1", "w2", "12.5"), Seq("d2", "w1", null)))
+  }
+
   test("UNION concatenates branches with NULL-padded branch-only variables") {
     val got = q(P + "SELECT ?x ?st WHERE { { ?x a ifc:Door } UNION { ?x ifc:inStorey ?st } }")
     assert(rows(got, "x", "st") == Set(
