@@ -227,6 +227,15 @@ object SparkEntry {
       // reader — the full wire roundtrip (escapes, datatypes, term kinds)
       // checked against the original table (xsd:string reads back as "", the
       // RDF 1.1 implicit-datatype rule canonical NT encodes by omission)
+      // SPARQL OPTIONAL with an outer-referencing FILTER — the LeftJoin
+      // (Ω1, Ω2, expr) rule: the filter rides the join condition over the
+      // merged binding, non-matching cells keep a NULL-padded next pointer
+      "q55_sparql_optfilter" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?cell ?v ?nxt WHERE {
+             ?cell list:hasContents ?v .
+             OPTIONAL { ?cell list:hasNext ?nxt FILTER (STRLEN(?v) > 40) }
+           }""")),
       "q54_nt_roundtrip" -> ((s, _) => {
         val lines = goldenTriples(s)
           .select(graft.sinks.NTriplesSink.line().as("value"))
@@ -400,6 +409,13 @@ object SparkEntry {
        FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
        GROUP BY 1""",
+    "q55_sparql_optfilter" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       c AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasContents'),
+       n AS (SELECT doc_id, subj, obj FROM trip WHERE pred = 'https://w3id.org/list#hasNext')
+       SELECT c.doc_id AS graph, c.subj AS cell, c.obj AS v, n.obj AS nxt
+       FROM c LEFT JOIN n
+         ON n.doc_id = c.doc_id AND n.subj = c.subj AND length(c.obj) > 40""",
     "q54_nt_roundtrip" ->
       s"""SELECT subj, pred, obj, obj_kind,
               CASE WHEN obj_kind = 'iri' THEN ''
