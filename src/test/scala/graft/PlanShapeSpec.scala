@@ -124,5 +124,19 @@ class PlanShapeSpec extends SparkTestBase {
     val p3 = gq.queryExecution.executedPlan.toString
     withClue(p3)(assert(p3.contains("EqualTo(doc_id,d1)"),
       "the GRAPH <iri> filter must reach the parquet reader"))
+
+    // the OPTIONAL LeftJoin-expr path: equality conjuncts must stay join
+    // KEYS (hash/merge join, filter as residual) — a nested-loop join here
+    // would go quadratic on a corpus-scale store
+    val oq = Sparql.query(triples, """SELECT ?s ?o ?q WHERE {
+      ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?q FILTER (?o > 1) } }""")
+    oq.collect()
+    val p4 = oq.queryExecution.executedPlan.toString
+    withClue(p4) {
+      assert(!p4.contains("BroadcastNestedLoopJoin"),
+        "hoisted OPTIONAL filter must not degrade the left join to a nested loop")
+      assert(p4.contains("HashJoin") || p4.contains("SortMergeJoin"),
+        "the left join must key on the shared columns")
+    }
   }
 }
