@@ -82,6 +82,22 @@ class NTriplesSourceSpec extends SparkTestBase {
     assert(NTriplesSource.read(spark, dir).count() == 500)
   }
 
+  test("streaming NT ingest: readStream text -> parse -> triples table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt-stream").toString + "/in"
+    val triples = (1 to 40).map(i => ft(s"urn:s$i", "urn:p", s"v$i"))
+    NTriplesSink.write(triples.toDF(), dir)
+    // the parse is a narrow per-line flatMap, so it composes with a file
+    // stream unchanged — continuous NT ingest is the same one-liner as batch
+    val q = graft.sources.NTriplesSource.parse(spark.readStream.text(dir).as[String])
+      .writeStream.format("memory").queryName("nt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("nt_stream").count() == 40)
+    assert(spark.table("nt_stream").select("subj").as[String].collect().toSet ==
+      triples.map(_.subj).toSet)
+  }
+
   test("scalacheck: arbitrary literal strings survive the wire") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val strGen = Gen.listOf(Gen.frequency(
