@@ -64,6 +64,12 @@ class SparqlRunSpec extends SparkTestBase {
     assert(!SparqlRun.isAsk("PREFIX ask: <urn:ask#>\nCONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
     assert(SparqlRun.form("PREFIX p: <urn:x#> DELETE WHERE { ?s ?p ?o }") == "DELETE")
     assert(SparqlRun.form("INSERT DATA { GRAPH <g> { <a> <b> <c> } }") == "INSERT")
+    // graph-management forms route to the update writer; keywords inside
+    // IRIs must not misroute a query
+    assert(SparqlRun.form("CLEAR GRAPH <urn:g>") == "CLEAR")
+    assert(SparqlRun.form("LOAD </tmp/x.nt> INTO GRAPH <urn:g>") == "LOAD")
+    assert(SparqlRun.form("MOVE <urn:a> TO <urn:b>") == "MOVE")
+    assert(SparqlRun.form("SELECT ?x WHERE { ?x <urn:add/load> ?y }") == "SELECT")
   }
 
   test("an UPDATE request writes the updated triples table") {
