@@ -456,6 +456,53 @@ class SparqlFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- grouped aggregates: random data vs a brute-force fold ----
+
+  test("random GROUP BY aggregates (+ HAVING) == brute-force fold") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Gen.oneOf("s0", "s1", "s2", "s3")
+    val preds = Seq("urn:p0", "urn:p1")
+    // mix of numerics (exact in double) and non-castable literals
+    val objects = Gen.oneOf("l0", "l1", "2", "5", "9")
+    val tripleGen = for { g <- Gen.oneOf("d0", "d1"); s <- subjects; p <- Gen.oneOf(preds); o <- objects }
+      yield (g, s, p, o)
+
+    val prop = Prop.forAll(Gen.listOfN(14, tripleGen), Gen.oneOf(preds), Gen.oneOf(true, false)) {
+      (triples, p1, withHaving) =>
+      triples.isEmpty || {
+        val having = if (withHaving) " HAVING (COUNT(?b) >= 2)" else ""
+        val text = s"""SELECT ?a (COUNT(?b) AS ?n) (COUNT(DISTINCT ?b) AS ?nd)
+          (SUM(?b) AS ?s) (MIN(?b) AS ?mn) (MAX(?b) AS ?mx)
+          WHERE { ?a <$p1> ?b } GROUP BY ?a$having"""
+
+        val df = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+        val got = bag(df.collect().toSeq.map(_.toSeq.map(Option(_).orNull)))
+
+        // grouped queries pool solutions ACROSS graphs (no graph column)
+        val byA = bruteBgp(triples, Seq(("?a", p1, "?b"))).map(_._2)
+          .groupBy(_("a"))
+        val wantRows = byA.toSeq.map { case (a, bs) =>
+          val vals = bs.map(_("b"))
+          val nums = vals.flatMap(_.toDoubleOption)
+          def agg(f: Seq[Double] => Double): Any =
+            if (nums.isEmpty) null else java.lang.Double.valueOf(f(nums))
+          Seq[Any](a, java.lang.Long.valueOf(vals.size.toLong),
+            java.lang.Long.valueOf(vals.distinct.size.toLong),
+            agg(_.sum), agg(_.min), agg(_.max))
+        }.filter(r => !withHaving || r(1).asInstanceOf[java.lang.Long] >= 2L)
+        val want = bag(wantRows)
+        if (got != want) {
+          println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+          false
+        } else true
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- UPDATE: random modify requests vs brute-force set algebra ----
 
   test("random DELETE/INSERT WHERE requests: update == (store ∖ del) ∪ ins") {
