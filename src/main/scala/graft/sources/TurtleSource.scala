@@ -46,20 +46,35 @@ object TurtleSource {
       .toDF()
   }
 
-  /** file:///a/b/model.ttl → model (URL-decoded basename, extension off). */
-  private[sources] def docIdOf(file: String): String = {
+  /** file:///a/b/model.ttl → model (percent-decoded basename, extension
+    * off). NOT URLDecoder: that is form decoding, which would turn a literal
+    * `+` in a filename into a space — file URIs only percent-encode. */
+  private[graft] def docIdOf(file: String): String = {
     val base = file.substring(file.lastIndexOf('/') + 1)
     val noExt = base.lastIndexOf('.') match {
       case -1 => base
       case i => base.substring(0, i)
     }
-    java.net.URLDecoder.decode(noExt, "UTF-8")
+    if (noExt.indexOf('%') < 0) noExt
+    else {
+      val bytes = new java.io.ByteArrayOutputStream(noExt.length)
+      var i = 0
+      while (i < noExt.length) {
+        val c = noExt.charAt(i)
+        if (c == '%' && i + 2 < noExt.length) {
+          bytes.write(Integer.parseInt(noExt.substring(i + 1, i + 3), 16)); i += 3
+        } else {
+          val cb = c.toString.getBytes("UTF-8"); bytes.write(cb, 0, cb.length); i += 1
+        }
+      }
+      new String(bytes.toByteArray, "UTF-8")
+    }
   }
 
   /** Parse one document's Turtle text. Errors from the parser carry
     * line/col; wrap them with the doc id so a corpus-scale load names the
     * offending file. */
-  private[sources] def rows(docId: String, text: String): Seq[TtlRow] = {
+  private[graft] def rows(docId: String, text: String): Seq[TtlRow] = {
     val triples =
       try Turtle.parse(text)
       catch {

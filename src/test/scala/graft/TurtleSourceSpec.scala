@@ -89,6 +89,14 @@ class TurtleSourceSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("docIdOf: percent-decodes, keeps literal '+' (file URIs are not form-encoded)") {
+    assert(TurtleSource.docIdOf("file:///a/b/model.ttl") == "model")
+    assert(TurtleSource.docIdOf("file:/x/a%20b.ttl") == "a b")
+    assert(TurtleSource.docIdOf("file:/x/a+b.ttl") == "a+b")
+    assert(TurtleSource.docIdOf("file:/x/caf%C3%A9.ttl") == "café")
+    assert(TurtleSource.docIdOf("plain.ttl") == "plain")
+  }
+
   test("malformed turtle fails loudly naming the document") {
     val dir = Files.createTempDirectory("graft-ttl-bad").toString
     write(dir, "broken.ttl", "@prefix ex: <urn:ex#> .\nex:a ex:b .\n")
