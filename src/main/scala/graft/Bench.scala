@@ -101,16 +101,31 @@ object Bench {
     if (graft.sources.FixtureDocs.available())
       results("kg_goldens") = timedMin(2, 15)(SparkEntry.entry(spark).count())
 
-    // analytic battery (each query's own wall time, budgeted min-of-2).
+    // analytic battery (each query's own wall time, budgeted min-of-2 in the
+    // first pass; the window-escape loop below re-samples the WHOLE battery
+    // with wall-clock spacing, so every row's reported value is a min across
+    // host windows — BENCH_r04 recorded one-shot rows 50x their same-code
+    // dry-run value purely from a slow substrate window, VERDICT r4 #1).
     // A query failure is SURFACED in the JSON (`errors` map), never folded
     // into a timing — the bench must distinguish failed from fast.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.filterNot(_._1.startsWith("kg_")).foreach { case (name, fn) =>
-      try results(name) = timedMin(2, 20)(fn(spark, sfDir).count())
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val batterySamples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val midProbes = scala.collection.mutable.ListBuffer[(Double, Double, Double)]()
+    def batteryPass(firstPass: Boolean): Unit = {
+      if (!firstPass) midProbes += Substrate.probe(cpus) // per-pass substrate bracket
+      SparkEntry.queries.filterNot(_._1.startsWith("kg_")).foreach { case (name, fn) =>
+        if (firstPass || !errors.contains(name))
+          try {
+            val t = if (firstPass) timedMin(2, 20)(fn(spark, sfDir).count())
+                    else timed(fn(spark, sfDir).count())
+            batterySamples(name) = t :: batterySamples.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            if (firstPass)
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
       }
     }
+    batteryPass(firstPass = true)
 
     // Window-escape pass, UNCONDITIONAL and symmetric: the host swings
     // multi-x over ~minutes (measured: the identical job 2.7x slower at both
@@ -132,18 +147,25 @@ object Bench {
     // Full spacing only at the headline sf (smoke runs shouldn't idle).
     val escapeBaseMs = sys.env.getOrElse("SPARK_GRAFT_ESCAPE_SPACING_MS",
       if (sfDir.contains("sf0.1")) "60000" else "1000").toLong
-    for (rep <- 1 to escapeReps; (name, docs) <- Seq("kg_uniform" -> uniformDocs, "kg_skewed" -> skewedDocs)) {
+    for (rep <- 1 to escapeReps) {
       Thread.sleep(escapeBaseMs << (rep - 1))
-      val t0 = System.nanoTime()
-      val r = Pipeline.run(docs, SynthCorpus.BaseURI)
-      r.triples.count(); r.unpersist()
-      kgSamples(name) = ((System.nanoTime() - t0) / 1e9) :: kgSamples(name)
+      for ((name, docs) <- Seq("kg_uniform" -> uniformDocs, "kg_skewed" -> skewedDocs)) {
+        val t0 = System.nanoTime()
+        val r = Pipeline.run(docs, SynthCorpus.BaseURI)
+        r.triples.count(); r.unpersist()
+        kgSamples(name) = ((System.nanoTime() - t0) / 1e9) :: kgSamples(name)
+      }
+      // the battery rides the same escape spacing (VERDICT r4 #1): two extra
+      // full passes, each bracketed by a substrate probe, so every battery
+      // row is a min over >= 3 samples spanning distinct host windows
+      if (rep < escapeReps) batteryPass(firstPass = false)
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     kgSamples.foreach { case (name, xs) => results(name) = xs.min }
+    batterySamples.foreach { case (name, xs) => results(name) = xs.min }
     kgSecs = results("kg_uniform") + results("kg_skewed")
     val kgMedSecs = median(kgSamples("kg_uniform")) + median(kgSamples("kg_skewed"))
 
@@ -167,7 +189,12 @@ object Bench {
     val tpsMed = if (kgMedSecs > 0) (kgTriples / kgMedSecs).round else 0L
     val (cpu1b, cpuNb, bwB) = Substrate.probe(cpus)
     def r1(x: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
-    val sub = s"""{"cpu1_mhps":[${r1(cpu1a)},${r1(cpu1b)}],"cpuN_mhps":[${r1(cpuNa)},${r1(cpuNb)}],"membw_gibps":[${r1(bwA)},${r1(bwB)}]}"""
+    // probe sequence: before first pass, before each battery re-sample pass,
+    // after the run — a reader can bracket any sample by its nearest probes
+    val probes = (cpu1a, cpuNa, bwA) +: midProbes.toList :+ (cpu1b, cpuNb, bwB)
+    val sub = s"""{"cpu1_mhps":[${probes.map(p => r1(p._1)).mkString(",")}],""" +
+      s""""cpuN_mhps":[${probes.map(p => r1(p._2)).mkString(",")}],""" +
+      s""""membw_gibps":[${probes.map(p => r1(p._3)).mkString(",")}]}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_triples":$kgTriples,"kg_triples_per_sec":$tps,"kg_triples_per_sec_median":$tpsMed,"substrate":$sub}"""
     println(json)
     // ALSO write the line to a bare file: the stdout line reaches the driver

@@ -64,6 +64,10 @@ object NTriplesSource {
 
     // <iri> — IRIREF has no escapes beyond UCHAR; > cannot appear inside
     def iri(from: Int): (String, Int) = {
+      // bounds-check first: a truncated term (e.g. `"x"^^` at end of line)
+      // must fail through the positioned reporter, not charAt's raw
+      // StringIndexOutOfBoundsException
+      if (from >= n) err("truncated line: expected '<'", from)
       if (line.charAt(from) != '<') err("expected '<'", from)
       val close = line.indexOf('>', from + 1)
       if (close < 0) err("unterminated IRI", from)
@@ -72,9 +76,13 @@ object NTriplesSource {
     }
 
     def bnode(from: Int): (String, Int) = {
-      // _:label — label runs to whitespace
+      // _:label — label runs to whitespace; BLANK_NODE_LABEL may contain '.'
+      // internally but cannot END with one (W3C grammar), so trailing dots
+      // are the statement terminator — `<s> <p> _:b1.` is valid NT with no
+      // space before the '.'
       var j = from + 2
       while (j < n && !isWs(line.charAt(j))) j += 1
+      while (j > from + 2 && line.charAt(j - 1) == '.') j -= 1
       if (j == from + 2) err("empty blank-node label", from)
       (line.substring(from, j), j)
     }
@@ -164,11 +172,11 @@ object NTriplesSource {
           case '\\' => out.append('\\'); i += 2
           case 'u' =>
             if (i + 6 > raw.length) err("truncated \\u escape", i)
-            out.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+            out.append(hex(raw.substring(i + 2, i + 6), i, err).toChar)
             i += 6
           case 'U' =>
             if (i + 10 > raw.length) err("truncated \\U escape", i)
-            out.appendCodePoint(Integer.parseInt(raw.substring(i + 2, i + 10), 16))
+            out.appendCodePoint(hex(raw.substring(i + 2, i + 10), i, err))
             i += 10
           case other => err(s"unknown escape \\$other", i)
         }
@@ -176,4 +184,10 @@ object NTriplesSource {
     }
     out.toString
   }
+
+  /** hex parse through the positioned reporter — non-hex digits in a UCHAR
+    * must not escape as a raw NumberFormatException. */
+  private def hex(s: String, at: Int, err: (String, Int) => Nothing): Int =
+    try Integer.parseInt(s, 16)
+    catch { case _: NumberFormatException => err(s"non-hex digits '$s' in unicode escape", at) }
 }

@@ -58,10 +58,16 @@ object TurtleSource {
     if (noExt.indexOf('%') < 0) noExt
     else {
       val bytes = new java.io.ByteArrayOutputStream(noExt.length)
+      def isHex(c: Char) = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
       var i = 0
       while (i < noExt.length) {
         val c = noExt.charAt(i)
-        if (c == '%' && i + 2 < noExt.length) {
+        // a '%' NOT followed by two hex digits is a literal '%' in the
+        // filename (input_file_name encoding is not guaranteed across
+        // filesystems) — emit it verbatim like the truncated-% branch,
+        // never throw an unpositioned NumberFormatException mid-corpus
+        if (c == '%' && i + 2 < noExt.length &&
+            isHex(noExt.charAt(i + 1)) && isHex(noExt.charAt(i + 2))) {
           bytes.write(Integer.parseInt(noExt.substring(i + 1, i + 3), 16)); i += 3
         } else {
           val cb = c.toString.getBytes("UTF-8"); bytes.write(cb, 0, cb.length); i += 1

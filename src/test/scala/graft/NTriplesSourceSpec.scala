@@ -36,6 +36,14 @@ class NTriplesSourceSpec extends SparkTestBase {
     assert(r.obj == "tab\there\nq\"uote\\backé" + new String(Character.toChars(0x1F600)))
   }
 
+  test("no-space terminator: _:b1. ends the statement, label excludes the dot") {
+    // grammatically valid NT (BLANK_NODE_LABEL cannot end with '.')
+    val r = NTriplesSource.parseLine("""<urn:s> <urn:p> _:b1.""").get
+    assert(r.obj == "_:b1" && r.obj_kind == "bnode")
+    val r2 = NTriplesSource.parseLine("""_:a.b <urn:p> <urn:o> .""").get
+    assert(r2.subj == "_:a.b") // internal dots stay in the label
+  }
+
   test("malformed lines fail loudly with position") {
     def bad(line: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](NTriplesSource.parseLine(line))
@@ -47,6 +55,11 @@ class NTriplesSourceSpec extends SparkTestBase {
     bad("""<urn:s> <urn:p> "x\z" .""", "unknown escape")
     bad("""<urn:s> <urn:p> "open .""", "unterminated literal")
     bad("""42 <urn:p> <urn:o> .""", "expected IRI or blank node subject")
+    // the positioned-error contract holds for malformed escapes and
+    // truncated terms too — never a raw NumberFormatException /
+    // StringIndexOutOfBoundsException
+    bad("<urn:s> <urn:p> \"x\\" + "uZZZZ\" .", "non-hex digits")
+    bad("""<urn:s> <urn:p> "x"^^""", "truncated line")
   }
 
   test("sink -> source roundtrip is exact, driver-side (gnarly strings)") {

@@ -95,6 +95,12 @@ class TurtleSourceSpec extends SparkTestBase {
     assert(TurtleSource.docIdOf("file:/x/a+b.ttl") == "a+b")
     assert(TurtleSource.docIdOf("file:/x/caf%C3%A9.ttl") == "café")
     assert(TurtleSource.docIdOf("plain.ttl") == "plain")
+    // a literal '%' not followed by two hex digits stays literal (filename
+    // encoding is not guaranteed across filesystems) — never a raw
+    // NumberFormatException that crashes the corpus read unnamed
+    assert(TurtleSource.docIdOf("file:/x/50%off.ttl") == "50%off")
+    assert(TurtleSource.docIdOf("file:/x/a%zz.ttl") == "a%zz")
+    assert(TurtleSource.docIdOf("file:/x/tail%2.ttl") == "tail%2")
   }
 
   test("malformed turtle fails loudly naming the document") {
