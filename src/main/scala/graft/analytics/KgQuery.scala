@@ -78,15 +78,27 @@ object KgQuery {
   /** Output column carrying the named-graph (doc_id) value. */
   val GraphCol = "graph"
 
+  /** Companion-column name carrying a bound variable's term metadata
+    * (facet ∈ kind/datatype/lang). '#' cannot appear in a SPARQL variable
+    * name, so companions never collide with solution variables; they are
+    * excluded from every join key (same-lexical matching stays the
+    * documented contract) and dropped from user-visible projections. */
+  def metaCol(v: String, facet: String): String = v + "#" + facet
+
+  /** Is this column a term-metadata companion (never a join key)? */
+  def isMetaCol(name: String): Boolean = name.indexOf('#') >= 0
+
   /** Compile a property-path expression to its (graph, src, dst) edge table.
     * Each `Pred` leaf is a pred-filtered scan (the constant reaches the
     * parquet scan as a pushed filter); `PathSeq` joins on
     * (graph, midpoint) — the same skew-guarded key shape as every other
     * KG join; `Plus`/`Star` reuse [[transitiveClosure]]'s O(log diameter)
-    * doubling. `Star`'s zero-length pairs are, per the SPARQL 1.1 spec, all
-    * RDF terms of the graph — one distinct over the table's subjects and
-    * objects; at corpus scale prefer `Plus` unless zero-length solutions
-    * are genuinely wanted. */
+    * doubling. A BARE `Star`'s zero-length pairs are, per the SPARQL 1.1
+    * spec, all RDF terms of the graph — one distinct over the table's
+    * subjects and objects; but a `Star`/`Opt` inside a sequence (the common
+    * `p✶ then q` shape) is rewritten algebraically (q ⊎ Plus(p)∖id / q) so the
+    * term set never materializes. At corpus scale prefer `Plus` over a
+    * BARE `Star` unless zero-length solutions are genuinely wanted. */
   def pathEdges(triples: DataFrame, path: Path,
                 graphCol: String = "doc_id"): DataFrame = {
     // zero-length pairs: (t, t) for every RDF term of the graph (SPARQL 1.1
@@ -96,19 +108,39 @@ object KgQuery {
         .unionByName(triples.select(col(graphCol).as(GraphCol), col("obj").as("t")))
         .distinct()
         .select(col(GraphCol), col("t").as("src"), col("t").as("dst"))
+    // midpoint equi-join of two edge tables (+ graph) — the PathSeq primitive
+    def seqJoin(l: DataFrame, rIn: DataFrame): DataFrame = {
+      val r = rIn.select(col(GraphCol).as("__g"), col("src").as("__mid"),
+        col("dst").as("__dst"))
+      l.join(r, col(GraphCol) === col("__g") && col("dst") === col("__mid"))
+        .select(col(GraphCol), col("src"), col("__dst").as("dst"))
+    }
     def edges(p: Path): DataFrame = p match {
       case Pred(iri) =>
         triples.filter(col("pred") === lit(iri))
           .select(col(graphCol).as(GraphCol), col("subj").as("src"), col("obj").as("dst"))
       case Inv(q) =>
         edges(q).select(col(GraphCol), col("dst").as("src"), col("src").as("dst"))
-      case PathSeq(a, b) =>
-        val l = edges(a)
-        val r = edges(b).select(col(GraphCol).as("__g"), col("src").as("__mid"),
-          col("dst").as("__dst"))
-        l.join(r, col(GraphCol) === col("__g") && col("dst") === col("__mid"))
-          .select(col(GraphCol), col("src"), col("__dst").as("dst"))
       case Alt(a, b) => edges(a).unionByName(edges(b))
+      // Sequences THROUGH a Star/Opt never materialize the graph's term set:
+      // Star(p) = id ∪ (Plus(p) minus its self-pairs) — every (x,x) in
+      // Plus(p) is already in id, so the distinct union splits exactly —
+      // and joining q onto the id side yields q itself (q's endpoints are
+      // terms of the graph by construction). Exact bag equivalence, zero
+      // all-terms distinct: the corpus-scale path for `p✶ then q` patterns.
+      case PathSeq(Star(a), b) =>
+        val nonTrivial = edges(Plus(a)).filter(col("src") =!= col("dst"))
+        edges(b).unionByName(seqJoin(nonTrivial, edges(b)))
+      case PathSeq(a, Star(b)) =>
+        val nonTrivial = edges(Plus(b)).filter(col("src") =!= col("dst"))
+        edges(a).unionByName(seqJoin(edges(a), nonTrivial))
+      case PathSeq(Opt(a), b) =>
+        val nonTrivial = edges(a).distinct().filter(col("src") =!= col("dst"))
+        edges(b).unionByName(seqJoin(nonTrivial, edges(b)))
+      case PathSeq(a, Opt(b)) =>
+        val nonTrivial = edges(b).distinct().filter(col("src") =!= col("dst"))
+        edges(a).unionByName(seqJoin(edges(a), nonTrivial))
+      case PathSeq(a, b) => seqJoin(edges(a), edges(b))
       case Plus(q) =>
         transitiveClosure(edges(q), graph = Seq(GraphCol)).drop("dist")
       case Star(q) =>
@@ -129,9 +161,19 @@ object KgQuery {
     * solutions never span documents. A [[P]] property-path in predicate
     * position matches via [[pathEdges]]; subject/object terms behave as for
     * a plain pattern.
+    *
+    * `termMeta`: variables whose RDF-term metadata the caller needs (the
+    * SPARQL front-end's LANG/DATATYPE/isIRI… builtins). Each such variable
+    * additionally binds [[metaCol]] companion columns: object-position
+    * bindings carry the store's `obj_kind`/`obj_datatype`/`obj_lang`
+    * columns where present; subject bindings derive kind from the `_:`
+    * blank-node prefix; predicate bindings are IRIs by grammar. Companions
+    * never join (matching stays lexical — the documented delta) and are
+    * absent for property-path bindings (paths lose term kinds).
     */
   def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
-          graphCol: String = "doc_id"): DataFrame = {
+          graphCol: String = "doc_id",
+          termMeta: Set[String] = Set.empty): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
 
     // one filtered+projected scan per pattern; constant positions filter,
@@ -156,6 +198,7 @@ object KgQuery {
       }
       val varPos = positions.collect { case (c, V(n)) =>
         require(n != GraphCol, s"variable name '$GraphCol' is reserved")
+        require(!isMetaCol(n), s"variable name '$n' may not contain '#'")
         (c, n)
       }
       varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
@@ -165,7 +208,25 @@ object KgQuery {
         }
       }
       val bind = varPos.distinctBy(_._2)
-      val out = df.select(col(graphCol).as(GraphCol) +: bind.map { case (c, n) => col(c).as(n) }: _*)
+      // term-metadata companions for requested variables (isMetaCol names,
+      // excluded from all join keys). A path pattern rebinds subj/obj from
+      // the edge table, which has no kind columns — no companions there.
+      val isPath = pat._2.isInstanceOf[P]
+      val metaSel = bind.filter { case (_, n) => termMeta(n) }.flatMap {
+        case ("obj", n) if !isPath && base.columns.contains("obj_kind") =>
+          col("obj_kind").as(metaCol(n, "kind")) +:
+            Seq("datatype", "lang").collect {
+              case f if base.columns.contains(s"obj_$f") =>
+                col(s"obj_$f").as(metaCol(n, f))
+            }
+        case ("subj", n) if !isPath =>
+          Seq(when(col("subj").startsWith("_:"), lit("bnode"))
+            .otherwise(lit("iri")).as(metaCol(n, "kind")))
+        case ("pred", n) => Seq(lit("iri").as(metaCol(n, "kind")))
+        case _ => Nil
+      }
+      val out = df.select(col(graphCol).as(GraphCol) +:
+        (bind.map { case (c, n) => col(c).as(n) } ++ metaSel): _*)
       (out, bind.map(_._2).toSet)
     }
 
@@ -194,7 +255,11 @@ object KgQuery {
 
     var ((acc, bound), _) = takeBest(Set.empty)
     while (remaining.nonEmpty) {
-      val ((next, vars), _) = takeBest(bound)
+      val ((next0, vars), _) = takeBest(bound)
+      // a variable bound in several object positions carries its companions
+      // from the FIRST binding pattern (same term ⇒ same metadata)
+      val dupMeta = next0.columns.filter(c => isMetaCol(c) && acc.columns.contains(c))
+      val next = if (dupMeta.isEmpty) next0 else next0.drop(dupMeta.toIndexedSeq: _*)
       val keys = GraphCol +: vars.intersect(bound).toSeq.sorted
       acc = acc.join(next, keys)
       bound = bound ++ vars

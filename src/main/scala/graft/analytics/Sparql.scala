@@ -38,10 +38,22 @@ import org.apache.spark.sql.functions._
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
   *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, MD5, SHA1,
-  *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC.
+  *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC,
+  *    and the term inspectors LANG, DATATYPE, LANGMATCHES, isIRI/isURI,
+  *    isLiteral, isBlank (read [[KgQuery.metaCol]] companions bound from
+  *    the store's obj_kind/obj_datatype/obj_lang columns — matching stays
+  *    lexical, but tags and kinds are fully inspectable; loud error when
+  *    the store carries no metadata or the variable is path/BIND-bound).
+  *  - Dataset clauses: FROM <g> restricts patterns outside GRAPH clauses,
+  *    FROM NAMED <g> restricts GRAPH clauses — both compile to pushed-down
+  *    graph-column membership filters (absent clauses leave all graphs
+  *    visible; this store has no default/named dataset split — delta).
+  *    Top-level queries only, as the SPARQL grammar requires.
   *  - Solution modifiers: GROUP BY, HAVING, ORDER BY (vars, ASC/DESC(expr),
-  *    bare constraints; keys compile against the PROJECTED solution, so a
-  *    plain var order key must survive projection), LIMIT, OFFSET.
+  *    bare constraints; non-grouped queries may order by NON-projected
+  *    variables — the sort runs on the pre-projection frame, as SPARQL
+  *    evaluates OrderBy before Project — except under DISTINCT, where the
+  *    key must survive projection), LIMIT, OFFSET.
   *  - Aggregates: COUNT(*) / COUNT([DISTINCT] ?v), SUM/AVG [DISTINCT],
   *    MIN, MAX, SAMPLE (deterministic: min), GROUP_CONCAT([DISTINCT] ?v [;
   *    SEPARATOR="…"]) (deterministic: sorted).
@@ -50,7 +62,11 @@ import org.apache.spark.sql.functions._
   *  - Terms are matched by lexical form: the triples table stores
   *    `subj/pred/obj` lexically (datatype in `obj_datatype`), so
   *    `"3."^^xsd:double` matches lexical "3." — a literal's `^^type` /
-  *    `@lang` suffix is parsed and ignored for matching.
+  *    `@lang` suffix is parsed and ignored for matching. Term KIND,
+  *    datatype and language tag remain fully INSPECTABLE via
+  *    LANG/DATATYPE/LANGMATCHES/isIRI/isLiteral/isBlank, which read the
+  *    store's metadata columns; a variable bound in several positions
+  *    reads the metadata of its first binding pattern.
   *  - Comparisons are numeric when either operand is a numeric literal
   *    (both sides cast to double; uncastable → NULL → row dropped),
   *    lexical otherwise. SUM/AVG/MIN/MAX cast to double the same way.
@@ -261,6 +277,24 @@ object Sparql {
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var base = ""
 
+    /** FROM / FROM NAMED graphs of the (one, top-level) query — the store's
+      * named graphs ARE the documents, so these compile to pushed-down
+      * graph-column membership filters: FROM restricts patterns outside
+      * GRAPH clauses, FROM NAMED restricts GRAPH clauses; absent clauses
+      * leave all graphs visible (this store has no default-graph/named split
+      * to make empty — documented data-model delta). */
+    private[Sparql] var fromGraphs: Seq[String] = Nil
+    private[Sparql] var fromNamed: Seq[String] = Nil
+
+    /** DatasetClause* ::= ('FROM' ('NAMED'? SourceSelector))* */
+    private def datasetClauses(allowed: Boolean): Unit =
+      while (isWord(peek, "FROM")) {
+        val at = peek.pos; i += 1
+        if (!allowed) fail("FROM/FROM NAMED is only valid on the top-level query", text, at)
+        if (takeWord("NAMED")) fromNamed :+= graphIri()
+        else fromGraphs :+= graphIri()
+      }
+
     private def peek: Tok = toks(i)
     private def next(): Tok = { val t = toks(i); i += 1; t }
     private def err(msg: String): Nothing = fail(msg, text, peek.pos)
@@ -320,6 +354,12 @@ object Sparql {
         }
         I(v)
       case TNum(lex, _) => I(lex)
+      case TPunct("-", p) => next() match {
+        // negative numeric literal in term position (object of a pattern,
+        // VALUES handles its own) — lexical form keeps the sign
+        case TNum(lex, _) => I("-" + lex)
+        case _ => fail("expected a number after '-'", text, p)
+      }
       case t if isWord(t, "true") => I("true")
       case t if isWord(t, "false") => I("false")
       case TPunct("(", p) => fail("RDF collections '(…)' are not supported (pipeline output has none)", text, p)
@@ -467,7 +507,8 @@ object Sparql {
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
       "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
       "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND",
-      "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC")
+      "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC",
+      "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -584,6 +625,10 @@ object Sparql {
           else if (takePunct("@")) next()
           Some(v)
         case TNum(lex, _) => Some(lex)
+        case TPunct("-", p) => next() match {
+          case TNum(lex, _) => Some("-" + lex)
+          case _ => fail("expected a number after '-'", text, p)
+        }
         case TIri(iri, _) => Some(base + iri)
         case p: TPName => Some(resolve(p))
         case t if isWord(t, "UNDEF") => None
@@ -627,11 +672,13 @@ object Sparql {
     def query(): Query = {
       prologue()
       val q = peek match {
-        case t if isWord(t, "SELECT") => i += 1; selectQuery()
+        case t if isWord(t, "SELECT") => i += 1; selectQuery(top = true)
         case t if isWord(t, "ASK") => i += 1
+          datasetClauses(allowed = true)
           takeWord("WHERE")
           QAsk(group())
         case t if isWord(t, "CONSTRUCT") => i += 1
+          datasetClauses(allowed = true)
           if (isWord(peek, "WHERE")) {
             // CONSTRUCT WHERE { … } shorthand: the pattern is the template,
             // so it must be a plain triples block (no paths/filters/groups)
@@ -643,16 +690,18 @@ object Sparql {
             QConstruct(pats, g)
           } else {
             val tmpl = { expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b }
+            datasetClauses(allowed = true)
             expectWord("WHERE")
             QConstruct(tmpl, group())
           }
         case t if isWord(t, "DESCRIBE") => i += 1
           next() match {
             case TVar(n, _) =>
+              datasetClauses(allowed = true)
               expectWord("WHERE")
               QDescribe(n, group())
-            case TIri(iri, _) => QDescribeIri(base + iri)
-            case p: TPName => QDescribeIri(resolve(p))
+            case TIri(iri, _) => datasetClauses(allowed = true); QDescribeIri(base + iri)
+            case p: TPName => datasetClauses(allowed = true); QDescribeIri(resolve(p))
             case tk => fail("DESCRIBE supports the ?var WHERE and <iri> forms", text, tk.pos)
           }
         case t => fail("expected SELECT, ASK, CONSTRUCT or DESCRIBE", text, t.pos)
@@ -689,7 +738,7 @@ object Sparql {
       PAgg(w.toUpperCase, arg, d, sep)
     }
 
-    private def selectQuery(): QSelect = {
+    private def selectQuery(top: Boolean = false): QSelect = {
       val distinct = takeWord("DISTINCT")
       takeWord("REDUCED") // DISTINCT-compatible here: projections are sets per driver compare
       var star = false
@@ -714,6 +763,7 @@ object Sparql {
           projs += Projection(alias, p)
         case _ => more = false
       }
+      datasetClauses(allowed = top)
       takeWord("WHERE")
       val where = group()
       val groupBy = Seq.newBuilder[String]
@@ -882,26 +932,103 @@ object Sparql {
 
   private[analytics] def parse(text: String): Query = new Parser(text).query()
 
+  // ---- which variables need term-metadata companions --------------------
+  // Walked once per request: a variable referenced by a term-inspector
+  // builtin anywhere in the query gets KgQuery.metaCol companions bound at
+  // its pattern scans. LANGMATCHES is not listed: its arguments are plain
+  // expressions (the variables surface through the nested LANG call).
+  private val TermFns = Set("LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+
+  private def exprMeta(e: Expr): Set[String] = e match {
+    case ExFn(f, args) =>
+      val own =
+        if (TermFns(f)) args.collect { case ExVar(n) => n }.toSet
+        else Set.empty[String]
+      own ++ args.flatMap(exprMeta)
+    case ExCmp(_, l, r) => exprMeta(l) ++ exprMeta(r)
+    case ExArith(_, l, r) => exprMeta(l) ++ exprMeta(r)
+    case ExAnd(l, r) => exprMeta(l) ++ exprMeta(r)
+    case ExOr(l, r) => exprMeta(l) ++ exprMeta(r)
+    case ExNot(x) => exprMeta(x)
+    case ExIn(x, set, _) => exprMeta(x) ++ set.flatMap(exprMeta)
+    case ExExists(g, _) => groupMeta(g)
+    case _ => Set.empty
+  }
+  private def groupMeta(g: Group): Set[String] = g.elems.flatMap {
+    case EFilter(e) => exprMeta(e)
+    case EBind(e, _) => exprMeta(e)
+    case EOptional(s) => groupMeta(s)
+    case EMinus(s) => groupMeta(s)
+    case EGroup(s) => groupMeta(s)
+    case EGraph(_, s) => groupMeta(s)
+    case EUnion(bs) => bs.flatMap(groupMeta)
+    case ESubSelect(q) => selectMeta(q)
+    case _ => Set.empty[String]
+  }.toSet
+  private def selectMeta(q: QSelect): Set[String] =
+    groupMeta(q.where) ++
+      q.projs.flatMap { case Projection(_, PExpr(e)) => exprMeta(e); case _ => Nil } ++
+      q.having.flatMap(exprMeta) ++ q.orderBy.flatMap(o => exprMeta(o._1))
+  private def queryMeta(q: Query): Set[String] = q match {
+    case s: QSelect => selectMeta(s)
+    case QAsk(w) => groupMeta(w)
+    case QConstruct(_, w) => groupMeta(w)
+    case QDescribe(_, w) => groupMeta(w)
+    case QDescribeIri(_) => Set.empty
+  }
+  private def updateMeta(u: Update): Set[String] = u match {
+    case UModify(_, _, w) => groupMeta(w)
+    case _ => Set.empty
+  }
+
   // ===================================================================
   // Compiler — AST → DataFrame over the KgQuery algebra
   // ===================================================================
 
-  private final class Compiler(triples: DataFrame, graphCol: String) {
+  private final class Compiler(triples: DataFrame, graphCol: String,
+      from: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
+      metaVars: Set[String] = Set.empty) {
     private val spark = triples.sparkSession
 
+    private def graphRestrict(store: DataFrame, graphs: Seq[String]): DataFrame =
+      if (graphs.isEmpty) store
+      else if (graphs.size == 1) store.filter(col(graphCol) === lit(graphs.head))
+      else store.filter(col(graphCol).isInCollection(graphs))
+
+    /** FROM-restricted store for patterns outside GRAPH clauses (the full
+      * store when no FROM clause was given) — a pushed-down graph-column
+      * membership filter, same shape as GRAPH <iri>. */
+    private val defaultStore = graphRestrict(triples, from)
+    /** FROM NAMED-restricted store for GRAPH clauses. */
+    private val namedStore = graphRestrict(triples, fromNamed)
+
     /** shared-variable join keys; the graph column joins too when BOTH sides
-      * carry it (an aggregating subquery projects it away). */
+      * carry it (an aggregating subquery projects it away). Term-metadata
+      * companions never join — matching stays lexical (documented delta). */
     private def joinKeys(a: DataFrame, b: DataFrame): Seq[String] = {
       val shared = a.columns.toSet.intersect(b.columns.toSet)
-      (if (shared(GraphCol)) Seq(GraphCol) else Nil) ++ (shared - GraphCol).toSeq.sorted
+      (if (shared(GraphCol)) Seq(GraphCol) else Nil) ++
+        (shared - GraphCol).filterNot(KgQuery.isMetaCol).toSeq.sorted
     }
 
-    private def joinOn(a: DataFrame, b: DataFrame): DataFrame = {
+    /** drop from `b` any term-metadata companion `a` already carries (same
+      * variable ⇒ same term ⇒ same metadata; first binding wins) so joins
+      * never produce ambiguous duplicate companion columns. */
+    private def dropDupMeta(a: DataFrame, b: DataFrame): DataFrame = {
+      val dup = b.columns.filter(c => KgQuery.isMetaCol(c) && a.columns.contains(c))
+      if (dup.isEmpty) b else b.drop(dup.toIndexedSeq: _*)
+    }
+
+    private def joinOn(a: DataFrame, b0: DataFrame): DataFrame = {
+      val b = dropDupMeta(a, b0)
       val keys = joinKeys(a, b)
       if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys)
     }
 
-    def compileGroup(g: Group): DataFrame = {
+    /** entry for ASK: the WHERE group against the FROM-visible store. */
+    def compileWhere(g: Group): DataFrame = compileGroup(g, defaultStore)
+
+    def compileGroup(g: Group, store: DataFrame): DataFrame = {
       var acc: DataFrame = null
       val filters = Seq.newBuilder[Expr]
       def need(what: String): DataFrame = {
@@ -910,16 +1037,17 @@ object Sparql {
       }
       g.elems.foreach {
         case EBlock(pats) =>
-          val df = KgQuery.bgp(triples, pats, graphCol)
+          val df = KgQuery.bgp(store, pats, graphCol, metaVars)
           acc = if (acc == null) df else joinOn(acc, df)
         case EGroup(sub) =>
-          val df = compileGroup(sub)
+          val df = compileGroup(sub, store)
           acc = if (acc == null) df else joinOn(acc, df)
         case EGraph(gname, sub) =>
           // the store's named graphs are the documents: every group already
           // carries GraphCol, so GRAPH only exposes (var) or pins (iri) it —
-          // the iri filter pushes down through the group's pattern scans
-          val inner = compileGroup(sub)
+          // the iri filter pushes down through the group's pattern scans;
+          // FROM NAMED restricts which graphs GRAPH ranges over
+          val inner = compileGroup(sub, namedStore)
           val df = gname match {
             case Right(iri) => inner.filter(col(GraphCol) === lit(iri))
             case Left(v) =>
@@ -930,10 +1058,10 @@ object Sparql {
           }
           acc = if (acc == null) df else joinOn(acc, df)
         case ESubSelect(q) =>
-          val df = selectDF(q)
+          val df = selectDF(q, store)
           acc = if (acc == null) df else joinOn(acc, df)
         case EUnion(branches) =>
-          val sols = branches.map(compileGroup)
+          val sols = branches.map(compileGroup(_, store))
           val allVars = sols.flatMap(_.columns).distinct.filterNot(_ == GraphCol).sorted
           val df = sols.map { s =>
             val have = s.columns.toSet
@@ -950,17 +1078,17 @@ object Sparql {
           // whose vars the inner group itself binds is equivalent either way
           // (false ⇒ the merge fails ⇒ μ1 survives NULL-padded), so those —
           // and EXISTS constraints, which compile to joins — stay inside.
-          val innerNoF = compileGroup(Group(sub.elems.filterNot(_.isInstanceOf[EFilter])))
+          val innerNoF = compileGroup(Group(sub.elems.filterNot(_.isInstanceOf[EFilter])), store)
           val innerCols = innerNoF.columns.toSet
           val (hoisted, kept) = sub.elems.collect { case EFilter(e) => e }.partition { e =>
             val fv = freeVars(e)
             !fv.contains(ExistsMarker) && !fv.forall(innerCols.contains)
           }
           if (hoisted.isEmpty) {
-            val df = kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e))
+            val df = dropDupMeta(a, kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e, store)))
             acc = a.join(df, joinKeys(a, df), "left")
           } else {
-            val inner = kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e))
+            val inner = dropDupMeta(a, kept.foldLeft(innerNoF)((d, e) => applyFilter(d, e, store)))
             val keys = joinKeys(a, inner)
             val suffix = "__opt"
             val renamed = inner.columns.foldLeft(inner)((d, c) =>
@@ -989,8 +1117,9 @@ object Sparql {
           }
         case EMinus(sub) =>
           val a = need("MINUS")
-          val df = compileGroup(sub)
-          val shared = a.columns.toSet.intersect(df.columns.toSet) - GraphCol
+          val df = compileGroup(sub, store)
+          val shared = (a.columns.toSet.intersect(df.columns.toSet) - GraphCol)
+            .filterNot(KgQuery.isMetaCol)
           // SPARQL MINUS with disjoint domains removes nothing
           if (shared.nonEmpty)
             acc = a.join(df, joinKeys(a, df), "left_anti")
@@ -1007,7 +1136,7 @@ object Sparql {
           val df = spark.createDataFrame(data, schema)
           if (acc == null) {
             // leading VALUES: cross-extend the unit solution per graph
-            acc = triples.select(col(graphCol).as(GraphCol)).distinct().crossJoin(df)
+            acc = store.select(col(graphCol).as(GraphCol)).distinct().crossJoin(df)
           } else {
             val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
             acc = if (shared.isEmpty) acc.crossJoin(df)
@@ -1015,7 +1144,7 @@ object Sparql {
           }
       }
       val a = need("the group")
-      filters.result().foldLeft(a)((d, e) => applyFilter(d, e))
+      filters.result().foldLeft(a)((d, e) => applyFilter(d, e, store))
     }
 
     /** sentinel in freeVars marking an EXISTS constraint (join-compiled, so
@@ -1037,12 +1166,12 @@ object Sparql {
       case _ => Set.empty
     }
 
-    private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
+    private def applyFilter(df: DataFrame, e: Expr, store: DataFrame): DataFrame = e match {
       // EXISTS compiles to a semi/anti join, not a boolean column
       case ExExists(g, neg) =>
-        val sub = compileGroup(g)
+        val sub = compileGroup(g, store)
         df.join(sub, joinKeys(df, sub), if (neg) "left_anti" else "left_semi")
-      case ExAnd(l, r) => applyFilter(applyFilter(df, l), r)
+      case ExAnd(l, r) => applyFilter(applyFilter(df, l, store), r, store)
       case _ => df.filter(compileExpr(e, df))
     }
 
@@ -1175,6 +1304,32 @@ object Sparql {
       case ExFn("IRI" | "URI", Seq(a)) => compileExpr(a, df)
       case ExFn("ISNUMERIC", Seq(a)) =>
         compileExpr(a, df).try_cast("double").isNotNull
+      // ---- RDF term inspectors: the store matches lexically, but term
+      // KIND/DATATYPE/LANG ride as KgQuery.metaCol companions bound by bgp
+      // for exactly the variables these builtins reference (collectMeta) —
+      // so a "chat"@en vs "chat"@fr store is fully distinguishable even
+      // though pattern matching stays lexical. Type errors (LANG of an IRI)
+      // yield NULL and the solution drops at the consuming filter, per spec.
+      case ExFn("LANG", Seq(a)) =>
+        val (kind, _, lang) = termFacets(a, df, "LANG")
+        when(kind === "literal", coalesce(lang, lit(""))).otherwise(lit(null).cast("string"))
+      case ExFn("DATATYPE", Seq(a)) =>
+        val (kind, dt, lang) = termFacets(a, df, "DATATYPE")
+        when(kind === "literal",
+          when(lang.isNotNull && lang =!= "", lit(RdfNs + "langString"))
+            .when(dt.isNotNull && dt =!= "", dt)
+            .otherwise(lit(XsdString)))
+          .otherwise(lit(null).cast("string"))
+      case ExFn("LANGMATCHES", Seq(t, r)) =>
+        // RFC 4647 basic filtering: "*" matches any tagged literal; else
+        // case-insensitive exact match or prefix at a '-' subtag boundary
+        val tag = lower(compileExpr(t, df))
+        val range = lower(compileExpr(r, df))
+        when(range === "*", tag.isNotNull && tag =!= "")
+          .otherwise(tag === range || tag.startsWith(concat(range, lit("-"))))
+      case ExFn("ISIRI" | "ISURI", Seq(a)) => termFacets(a, df, "isIRI")._1 === "iri"
+      case ExFn("ISLITERAL", Seq(a)) => termFacets(a, df, "isLiteral")._1 === "literal"
+      case ExFn("ISBLANK", Seq(a)) => termFacets(a, df, "isBlank")._1 === "bnode"
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
@@ -1186,6 +1341,33 @@ object Sparql {
       case ExAgg(fn, _, _, _) =>
         throw new IllegalArgumentException(
           s"aggregate $fn may appear only in a projection or HAVING constraint")
+    }
+
+    private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+    private val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
+
+    /** (kind, datatype, lang) columns of an inspector builtin's argument.
+      * A variable reads its metadata companions (bound by bgp because
+      * [[collectMeta]] saw the inspector); constants and computed
+      * expressions are simple literals / IRIs by construction. */
+    private def termFacets(e: Expr, df: DataFrame, fn: String): (Column, Column, Column) = {
+      val nul = lit(null).cast("string")
+      e match {
+        case ExVar(n) =>
+          val kindName = KgQuery.metaCol(n, "kind")
+          require(df.columns.contains(kindName),
+            s"$fn(?$n): term metadata is unavailable — ?$n must be bound in a plain triple " +
+              "pattern (not a property path, BIND or aggregate) of a store that carries an " +
+              "obj_kind column; pipeline output and NT/Turtle-loaded stores do")
+          def facet(f: String) = {
+            val c = KgQuery.metaCol(n, f)
+            if (df.columns.contains(c)) col(c) else nul
+          }
+          (col(kindName), facet("datatype"), facet("lang"))
+        case ExIri(_) => (lit("iri"), nul, nul)
+        case ExNum(_) | ExArith(_, _, _) => (lit("literal"), lit(XsdDouble), nul)
+        case _ => (lit("literal"), nul, nul) // computed values are simple literals
+      }
     }
 
     /** one aggregate column. SPARQL leaves SAMPLE's choice and GROUP_CONCAT's
@@ -1215,9 +1397,9 @@ object Sparql {
 
     def compile(q: Query): DataFrame = q match {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
-      case s: QSelect => selectDF(s)
+      case s: QSelect => selectDF(s, defaultStore)
       case QConstruct(template, where) =>
-        val sol = compileGroup(where)
+        val sol = compileGroup(where, defaultStore)
         val bound = sol.columns.toSet
         def t(x: Term): Column = x match {
           case V(n) =>
@@ -1230,14 +1412,15 @@ object Sparql {
           sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
         }.reduce(_.unionByName(_)).distinct()
       case QDescribe(v, where) =>
-        val sol = compileGroup(where)
+        val sol = compileGroup(where, defaultStore)
         require(sol.columns.contains(v), s"DESCRIBE variable ?$v not bound by WHERE")
         val subs = sol.select(col(GraphCol).as("__g"), col(v).as("__s")).distinct()
-        triples.join(subs,
+        defaultStore.join(subs,
           col(graphCol) === col("__g") && col("subj") === col("__s"), "left_semi")
       case QDescribeIri(iri) =>
-        // subject-star of a constant across all graphs: one pushed-down filter
-        triples.filter(col("subj") === lit(iri))
+        // subject-star of a constant across all (FROM-visible) graphs:
+        // one pushed-down filter
+        defaultStore.filter(col("subj") === lit(iri))
     }
 
     /** does the expression contain an aggregate call anywhere? (decides
@@ -1254,10 +1437,17 @@ object Sparql {
       case _ => false
     }
 
-    private def selectDF(q: QSelect): DataFrame = {
+    /** (ASC|DESC) order keys compiled against `df`. */
+    private def orderCols(orderBy: Seq[(Expr, Boolean)], df: DataFrame): Seq[Column] =
+      orderBy.map { case (e, asc) =>
+        val c = compileExpr(e, df)
+        if (asc) c.asc else c.desc
+      }
+
+    private def selectDF(q: QSelect, store: DataFrame): DataFrame = {
       val QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) = q;
       {
-        var df = compileGroup(where)
+        var df = compileGroup(where, store)
         val grouped = groupBy.nonEmpty || having.nonEmpty || projs.exists {
           case Projection(_, _: PAgg) => true
           case Projection(_, PExpr(e)) => hasAgg(e)
@@ -1308,21 +1498,47 @@ object Sparql {
               compileExpr(e, out).as(alias)
             case Projection(alias, _) => col(alias)
           }: _*)
-        } else if (!star) {
-          df = df.select(col(GraphCol) +: projs.map {
-            case Projection(alias, PVar(n)) =>
-              require(df.columns.contains(n), s"projected variable ?$n is not bound")
-              col(n).as(alias)
-            case Projection(alias, PExpr(e)) => compileExpr(e, df).as(alias)
-            case Projection(_, _: PAgg) => throw new IllegalStateException("unreachable")
-          }: _*)
+          if (distinct) df = df.distinct()
+          // grouped order keys compile against the projected solution
+          // (group keys and aggregate aliases — all that exists post-agg)
+          if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, df): _*)
+        } else {
+          // Non-grouped: ORDER BY may reference non-projected variables
+          // (SPARQL ORDER BY runs before projection). Sort the WIDE frame —
+          // every bound variable plus the computed projection aliases —
+          // then project; a projection over Sort preserves the order. Under
+          // DISTINCT the key must survive projection (which row's key would
+          // order a collapsed group is undefined), so there the keys
+          // compile against the projected solution as before.
+          val wide =
+            if (star) df
+            else projs.foldLeft(df) {
+              case (d, Projection(alias, PVar(n))) =>
+                require(d.columns.contains(n), s"projected variable ?$n is not bound")
+                if (alias == n) d
+                else {
+                  require(!d.columns.contains(alias),
+                    s"projection alias ?$alias collides with a bound variable")
+                  d.withColumn(alias, col(n))
+                }
+              case (d, Projection(alias, PExpr(e))) =>
+                require(!d.columns.contains(alias),
+                  s"projection alias ?$alias collides with a bound variable")
+                d.withColumn(alias, compileExpr(e, d))
+              case (_, Projection(_, _: PAgg)) =>
+                throw new IllegalStateException("unreachable")
+            }
+          // term-metadata companions are internal — never user-visible
+          val visible =
+            if (star) df.columns.filterNot(KgQuery.isMetaCol).toSeq
+            else GraphCol +: projs.map(_.alias)
+          if (distinct) {
+            df = wide.select(visible.map(col): _*).distinct()
+            if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, df): _*)
+          } else if (orderBy.nonEmpty) {
+            df = wide.orderBy(orderCols(orderBy, wide): _*).select(visible.map(col): _*)
+          } else df = wide.select(visible.map(col): _*)
         }
-        if (distinct) df = df.distinct()
-        if (orderBy.nonEmpty)
-          df = df.orderBy(orderBy.map { case (e, asc) =>
-            val c = compileExpr(e, df)
-            if (asc) c.asc else c.desc
-          }: _*)
         offset.foreach(o => df = df.offset(o))
         limit.foreach(l => df = df.limit(l))
         df
@@ -1379,7 +1595,7 @@ object Sparql {
       case UInsertData(quads) => insertRows(triples, quadDF(quads))
       case UDeleteData(quads) => deleteRows(triples, quadDF(quads))
       case UModify(del, ins, where) =>
-        val sol = compileGroup(where)
+        val sol = compileGroup(where, defaultStore)
         val afterDel = if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del))
         if (ins.isEmpty) afterDel else insertRows(afterDel, instantiate(sol, ins))
       case UClear(Some(g)) => triples.filter(col(graphCol) =!= lit(g))
@@ -1410,9 +1626,28 @@ object Sparql {
             s"LOAD supports .nt and .ttl sources, got: $path")
         // project to the store's shape (never widen the store schema) and
         // dedup the file's own lines — RDF load is set semantics
-        val cols = QuadKey ++ Seq("obj_kind", "obj_datatype", "obj_lang")
+        val metaCols = Seq("obj_kind", "obj_datatype", "obj_lang")
+        val cols = QuadKey ++ metaCols
           .filter(c => triples.columns.contains(c) && loaded.columns.contains(c))
-        insertRows(triples, loaded.select(cols.map(col): _*).distinct())
+        // Dropping a metadata column the store lacks must never ALTER the
+        // data: a store without obj_lang cannot represent "x"@en vs
+        // "x"@fr, and the load's distinct() would silently collapse them
+        // into one plain literal. Fail loudly exactly when distinct terms
+        // of the loaded data would conflate under the store's schema (two
+        // distinct counts over the load — cheap next to the load itself);
+        // the caller can widen the store (withColumn) or strip explicitly.
+        val dropped = metaCols
+          .filter(c => loaded.columns.contains(c) && !triples.columns.contains(c))
+        val projected = loaded.select(cols.map(col): _*).distinct()
+        if (dropped.nonEmpty) {
+          val full = loaded.select((cols ++ dropped).map(col): _*).distinct()
+          require(projected.count() == full.count(),
+            s"LOAD <$path>: the data contains terms distinguished only by metadata " +
+              s"(${dropped.mkString("/")}) the store's schema cannot represent — " +
+              "loading would silently conflate them; widen the store (e.g. " +
+              ".withColumn(\"obj_lang\", lit(\"\"))) or strip the metadata explicitly")
+        }
+        insertRows(triples, projected)
     }
   }
 
@@ -1420,18 +1655,25 @@ object Sparql {
     * table. SELECT returns one column per projected variable (plus `graph`
     * for non-aggregating queries); CONSTRUCT returns new triple rows;
     * DESCRIBE returns rows of the input table. */
-  def query(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
-    parse(text) match {
+  def query(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame = {
+    val p = new Parser(text)
+    p.query() match {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
-      case q => new Compiler(triples, graphCol).compile(q)
+      case q => new Compiler(triples, graphCol, p.fromGraphs, p.fromNamed,
+        queryMeta(q)).compile(q)
     }
+  }
 
   /** Parse and evaluate a SPARQL ASK query (existence probe, limit-1 plan). */
-  def ask(triples: DataFrame, text: String, graphCol: String = "doc_id"): Boolean =
-    parse(text) match {
-      case QAsk(where) => !new Compiler(triples, graphCol).compileGroup(where).isEmpty
+  def ask(triples: DataFrame, text: String, graphCol: String = "doc_id"): Boolean = {
+    val p = new Parser(text)
+    p.query() match {
+      case QAsk(where) =>
+        !new Compiler(triples, graphCol, p.fromGraphs, p.fromNamed,
+          groupMeta(where)).compileWhere(where).isEmpty
       case _ => throw new IllegalArgumentException("not an ASK query")
     }
+  }
 
   /** Parse and apply a SPARQL 1.1 Update request (INSERT DATA, DELETE DATA,
     * DELETE WHERE, DELETE/INSERT … WHERE; `;`-separated sequences run left
@@ -1446,5 +1688,5 @@ object Sparql {
     * and NULL-fill on inserted rows. */
   def update(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
     new Parser(text).updateRequest().foldLeft(triples)((store, op) =>
-      new Compiler(store, graphCol).applyUpdate(op))
+      new Compiler(store, graphCol, metaVars = updateMeta(op)).applyUpdate(op))
 }

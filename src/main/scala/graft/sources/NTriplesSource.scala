@@ -41,9 +41,37 @@ object NTriplesSource {
       obj_kind: String, obj_datatype: String, obj_lang: String)
 
   /** Read an NT file/directory into a triples DataFrame
-    * (subj, pred, obj, obj_kind, obj_datatype, obj_lang). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    parse(spark.read.textFile(path))
+    * (subj, pred, obj, obj_kind, obj_datatype, obj_lang).
+    *
+    * Blank-node scope is per-document in RDF, so a directory-scale read
+    * must not conflate identically-labeled bnodes from different files:
+    * labels are namespaced with an FNV-64 hash of their source file
+    * (`_:b1` → `_:f<hex>_b1`). Any distinctness-preserving relabeling
+    * yields an isomorphic graph; single-file reads are relabeled the same
+    * way so a file's triples are stable regardless of its directory's
+    * other contents. [[parse]] leaves labels verbatim — pre-split line
+    * streams carry their own scoping. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc2 = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val enc = Encoders.product[NtRow]
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.textFile(path)
+      .select(col("value"), input_file_name().as("__f"))
+      .as[(String, String)]
+      .flatMap { case (line, f) => parseLine(line).map(scopeBnodes(_, f)) }
+      .toDF()
+  }
+
+  private def scopeBnodes(r: NtRow, file: String): NtRow = {
+    if (!r.subj.startsWith("_:") && !(r.obj_kind == "bnode")) r
+    else {
+      val tag = "_:f" + java.lang.Long.toHexString(
+        graft.functions.Fnv64.hashBytes(file.getBytes("UTF-8"))) + "_"
+      r.copy(
+        subj = if (r.subj.startsWith("_:")) tag + r.subj.substring(2) else r.subj,
+        obj = if (r.obj_kind == "bnode") tag + r.obj.substring(2) else r.obj)
+    }
+  }
 
   /** Parse pre-loaded NT lines (e.g. from a different source or a stream). */
   def parse(lines: Dataset[String]): DataFrame = {

@@ -276,6 +276,77 @@ class KgQuerySpec extends SparkTestBase {
     }
   }
 
+  test("Star on the RIGHT of a sequence: reach every cell from a content") {
+    // ^hasContents / hasNext*: content -> its cell and all later cells
+    val got = edgeRows(KgQuery.pathEdges(listKg, PathSeq(Inv(Pred(cts)), Star(Pred(nxt)))))
+    assert(got == Set(
+      ("A", "x1", "c1"), ("A", "x1", "c2"), ("A", "x1", "c3"),
+      ("A", "x2", "c2"), ("A", "x2", "c3"), ("A", "x3", "c3"), ("A", "y", "c9"),
+      ("B", "z1", "c1"), ("B", "z1", "c2"), ("B", "z2", "c2")))
+  }
+
+  test("Opt inside a sequence: contents of self or immediate successor") {
+    val got = edgeRows(KgQuery.pathEdges(listKg, PathSeq(KgQuery.Opt(Pred(nxt)), Pred(cts))))
+    assert(got == Set(
+      ("A", "c1", "x1"), ("A", "c1", "x2"), ("A", "c2", "x2"), ("A", "c2", "x3"),
+      ("A", "c3", "x3"), ("A", "c9", "y"),
+      ("B", "c1", "z1"), ("B", "c1", "z2"), ("B", "c2", "z2")))
+  }
+
+  test("Star/Opt inside a sequence never materialize the graph's term set") {
+    // the zero-length branch rewrites to the other side's own scan: the
+    // final plan must contain NO distinct (Aggregate/Deduplicate) node —
+    // a bare Star's all-terms distinct is the one corpus-scale trap here
+    // the term-set materialization is a distinct over (graph, t) — TWO
+    // columns; Opt's legitimate per-path edge dedup groups on three
+    // (graph, src, dst), so any <3-column distinct is the trap
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate}
+    for (p <- Seq(
+        PathSeq(Star(Pred(nxt)), Pred(cts)),
+        PathSeq(Inv(Pred(cts)), Star(Pred(nxt))),
+        PathSeq(KgQuery.Opt(Pred(nxt)), Pred(cts)),
+        PathSeq(Pred(nxt), KgQuery.Opt(Pred(nxt))))) {
+      val plan = KgQuery.pathEdges(listKg, p).queryExecution.optimizedPlan
+      val dedups = plan.collect {
+        case a: Aggregate if a.groupingExpressions.size < 3 => a
+        case d: Deduplicate if d.keys.size < 3 => d
+      }
+      assert(dedups.isEmpty,
+        s"$p compiled with a distinct over the graph's term set:\n$plan")
+    }
+  }
+
+  // ------------------------------------------------------------ term metadata
+
+  test("bgp termMeta binds kind/datatype/lang companions, never as join keys") {
+    import spark.implicits._
+    val t = Seq(
+      ("d1", "s1", "p", "chat", "literal", "", "en"),
+      ("d1", "s1", "p", "chat", "literal", "", "fr"),
+      ("d1", "s1", "p", "urn:o", "iri", "", ""),
+      ("d1", "_:b", "q", "3.5", "literal", "http://www.w3.org/2001/XMLSchema#double", ""))
+      .toDF("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang")
+    val got = KgQuery.bgp(t, Seq((V("s"), V("pp"), V("o"))), termMeta = Set("s", "o"))
+    assert(got.columns.toSet == Set("graph", "s", "pp", "o",
+      "o#kind", "o#datatype", "o#lang", "s#kind"))
+    val byRow = got.collect().map(r =>
+      (r.getAs[String]("o"), r.getAs[String]("o#kind"), r.getAs[String]("o#lang"),
+        r.getAs[String]("s"), r.getAs[String]("s#kind"))).toSet
+    assert(byRow == Set(
+      ("chat", "literal", "en", "s1", "iri"),
+      ("chat", "literal", "fr", "s1", "iri"),
+      ("urn:o", "iri", "", "s1", "iri"),
+      ("3.5", "literal", "", "_:b", "bnode")))
+    // a variable bound in two object positions: companions come from the
+    // first binding and never become join keys (joining on obj_lang NULLs
+    // would silently drop every solution)
+    val two = KgQuery.bgp(t,
+      Seq((V("s"), I("p"), V("o")), (V("s2"), I("p"), V("o"))),
+      termMeta = Set("o"))
+    assert(two.columns.count(_ == "o#kind") == 1)
+    assert(two.filter(two("o") === "chat").count() == 4) // 2 x 2 lexical join
+  }
+
   // ------------------------------------------------------------ lists
 
   test("listElements flattens chains per graph with dense positions") {

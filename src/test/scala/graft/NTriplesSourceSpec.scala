@@ -95,6 +95,28 @@ class NTriplesSourceSpec extends SparkTestBase {
     assert(NTriplesSource.read(spark, dir).count() == 500)
   }
 
+  test("directory read scopes blank-node labels per source file") {
+    // bnode scope is per-document in RDF: two files may both say _:b1 and
+    // mean different nodes — read() must not conflate them
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt-bnode")
+    java.nio.file.Files.write(dir.resolve("a.nt"),
+      "_:b1 <urn:p> \"x\" .\n_:b1 <urn:p> _:c .\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.nt"),
+      "_:b1 <urn:p> \"y\" .\n".getBytes("UTF-8"))
+    val got = NTriplesSource.read(spark, dir.toString)
+    assert(got.count() == 3)
+    val subs = got.select("subj").collect().map(_.getString(0)).toSet
+    assert(subs.size == 2, s"labels from different files must stay distinct: $subs")
+    assert(subs.forall(s => s.startsWith("_:f") && s.endsWith("_b1")))
+    // within one file the subject and object labels share the same scope tag
+    val aRows = got.filter(got("obj_kind") === "bnode").collect()
+    assert(aRows.length == 1)
+    val (s, o) = (aRows(0).getAs[String]("subj"), aRows(0).getAs[String]("obj"))
+    assert(s.substring(0, s.lastIndexOf('_')) == o.substring(0, o.lastIndexOf('_')))
+    // parse() keeps labels verbatim — pre-split line streams own their scope
+    assert(NTriplesSource.parseLine("_:b1 <urn:p> \"x\" .").get.subj == "_:b1")
+  }
+
   test("streaming NT ingest: readStream text -> parse -> triples table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nt-stream").toString + "/in"

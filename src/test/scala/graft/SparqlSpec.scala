@@ -562,4 +562,182 @@ class SparqlSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](q("SELECT ?x WHERE\n{ ?x ?? ?y }"))
     assert(e.getMessage.contains("line 2"))
   }
+
+  // ------------------------------------------------------------ typed terms
+
+  /** NT-shaped store (obj_kind/obj_datatype/obj_lang columns) in graph g1. */
+  private def ntStore(lines: String*): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    graft.sources.NTriplesSource.parse(spark.createDataset(lines.toSeq))
+      .withColumn("doc_id", lit("g1"))
+  }
+
+  private lazy val langKg = ntStore(
+    "<urn:s1> <urn:label> \"chat\"@en .",
+    "<urn:s1> <urn:label> \"chat\"@fr .",
+    "<urn:s2> <urn:label> \"cat\"@en-US .",
+    "<urn:s3> <urn:label> \"gato\" .",
+    "<urn:s4> <urn:label> <urn:thing> .",
+    "<urn:s5> <urn:label> _:b1 .",
+    "_:b2 <urn:label> \"bl\" .",
+    "<urn:s6> <urn:size> \"3.5\"^^<http://www.w3.org/2001/XMLSchema#double> .")
+
+  test("LANG() distinguishes literals a lexical store would conflate") {
+    val got = Sparql.query(langKg,
+      """SELECT ?s ?v WHERE { ?s <urn:label> ?v FILTER (LANG(?v) = "en") }""")
+    assert(rows(got, "s", "v") == Set(Seq("urn:s1", "chat")))
+    // as a projection expression; plain literal → ""; duplicates per tag
+    val tags = Sparql.query(langKg,
+      """SELECT ?s (LANG(?v) AS ?tag) WHERE { ?s <urn:label> ?v FILTER ISLITERAL(?v) }""")
+    assert(rows(tags, "s", "tag") == Set(
+      Seq("urn:s1", "en"), Seq("urn:s1", "fr"), Seq("urn:s2", "en-US"),
+      Seq("urn:s3", ""), Seq("_:b2", "")))
+  }
+
+  test("LANGMATCHES: exact, subtag-prefix and '*' ranges (RFC 4647 basic)") {
+    val en = Sparql.query(langKg,
+      """SELECT ?s WHERE { ?s <urn:label> ?v FILTER LANGMATCHES(LANG(?v), "en") }""")
+    assert(rows(en, "s") == Set(Seq("urn:s1"), Seq("urn:s2"))) // en, en-US; not fr
+    val any = Sparql.query(langKg,
+      """SELECT ?s ?v WHERE { ?s <urn:label> ?v FILTER LANGMATCHES(LANG(?v), "*") }""")
+    // '*' = any TAGGED literal: not plain "gato"/"bl", not IRI/bnode objects
+    assert(rows(any, "s", "v") == Set(
+      Seq("urn:s1", "chat"), Seq("urn:s2", "cat")))
+  }
+
+  test("DATATYPE(): typed, plain (xsd:string), tagged (rdf:langString), IRI → type error") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val rdfLang = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val got = Sparql.query(langKg,
+      "SELECT ?s (DATATYPE(?v) AS ?dt) WHERE { ?s ?p ?v }")
+    assert(rows(got, "s", "dt") == Set(
+      Seq("urn:s1", rdfLang), Seq("urn:s2", rdfLang),
+      Seq("urn:s3", s"${xsd}string"), Seq("_:b2", s"${xsd}string"),
+      Seq("urn:s6", s"${xsd}double"),
+      Seq("urn:s4", null), Seq("urn:s5", null))) // IRI/bnode: type error → NULL
+  }
+
+  test("isIRI/isLiteral/isBlank in object and subject position") {
+    def s(text: String) = rows(Sparql.query(langKg, text), "s")
+    assert(s("SELECT ?s WHERE { ?s <urn:label> ?v FILTER ISIRI(?v) }") ==
+      Set(Seq("urn:s4")))
+    assert(s("SELECT ?s WHERE { ?s <urn:label> ?v FILTER ISBLANK(?v) }") ==
+      Set(Seq("urn:s5")))
+    assert(s("""SELECT ?s WHERE { ?s <urn:label> ?v
+                FILTER (ISLITERAL(?v) && LANG(?v) = "") }""") ==
+      Set(Seq("urn:s3"), Seq("_:b2")))
+    // subject kind derives from the _: prefix
+    assert(s("SELECT ?s WHERE { ?s <urn:label> ?v FILTER ISBLANK(?s) }") ==
+      Set(Seq("_:b2")))
+  }
+
+  test("term-metadata companions never leak into SELECT * or joins") {
+    val star = Sparql.query(langKg,
+      """SELECT * WHERE { ?s <urn:label> ?v FILTER (LANG(?v) = "fr") }""")
+    assert(star.columns.forall(!_.contains("#")), star.columns.mkString(","))
+    assert(rows(star, "s", "v") == Set(Seq("urn:s1", "chat")))
+    // the same variable in two object positions: lexical join, companions
+    // from the first binding — joining on NULL-able metadata would drop rows
+    val join = Sparql.query(langKg,
+      """SELECT ?a ?b ?v WHERE { ?a <urn:label> ?v . ?b <urn:label> ?v
+         FILTER (LANG(?v) = "en" && ?a = ?b) }""")
+    assert(rows(join, "a") == Set(Seq("urn:s1")))
+    // UNION branches with inspectors on each side
+    val u = Sparql.query(langKg,
+      """SELECT ?s ?v WHERE {
+           { ?s <urn:label> ?v FILTER ISIRI(?v) }
+           UNION { ?s <urn:label> ?v FILTER (LANG(?v) = "fr") } }""")
+    assert(rows(u, "s") == Set(Seq("urn:s4"), Seq("urn:s1")))
+  }
+
+  test("term inspectors fail loudly where metadata cannot exist") {
+    def bad(text: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](q(text).collect())
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    // a 4-column lexical store has no obj_kind to read
+    bad(P + """SELECT ?w WHERE { ?w ifc:hasHeight ?h FILTER (LANG(?h) = "") }""",
+      "term metadata is unavailable")
+    // BIND-computed values carry no term metadata either
+    bad(P + """SELECT ?w WHERE { ?w ifc:hasHeight ?h .
+               BIND(CONCAT(?h, "") AS ?u) FILTER ISLITERAL(?u) }""",
+      "term metadata is unavailable")
+  }
+
+  // ------------------------------------------------------------ FROM / FROM NAMED
+
+  test("FROM restricts pattern graphs; FROM NAMED restricts GRAPH clauses") {
+    val one = q(P + "SELECT ?w FROM <d1> WHERE { ?w a ifc:Wall }")
+    assert(rows(one, "graph", "w") == Set(Seq("d1", "w1"), Seq("d1", "w2")))
+    val two = q(P + "SELECT ?w FROM <d1> FROM <d2> WHERE { ?w a ifc:Wall }")
+    assert(rows(two, "graph", "w") ==
+      Set(Seq("d1", "w1"), Seq("d1", "w2"), Seq("d2", "w1")))
+    val named = q(P + "SELECT ?g ?w FROM NAMED <d2> WHERE { GRAPH ?g { ?w a ifc:Wall } }")
+    assert(rows(named, "g", "w") == Set(Seq("d2", "w1")))
+    // solutions stay graph-scoped (documented delta), so FROM and FROM NAMED
+    // of the same graph compose with a shared-graph join
+    val both = q(P + """SELECT ?w ?g FROM <d1> FROM NAMED <d1>
+      WHERE { ?w a ifc:Wall . GRAPH ?g { ?w ifc:inStorey ?st } }""")
+    assert(rows(both, "g", "w") == Set(Seq("d1", "w1"), Seq("d1", "w2")))
+    // DESCRIBE <iri> honors FROM
+    assert(Sparql.query(kg, "DESCRIBE <w1> FROM <d2>").count() == 2)
+    // ASK honors FROM
+    assert(!Sparql.ask(kg, P + "ASK FROM <d2> { <w2> a ifc:Wall }"))
+    assert(Sparql.ask(kg, P + "ASK FROM <d1> { <w2> a ifc:Wall }"))
+  }
+
+  test("dataset clauses are rejected in subqueries") {
+    val e = intercept[IllegalArgumentException](q(P +
+      "SELECT ?w WHERE { { SELECT ?w FROM <d1> WHERE { ?w a ifc:Wall } } }"))
+    assert(e.getMessage.contains("top-level"))
+  }
+
+  // ------------------------------------------------------------ ORDER BY / negatives
+
+  test("ORDER BY may reference non-projected variables (without DISTINCT)") {
+    // lexical order (documented): "12.5" < "3.0"
+    val got = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h } ORDER BY ?h")
+    assert(got.select("w").collect().map(_.getString(0)).toSeq == Seq("w2", "w1"))
+    val desc = q(P + "SELECT ?w WHERE { ?w ifc:hasHeight ?h } ORDER BY DESC(?h)")
+    assert(desc.select("w").collect().map(_.getString(0)).toSeq == Seq("w1", "w2"))
+    // with DISTINCT the key must survive projection — loud error
+    val e = intercept[IllegalArgumentException](
+      q(P + "SELECT DISTINCT ?w WHERE { ?w ifc:hasHeight ?h } ORDER BY ?h").collect())
+    assert(e.getMessage.contains("not bound"))
+  }
+
+  test("negative numeric literals in term position, VALUES and FILTER") {
+    val t = triples(Seq(
+      ("d1", "a", "urn:temp", "-3.5"), ("d1", "b", "urn:temp", "2"),
+      ("d1", "c", "urn:temp", "-10")))
+    assert(rows(Sparql.query(t, "SELECT ?x WHERE { ?x <urn:temp> -3.5 }"), "x") ==
+      Set(Seq("a")))
+    assert(rows(Sparql.query(t,
+      "SELECT ?x WHERE { ?x <urn:temp> ?t . VALUES ?t { -3.5 2 } }"), "x") ==
+      Set(Seq("a"), Seq("b")))
+    assert(rows(Sparql.query(t,
+      "SELECT ?x WHERE { ?x <urn:temp> ?t FILTER (?t < -1) }"), "x") ==
+      Set(Seq("a"), Seq("c")))
+  }
+
+  test("LOAD refuses to conflate tag-distinct literals; widened stores keep tags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load-lang")
+    val nt = dir.resolve("lang.nt")
+    java.nio.file.Files.write(nt,
+      ("<urn:x> <urn:p> \"chat\"@en .\n<urn:x> <urn:p> \"chat\"@fr .\n")
+        .getBytes("UTF-8"))
+    // into the 4-column lexical store: the two literals differ only by a
+    // column the store lacks — loading must fail loudly, not collapse them
+    val e = intercept[IllegalArgumentException](
+      Sparql.update(kg, s"LOAD <${nt}> INTO GRAPH <dl>"))
+    assert(e.getMessage.contains("conflate"))
+    // into an NT-shaped store: lossless, and LANG() reaches the tags
+    val loaded = Sparql.update(ntStore("<urn:a> <urn:q> \"x\" ."),
+      s"LOAD <${nt}> INTO GRAPH <dl>")
+    assert(loaded.filter("doc_id = 'dl'").count() == 2)
+    val en = Sparql.query(loaded,
+      """SELECT ?s WHERE { ?s <urn:p> ?v FILTER (LANG(?v) = "en") }""")
+    assert(rows(en, "graph", "s") == Set(Seq("dl", "urn:x")))
+  }
 }
