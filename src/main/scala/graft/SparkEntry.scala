@@ -242,7 +242,36 @@ object SparkEntry {
           .as(org.apache.spark.sql.Encoders.STRING)
         graft.sources.NTriplesSource.parse(lines)
           .select("subj", "pred", "obj", "obj_kind", "obj_datatype")
-      })
+      }),
+      // SPARQL typed-term layer: language tags ride the store's obj_lang
+      // column and surface through LANG/LANGMATCHES/DATATYPE — the store is
+      // the golden corpus with deterministic tags (length parity), so the
+      // oracle replays the tagging rule relationally
+      "q56_sparql_lang" -> ((s, _) => {
+        import org.apache.spark.sql.functions.{col, length, lit, when}
+        val tagged = goldenTriples(s).withColumn("obj_lang",
+          when(length(col("obj")) % 3 === 1, lit("en")).otherwise(lit("fr")))
+        graft.analytics.Sparql.query(tagged,
+          """SELECT ?s ?p ?v (LANG(?v) AS ?tag) (DATATYPE(?v) AS ?dt)
+             WHERE { ?s ?p ?v FILTER LANGMATCHES(LANG(?v), "en") }""")
+      }),
+      // SPARQL ASK (existence probe) as a 1-row frame so the last query
+      // form gains a driver CORRECTNESS row; includes FROM-scoped probes
+      "q57_sparql_ask" -> ((s, _) => {
+        import s.implicits._
+        val store = goldenTriples(s)
+        def ask(text: String) = graft.analytics.Sparql.ask(store, text)
+        Seq((
+          ask("ASK { ?c <https://w3id.org/list#hasNext> ?n }"),
+          ask("ASK { ?c <urn:graft:absent> ?o }"),
+          ask("ASK FROM <t01> { ?i ?p ?o }"),
+          ask("ASK FROM <t99> { ?i ?p ?o }")
+        )).toDF("ask_pos", "ask_neg", "ask_from_pos", "ask_from_neg")
+      }),
+      // SPARQL FROM dataset clause: membership filter pushed to the scan
+      "q58_sparql_from" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?i ?cls FROM <t01> FROM <t03> WHERE { ?i rdf:type ?cls }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -421,5 +450,23 @@ object SparkEntry {
               CASE WHEN obj_kind = 'iri' THEN ''
                    WHEN obj_datatype = 'http://www.w3.org/2001/XMLSchema#string' THEN ''
                    ELSE obj_datatype END AS obj_datatype
-       FROM read_parquet('${ExpectedGen.TriplesFile}')""")
+       FROM read_parquet('${ExpectedGen.TriplesFile}')""",
+    "q56_sparql_lang" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, subj AS s, pred AS p, obj AS v, 'en' AS tag,
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dt
+       FROM trip WHERE obj_kind = 'literal' AND length(obj) % 3 = 1""",
+    "q57_sparql_ask" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT (SELECT count(*) FROM trip
+               WHERE pred = 'https://w3id.org/list#hasNext') > 0 AS ask_pos,
+              (SELECT count(*) FROM trip
+               WHERE pred = 'urn:graft:absent') > 0 AS ask_neg,
+              (SELECT count(*) FROM trip WHERE doc_id = 't01') > 0 AS ask_from_pos,
+              (SELECT count(*) FROM trip WHERE doc_id = 't99') > 0 AS ask_from_neg""",
+    "q58_sparql_from" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, subj AS i, obj AS cls FROM trip
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         AND doc_id IN ('t01', 't03')""")
 }

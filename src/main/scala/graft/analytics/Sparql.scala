@@ -508,7 +508,8 @@ object Sparql {
       "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
       "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND",
       "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC",
-      "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+      "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+      "STRLANG", "STRDT")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -1128,6 +1129,14 @@ object Sparql {
           val a = need("BIND")
           require(!a.columns.contains(v), s"BIND target ?$v is already bound")
           acc = a.withColumn(v, compileExpr(e, a))
+          // an inspected BIND target gets companion columns when its
+          // expression's facets are derivable (STRLANG/STRDT tags, simple
+          // literals, IRI()); otherwise the inspector fails loudly later
+          if (metaVars(v)) termFacetsOpt(e, a).foreach { case (k, dt, lg) =>
+            acc = acc.withColumn(KgQuery.metaCol(v, "kind"), k)
+              .withColumn(KgQuery.metaCol(v, "datatype"), dt)
+              .withColumn(KgQuery.metaCol(v, "lang"), lg)
+          }
         case EValues(vars, rows) =>
           import scala.jdk.CollectionConverters._
           val schema = org.apache.spark.sql.types.StructType(
@@ -1330,6 +1339,9 @@ object Sparql {
       case ExFn("ISIRI" | "ISURI", Seq(a)) => termFacets(a, df, "isIRI")._1 === "iri"
       case ExFn("ISLITERAL", Seq(a)) => termFacets(a, df, "isLiteral")._1 === "literal"
       case ExFn("ISBLANK", Seq(a)) => termFacets(a, df, "isBlank")._1 === "bnode"
+      // the constructed term's VALUE is its lexical form; the tag/datatype
+      // surface through termFacetsOpt (BIND binds them as companions)
+      case ExFn("STRLANG" | "STRDT", Seq(a, _)) => compileExpr(a, df)
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
@@ -1351,22 +1363,46 @@ object Sparql {
       * [[collectMeta]] saw the inspector); constants and computed
       * expressions are simple literals / IRIs by construction. */
     private def termFacets(e: Expr, df: DataFrame, fn: String): (Column, Column, Column) = {
+      termFacetsOpt(e, df).getOrElse(e match {
+        case ExVar(n) => throw new IllegalArgumentException(
+          s"$fn(?$n): term metadata is unavailable — ?$n must be bound in a plain triple " +
+            "pattern (not a property path or aggregate) of a store that carries an " +
+            "obj_kind column, or by a BIND with derivable facets (e.g. STRLANG/STRDT); " +
+            "pipeline output and NT/Turtle-loaded stores carry metadata")
+        case _ => throw new IllegalArgumentException(
+          s"$fn: term metadata is not derivable for a branching expression " +
+            "(IF/COALESCE facets may differ per branch) — BIND the branches separately")
+      })
+    }
+
+    /** (kind, datatype, lang) of an expression when statically derivable;
+      * None for an uncompanioned variable or a branching expression. Used
+      * both by the inspectors (via [[termFacets]], which turns None into a
+      * loud error) and by BIND, which binds companion columns for inspected
+      * variables whose expression has derivable facets. */
+    private def termFacetsOpt(e: Expr, df: DataFrame): Option[(Column, Column, Column)] = {
       val nul = lit(null).cast("string")
       e match {
         case ExVar(n) =>
           val kindName = KgQuery.metaCol(n, "kind")
-          require(df.columns.contains(kindName),
-            s"$fn(?$n): term metadata is unavailable — ?$n must be bound in a plain triple " +
-              "pattern (not a property path, BIND or aggregate) of a store that carries an " +
-              "obj_kind column; pipeline output and NT/Turtle-loaded stores do")
-          def facet(f: String) = {
-            val c = KgQuery.metaCol(n, f)
-            if (df.columns.contains(c)) col(c) else nul
+          if (!df.columns.contains(kindName)) None
+          else {
+            def facet(f: String) = {
+              val c = KgQuery.metaCol(n, f)
+              if (df.columns.contains(c)) col(c) else nul
+            }
+            Some((col(kindName), facet("datatype"), facet("lang")))
           }
-          (col(kindName), facet("datatype"), facet("lang"))
-        case ExIri(_) => (lit("iri"), nul, nul)
-        case ExNum(_) | ExArith(_, _, _) => (lit("literal"), lit(XsdDouble), nul)
-        case _ => (lit("literal"), nul, nul) // computed values are simple literals
+        // STRLANG/STRDT construct tagged/typed literals: the VALUE column
+        // stays the lexical form (matching is lexical — documented delta),
+        // the tag/datatype ride as facets readable by LANG()/DATATYPE()
+        case ExFn("STRLANG", Seq(_, t)) => Some((lit("literal"), nul, compileExpr(t, df)))
+        case ExFn("STRDT", Seq(_, t)) => Some((lit("literal"), compileExpr(t, df), nul))
+        case ExFn("IF" | "COALESCE", _) => None // branch facets may differ
+        case ExFn("IRI" | "URI", _) => Some((lit("iri"), nul, nul))
+        case ExIri(_) => Some((lit("iri"), nul, nul))
+        case ExNum(_) | ExArith(_, _, _) => Some((lit("literal"), lit(XsdDouble), nul))
+        case _ => Some((lit("literal"), nul, nul)) // string builtins: simple literals
       }
     }
 

@@ -31,21 +31,36 @@ object NTriplesSink {
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
 
   /** One N-Triples line per row; input needs columns
-    * (subj, pred, obj, obj_kind, obj_datatype). */
-  def line(): Column = {
-    val objTerm = when(col("obj_kind") === "iri", concat(lit("<"), col("obj"), lit(">")))
-      .otherwise(concat(
-        lit("\""), esc(col("obj")), lit("\""),
+    * (subj, pred, obj, obj_kind, obj_datatype) — plus obj_lang when
+    * `withLang` (stores loaded from foreign NT/Turtle carry tags; the
+    * pipeline's own output has none). A lang-tagged literal serializes as
+    * `"lex"@tag` with NO datatype suffix (rdf:langString is implied by the
+    * grammar); silently dropping the tag would alter the data — the same
+    * loud-vs-lossy contract LOAD enforces on the way in. Blank-node terms
+    * (`_:` subjects, obj_kind "bnode") serialize verbatim, not as IRIs. */
+  def line(withLang: Boolean = false): Column = {
+    val lang = if (withLang) coalesce(col("obj_lang"), lit("")) else lit("")
+    val litTerm = concat(
+      lit("\""), esc(col("obj")), lit("\""),
+      when(lang =!= "", concat(lit("@"), lang))
         // xsd:string is the implicit datatype in RDF 1.1 — canonical N-Triples omits it
-        when(col("obj_datatype") === "" || col("obj_datatype") === XsdString, lit(""))
-          .otherwise(concat(lit("^^<"), col("obj_datatype"), lit(">")))))
-    concat(lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "), objTerm, lit(" ."))
+        .when(col("obj_datatype") === "" || col("obj_datatype") === XsdString, lit(""))
+        .otherwise(concat(lit("^^<"), col("obj_datatype"), lit(">"))))
+    val objTerm = when(col("obj_kind") === "iri", concat(lit("<"), col("obj"), lit(">")))
+      .when(col("obj_kind") === "bnode", col("obj"))
+      .otherwise(litTerm)
+    val subjTerm = when(col("subj").startsWith("_:"), col("subj"))
+      .otherwise(concat(lit("<"), col("subj"), lit(">")))
+    concat(subjTerm, lit(" <"), col("pred"), lit("> "), objTerm, lit(" ."))
   }
 
   /** Distributed export: one text part-file per partition, no shuffle.
-    * Pass a pre-`repartition`ed frame to control output file count. */
+    * Pass a pre-`repartition`ed frame to control output file count.
+    * Language tags are emitted whenever the frame carries an obj_lang
+    * column. */
   def write(triples: DataFrame, path: String): Unit =
-    triples.select(line().as("value")).write.mode("overwrite").text(path)
+    triples.select(line(withLang = triples.columns.contains("obj_lang")).as("value"))
+      .write.mode("overwrite").text(path)
 
   /** Driver-side serialization of a small triple set (tests / CLI). */
   def serialize(triples: Seq[graft.model.FinalTriple]): String = {

@@ -64,6 +64,34 @@ class SinksSpec extends SparkTestBase {
     assert(back == distLines)
   }
 
+  test("NTriplesSink: language tags and blank nodes survive the wire") {
+    import graft.sinks.NTriplesSink
+    import graft.sources.NTriplesSource
+    import spark.implicits._
+    // a foreign (NT-loaded) store carries tags and bnodes the pipeline's
+    // own output never has — exporting it must not alter the data
+    val src = Seq(
+      "<urn:s> <urn:p> \"chat\"@en .",
+      "<urn:s> <urn:p> \"chat\"@fr .",
+      "<urn:s> <urn:p> \"plain\" .",
+      "<urn:s> <urn:p> \"3\"^^<http://www.w3.org/2001/XMLSchema#integer> .",
+      "_:b1 <urn:p> _:b2 .",
+      "<urn:s> <urn:p> <urn:o> .")
+    val store = NTriplesSource.parse(spark.createDataset(src))
+    val lines = store.select(NTriplesSink.line(withLang = true).as("l"))
+      .as[String].collect().toSet
+    assert(lines == src.toSet)
+    // write() auto-detects the obj_lang column; parse(write(x)) == x
+    val tmp = Files.createTempDirectory("graft-nt-lang").toString
+    NTriplesSink.write(store, s"$tmp/out")
+    val back = NTriplesSource.parse(spark.read.text(s"$tmp/out").as[String])
+    assert(back.collect().toSet == store.collect().toSet)
+    // the default line() never touches obj_lang, so the pipeline's own
+    // 5-column (untagged) schema serializes without the column
+    val untagged = store.drop("obj_lang")
+    assert(untagged.select(NTriplesSink.line().as("l")).count() == src.size)
+  }
+
   test("streaming variant produces the same triples as batch") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream").toString

@@ -659,10 +659,35 @@ class SparqlSpec extends SparkTestBase {
     // a 4-column lexical store has no obj_kind to read
     bad(P + """SELECT ?w WHERE { ?w ifc:hasHeight ?h FILTER (LANG(?h) = "") }""",
       "term metadata is unavailable")
-    // BIND-computed values carry no term metadata either
+    // a BIND passing through a metadata-less variable cannot derive facets
     bad(P + """SELECT ?w WHERE { ?w ifc:hasHeight ?h .
-               BIND(CONCAT(?h, "") AS ?u) FILTER ISLITERAL(?u) }""",
+               BIND(?h AS ?u) FILTER ISLITERAL(?u) }""",
       "term metadata is unavailable")
+    // branching expressions have no single facet set
+    bad("""SELECT ?s WHERE { ?s <urn:label> ?v
+           FILTER ISLITERAL(IF(BOUND(?v), ?v, "x")) }""",
+      "branching")
+  }
+
+  test("STRLANG/STRDT construct inspectable terms; BIND facets are derivable") {
+    // constructed tags are readable back via LANG/LANGMATCHES even though
+    // the value column stays the lexical form
+    val got = Sparql.query(langKg,
+      """SELECT ?s ?w WHERE { ?s <urn:label> ?v FILTER ISLITERAL(?v)
+           BIND(STRLANG(?v, "de") AS ?w)
+           FILTER LANGMATCHES(LANG(?w), "de") }""")
+    assert(rows(got, "s") ==
+      Set(Seq("urn:s1"), Seq("urn:s2"), Seq("urn:s3"), Seq("_:b2")))
+    val dt = Sparql.query(langKg,
+      """SELECT ?s (DATATYPE(?w) AS ?d) WHERE { ?s <urn:size> ?v
+           BIND(STRDT(?v, <urn:my:type>) AS ?w) }""")
+    assert(rows(dt, "s", "d") == Set(Seq("urn:s6", "urn:my:type")))
+    // BIND of a plain string builtin: a simple literal (lang "", xsd:string)
+    val simple = Sparql.query(langKg,
+      """SELECT ?s WHERE { ?s <urn:label> ?v FILTER ISBLANK(?v)
+           BIND(CONCAT(?v, "!") AS ?u)
+           FILTER (ISLITERAL(?u) && LANG(?u) = "") }""")
+    assert(rows(simple, "s") == Set(Seq("urn:s5")))
   }
 
   // ------------------------------------------------------------ FROM / FROM NAMED
