@@ -32,7 +32,10 @@ import org.apache.spark.storage.StorageLevel
   * Output identity between the forms is pinned by StageDSpec (triples AND
   * markers, both removeDuplicates settings, golden corpus included).
   * Per-partition lineage rows (stage, partition, rows in/out, errors,
-  * wall_ms) are collected by accumulator (F_fused, or Stages A and C).
+  * wall_ms) are collected by accumulator: Stages A and C on the staged
+  * path; on the fused path the overall F_fused row plus per-phase
+  * F1_tokenize/F2_link/F3_emit/F4_dedup rows, so ops introspection
+  * survives the fused default.
   */
 object Pipeline {
 
@@ -282,6 +285,8 @@ object Pipeline {
       }
     }
     def nonEmpty: Boolean = acc.nonEmpty
+    /** surviving (post-dedup) group count accumulated so far */
+    def size: Int = acc.size
     /** drain: one DedupedRow per surviving group, then reset for the next doc */
     def flush(doc: String): Iterator[DedupedRow] = {
       val rows = acc.iterator.map { case ((subj, stg, sv, pid, w, og, otg, ov, kd), m) =>
@@ -405,8 +410,18 @@ object Pipeline {
     val fused0 = docs.mapPartitions(
       instrumented[Doc, DedupedRow]("F_fused", lineageAcc, _.kd == PredIds.MarkerKd) { docIt =>
         val emitters = scala.collection.mutable.HashMap[String, Emitter]()
-        docIt.flatMap { doc =>
+        // per-phase counters: the staged path reports per-stage lineage for
+        // free (one instrumented mapPartitions per stage); the fused path
+        // keeps that introspection by counting phase boundaries locally —
+        // plain Long increments per doc/statement plus three nanoTime reads
+        // per doc, nothing per emitted triple beyond what emitOne already does
+        var nDocs, nStmts, nKept, nEmit, nMark, nDedupOut = 0L
+        var tokNs, linkNs, emitNs = 0L
+        val out = docIt.flatMap { doc =>
+          nDocs += 1
+          val t0 = System.nanoTime()
           val stmts = Tokenizer.tokenizeDoc(doc, schemaOv, maxChars).toVector
+          val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.size
           // D1 (opt-in): canonical line per body (min line_id; headers always
           // survive), refs to removed duplicates resolve to the canonical
           // line — the doc-local form of Linker's window + alias join
@@ -425,6 +440,7 @@ object Pipeline {
           // reference-resolution relation (documents are self-contained)
           val kw = kept.iterator.filter(_.line_id >= 0)
             .map(s => s.line_id -> s.keyword).toMap
+          val t2 = System.nanoTime(); linkNs += t2 - t1; nKept += kept.size
           val dedup = new DocDedup
           val markers = Vector.newBuilder[DedupedRow]
           kept.foreach { s =>
@@ -438,13 +454,38 @@ object Pipeline {
             val ls = LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword,
               s.body, s.abort, s.bad_line, targets)
             emitOne(emitters, base, hdrOnAbort)(ls).foreach { tr =>
-              if (tr.kd == PredIds.MarkerKd)
+              nEmit += 1
+              if (tr.kd == PredIds.MarkerKd) {
+                nMark += 1
                 markers += DedupedRow(tr.doc_id, tr.subj, 0, -1L, MARKER_PRED_ID,
                   is_wtype = false, tr.obj, 0, -1L, PredIds.MarkerKd, tr.src_line)
-              else dedup.add(tr)
+              } else dedup.add(tr)
             }
           }
+          emitNs += System.nanoTime() - t2
+          nDedupOut += dedup.size
           dedup.flush(doc.doc_id) ++ markers.result().iterator
+        }
+        // report the phase rows once the partition's output is exhausted —
+        // rows_in/rows_out chain: docs → statements → deduped statements →
+        // emitted rows (markers counted as errors) → post-dedup triples.
+        // F4's wall is inside F3's emit loop (add() runs per emitted row);
+        // it reports rows only.
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var reported = false
+        new Iterator[DedupedRow] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !reported) {
+              reported = true
+              lineageAcc.add(LineageRow("F1_tokenize", pid, nDocs, nStmts, 0, tokNs / 1000000))
+              lineageAcc.add(LineageRow("F2_link", pid, nStmts, nKept, 0, linkNs / 1000000))
+              lineageAcc.add(LineageRow("F3_emit", pid, nKept, nEmit, nMark, emitNs / 1000000))
+              lineageAcc.add(LineageRow("F4_dedup", pid, nEmit - nMark, nDedupOut, 0, 0))
+            }
+            h
+          }
+          def next(): DedupedRow = out.next()
         }
       })
     val (fused, cached) =

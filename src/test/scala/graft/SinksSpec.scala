@@ -124,12 +124,25 @@ class SinksSpec extends SparkTestBase {
     val aIn = rows.filter(_.getString(0) == "A_tokenize").map(_.getLong(2)).sum
     assert(aIn == 19L) // one row per fixture doc
     r.unpersist()
-    // fused (default) path: one F_fused row set, rows_in = docs
+    // fused (default) path: the overall F_fused row set PLUS per-phase
+    // rows, so ops introspection survives the fused default
     val rf = Pipeline.run(docs, FixtureDocs.BaseURI)
     rf.triples.count()
     val frows = rf.lineage.collect()
-    assert(frows.map(_.getString(0)).toSet.contains("F_fused"))
-    assert(frows.filter(_.getString(0) == "F_fused").map(_.getLong(2)).sum == 19L)
+    val fstages = frows.map(_.getString(0)).toSet
+    assert(Set("F_fused", "F1_tokenize", "F2_link", "F3_emit", "F4_dedup")
+      .subsetOf(fstages), fstages.toString)
+    def sum(stage: String, col: Int) =
+      frows.filter(_.getString(0) == stage).map(_.getLong(col)).sum
+    assert(sum("F_fused", 2) == 19L)
+    assert(sum("F1_tokenize", 2) == 19L) // rows_in = docs
+    // the phase chain: tokenize out = link in; link out = emit in; emit out
+    // (minus markers=errors) = dedup in; dedup out + markers = F_fused out
+    assert(sum("F1_tokenize", 3) == sum("F2_link", 2))
+    assert(sum("F2_link", 3) == sum("F3_emit", 2))
+    assert(sum("F3_emit", 3) - sum("F3_emit", 4) == sum("F4_dedup", 2))
+    assert(sum("F4_dedup", 3) + sum("F3_emit", 4) == sum("F_fused", 3))
+    assert(sum("F3_emit", 3) > 0 && sum("F4_dedup", 3) > 0)
     rf.unpersist()
   }
 
