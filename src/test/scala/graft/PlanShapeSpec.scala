@@ -125,6 +125,20 @@ class PlanShapeSpec extends SparkTestBase {
     withClue(p3)(assert(p3.contains("EqualTo(doc_id,d1)"),
       "the GRAPH <iri> filter must reach the parquet reader"))
 
+    // FROM / FROM NAMED dataset clauses compile to the same pushed-down
+    // graph-column membership filter GRAPH <iri> uses
+    val fq = Sparql.query(triples, "SELECT ?s ?o FROM <d1> WHERE { ?s <urn:p> ?o }")
+    fq.collect()
+    val p5 = fq.queryExecution.executedPlan.toString
+    withClue(p5)(assert(p5.contains("EqualTo(doc_id,d1)"),
+      "the FROM <iri> filter must reach the parquet reader"))
+    val fq2 = Sparql.query(triples,
+      "SELECT ?s ?o FROM <d1> FROM <d2> WHERE { ?s <urn:p> ?o }")
+    fq2.collect()
+    val p6 = fq2.queryExecution.executedPlan.toString
+    withClue(p6)(assert(p6.contains("In(doc_id, [d1,d2])"),
+      "the multi-graph FROM membership filter must reach the parquet reader"))
+
     // the OPTIONAL LeftJoin-expr path: equality conjuncts must stay join
     // KEYS (hash/merge join, filter as residual) — a nested-loop join here
     // would go quadratic on a corpus-scale store
