@@ -67,9 +67,12 @@ object KgQuery {
   final case class Star(p: Path) extends Path
   /** Zero-or-one (`?`): the path's edges plus the zero-length pairs. */
   final case class Opt(p: Path) extends Path
-  /** Negated property set `!(p1|…|pk)` (forward members only): one scan
-    * with a pushed-down NOT-IN predicate filter. */
-  final case class Nps(preds: Seq[String]) extends Path
+  /** Negated property set `!(p1|…|^q1|…)`: forward members compile to one
+    * scan with a pushed-down NOT-IN predicate filter; inverse members
+    * (`^q`) to a second, REVERSED NOT-IN scan. SPARQL 1.1 §18.4 splits the
+    * set — `!(F|^I)` ≡ `alt(NPS(F), inv(NPS(I)))` — so each branch excludes
+    * only its own members, and a side with no members contributes no scan. */
+  final case class Nps(preds: Seq[String], invPreds: Seq[String] = Nil) extends Path
 
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val ListHasNext = "https://w3id.org/list#hasNext"
@@ -147,10 +150,21 @@ object KgQuery {
         edges(Plus(q)).unionByName(zeroLength).distinct()
       case Opt(q) =>
         edges(q).unionByName(zeroLength).distinct()
-      case Nps(preds) =>
-        require(preds.nonEmpty, "empty negated property set")
-        triples.filter(!col("pred").isInCollection(preds))
-          .select(col(graphCol).as(GraphCol), col("subj").as("src"), col("obj").as("dst"))
+      case Nps(preds, invPreds) =>
+        require(preds.nonEmpty || invPreds.nonEmpty, "empty negated property set")
+        def scan(excl: Seq[String]): DataFrame =
+          triples.filter(!col("pred").isInCollection(excl))
+            .select(col(graphCol).as(GraphCol), col("subj").as("src"), col("obj").as("dst"))
+        val fwd = if (preds.nonEmpty) Some(scan(preds)) else None
+        val rev =
+          if (invPreds.isEmpty) None
+          else Some(scan(invPreds)
+            .select(col(GraphCol), col("dst").as("src"), col("src").as("dst")))
+        (fwd, rev) match {
+          case (Some(f), Some(r)) => f.unionByName(r)
+          case (Some(f), None) => f
+          case (None, r) => r.get
+        }
     }
     edges(path)
   }

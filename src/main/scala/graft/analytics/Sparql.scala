@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *    GRAPH <g> (.nt splittable / .ttl file-per-doc sources). DEFAULT-graph
   *    forms fail loudly — the store is named-graphs-only.
   *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
-  *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, forward
-  *    negated property sets `!p` / `!(p1|p2)`), nested groups, subqueries
+  *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, negated
+  *    property sets `!p` / `!(p1|^p2|…)` incl. inverse members), nested
+  *    groups, subqueries
   *    `{ SELECT … }` (joined on shared projected variables), OPTIONAL,
   *    UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs, BIND(expr AS ?v),
   *    VALUES (inline data), GRAPH ?g / GRAPH <iri> (the named graphs ARE
@@ -90,8 +91,7 @@ import org.apache.spark.sql.functions._
   *    a pushed-down graph-column filter.
   *  - Unsupported (loud parse errors, never silent): blank-node syntax and
   *    collections `( … )` in triple positions (the pipeline skolemizes every
-  *    node, so its output contains neither), SERVICE (no federation),
-  *    inverse members in negated property sets.
+  *    node, so its output contains neither), SERVICE (no federation).
   */
 object Sparql {
 
@@ -376,23 +376,27 @@ object Sparql {
       case TPunct("(", _) =>
         val p = pathAlt(); expectPunct(")"); p
       case TPunct("!", _) =>
-        // negated property set: !iri or !(p1|p2|…) — forward members only
-        // (an inverse ^p member would need a second, reversed scan)
-        def member(): String = next() match {
-          case TIri(iri, _) => base + iri
-          case p: TPName => resolve(p)
-          case t if isWord(t, "a") => RdfNs + "type"
-          case TPunct("^", p) =>
-            fail("inverse members in a negated property set are not supported", text, p)
-          case t => fail("expected an IRI in the negated property set", text, t.pos)
+        // negated property set: !iri, !^iri, or !(p1|^p2|…) — SPARQL 1.1
+        // §18.4 splits the member list, !(F|^I) ≡ alt(NPS(F), inv(NPS(I))):
+        // forward members exclude preds from one forward scan, inverse
+        // members from a second, reversed scan
+        def member(): (String, Boolean) = {
+          val inv = takePunct("^")
+          next() match {
+            case TIri(iri, _) => (base + iri, inv)
+            case p: TPName => (resolve(p), inv)
+            case t if isWord(t, "a") => (RdfNs + "type", inv)
+            case t => fail("expected an IRI in the negated property set", text, t.pos)
+          }
         }
+        val members = Seq.newBuilder[(String, Boolean)]
         if (takePunct("(")) {
-          val ps = Seq.newBuilder[String]
-          ps += member()
-          while (takePunct("|")) ps += member()
+          members += member()
+          while (takePunct("|")) members += member()
           expectPunct(")")
-          Nps(ps.result())
-        } else Nps(Seq(member()))
+        } else members += member()
+        val (invM, fwdM) = members.result().partition(_._2)
+        Nps(fwdM.map(_._1), invM.map(_._1))
       case t => fail("expected a path element", text, t.pos)
     }
 

@@ -147,7 +147,7 @@ class SparqlFuzzSpec extends SparkTestBase {
   private case class BPlus(p: BPath) extends BPath
   private case class BStar(p: BPath) extends BPath
   private case class BOpt(p: BPath) extends BPath
-  private case class BNps(ps: Seq[String]) extends BPath
+  private case class BNps(ps: Seq[String], inv: Seq[String] = Nil) extends BPath
 
   private def renderPath(p: BPath): String = p match {
     case BPred(x) => s"<$x>"
@@ -157,7 +157,8 @@ class SparqlFuzzSpec extends SparkTestBase {
     case BPlus(x) => s"(${renderPath(x)})+"
     case BStar(x) => s"(${renderPath(x)})*"
     case BOpt(x) => s"(${renderPath(x)})?"
-    case BNps(ps) => s"!(${ps.map(x => s"<$x>").mkString("|")})"
+    case BNps(ps, inv) =>
+      s"!(${(ps.map(x => s"<$x>") ++ inv.map(x => s"^<$x>")).mkString("|")})"
   }
 
   private def closure(edges: Set[(String, String)]): Set[(String, String)] = {
@@ -186,7 +187,14 @@ class SparqlFuzzSpec extends SparkTestBase {
       case BPlus(x) => closure(brutePath(inG, x))
       case BStar(x) => closure(brutePath(inG, x)) ++ terms.map(t => (t, t))
       case BOpt(x) => brutePath(inG, x) ++ terms.map(t => (t, t))
-      case BNps(ps) => inG.collect { case (_, s, pp, o) if !ps.contains(pp) => (s, o) }.toSet
+      case BNps(ps, inv) =>
+        // SPARQL 1.1 sec 18.4: the member list splits — forward edges dodge
+        // the forward members, reverse edges the inverse members; an empty
+        // side contributes no scan at all
+        (if (ps.isEmpty) Set.empty[(String, String)]
+         else inG.collect { case (_, s, pp, o) if !ps.contains(pp) => (s, o) }.toSet) ++
+        (if (inv.isEmpty) Set.empty[(String, String)]
+         else inG.collect { case (_, s, pp, o) if !inv.contains(pp) => (o, s) }.toSet)
     }
   }
 
@@ -203,7 +211,9 @@ class SparqlFuzzSpec extends SparkTestBase {
     def pathGen(depth: Int): Gen[BPath] =
       if (depth <= 0) Gen.frequency(
         4 -> Gen.oneOf(preds).map(BPred),
-        1 -> Gen.someOf(preds).suchThat(_.nonEmpty).map(ps => BNps(ps.toSeq)))
+        1 -> Gen.zip(Gen.someOf(preds), Gen.someOf(preds))
+          .suchThat(t => t._1.nonEmpty || t._2.nonEmpty)
+          .map(t => BNps(t._1.toSeq, t._2.toSeq)))
       else Gen.frequency(
         3 -> pathGen(0),
         1 -> pathGen(depth - 1).map(BInv),

@@ -179,6 +179,24 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(multi, "s", "o") == Set(Seq("w1", "s1"), Seq("w2", "s1"), Seq("w1", "s9")))
   }
 
+  test("negated property set: inverse members get a reversed scan") {
+    // !(^rdf:type): every REVERSE edge whose predicate is not rdf:type
+    val invOnly = q(P + "SELECT ?s ?o WHERE { ?s !(^rdf:type) ?o }")
+    assert(rows(invOnly, "graph", "s", "o") == Set(
+      Seq("d1", "3.0", "w1"), Seq("d1", "s1", "w1"),
+      Seq("d1", "12.5", "w2"), Seq("d1", "s1", "w2"),
+      Seq("d2", "s9", "w1")))
+    // bare !^iri form (no parentheses)
+    val bare = q(P + """SELECT ?o WHERE { ?s !^rdf:type ?o . FILTER (?s = "3.0") }""")
+    assert(rows(bare, "o") == Set(Seq("w1")))
+    // mixed members split per SPARQL 1.1 §18.4: the forward branch excludes
+    // only the forward members, the reversed branch only the inverse ones
+    val mixed = q(P + "SELECT ?s ?o WHERE { ?s !(rdf:type|^rdf:type|^ifc:hasHeight) ?o }")
+    assert(rows(mixed, "s", "o") == Set(
+      Seq("w1", "3.0"), Seq("w1", "s1"), Seq("w2", "12.5"), Seq("w2", "s1"),
+      Seq("w1", "s9"), Seq("s1", "w1"), Seq("s1", "w2"), Seq("s9", "w1")))
+  }
+
   test("subquery joins on its projected variables") {
     // per-storey wall count computed in the subquery, joined to each wall
     val got = q(P + """SELECT ?w ?n WHERE {
@@ -553,7 +571,6 @@ class SparqlSpec extends SparkTestBase {
     bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y ] }", "blank-node")
     bad(P + "SELECT ?x WHERE { SERVICE <http://x> { ?x ?p ?o } }", "SERVICE")
     bad(P + "SELECT ?z WHERE { ?x a ifc:Wall }", "?z is not bound")
-    bad(P + "SELECT ?x WHERE { ?x !(^ifc:p) ?y }", "inverse members")
     val e = intercept[IllegalArgumentException](q(P + "ASK { ?x a ifc:Wall }"))
     assert(e.getMessage.contains("Sparql.ask"))
   }
