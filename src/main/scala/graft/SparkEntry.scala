@@ -271,7 +271,15 @@ object SparkEntry {
       // SPARQL FROM dataset clause: membership filter pushed to the scan
       "q58_sparql_from" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
         """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
-           SELECT ?i ?cls FROM <t01> FROM <t03> WHERE { ?i rdf:type ?cls }"""))
+           SELECT ?i ?cls FROM <t01> FROM <t03> WHERE { ?i rdf:type ?cls }""")),
+      // Negated property set with MIXED members (SPARQL 1.1 §18.4 split):
+      // the forward scan excludes only rdf:type, the reversed scan only
+      // hasContents/rdf:type — one NOT-IN filtered scan per side, unioned
+      "q59_sparql_nps" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           PREFIX list: <https://w3id.org/list#>
+           SELECT DISTINCT ?s ?o
+           WHERE { ?s !(rdf:type|^list:hasContents|^rdf:type) ?o }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,5 +476,15 @@ object SparkEntry {
       s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
        SELECT doc_id AS graph, subj AS i, obj AS cls FROM trip
        WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
-         AND doc_id IN ('t01', 't03')""")
+         AND doc_id IN ('t01', 't03')""",
+    "q59_sparql_nps" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       e AS (
+         SELECT doc_id, subj AS s, obj AS o FROM trip
+         WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         UNION ALL
+         SELECT doc_id, obj AS s, subj AS o FROM trip
+         WHERE pred NOT IN ('https://w3id.org/list#hasContents',
+                            'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'))
+       SELECT DISTINCT doc_id AS graph, s, o FROM e""")
 }
