@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   *    groups, subqueries
   *    `{ SELECT … }` (joined on shared projected variables), OPTIONAL,
   *    UNION, MINUS, FILTER [NOT] EXISTS, FILTER exprs, BIND(expr AS ?v),
-  *    VALUES (inline data), GRAPH ?g / GRAPH <iri> (the named graphs ARE
+  *    VALUES (inline data, in-group and as the trailing ValuesClause —
+  *    the latter joins after grouping/HAVING per §18.2.4),
+  *    GRAPH ?g / GRAPH <iri> (the named graphs ARE
   *    the documents: ?g binds the group's graph column, <iri> pins it).
   *  - Filter expressions: `&&  ||  !`, comparisons, arithmetic `+ - * /`,
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
@@ -239,7 +241,8 @@ object Sparql {
   private[analytics] sealed trait Query
   private[analytics] final case class QSelect(distinct: Boolean, star: Boolean,
       projs: Seq[Projection], where: Group, groupBy: Seq[String], having: Seq[Expr],
-      orderBy: Seq[(Expr, Boolean)], limit: Option[Int], offset: Option[Int]) extends Query
+      orderBy: Seq[(Expr, Boolean)], limit: Option[Int], offset: Option[Int],
+      postValues: Option[EValues] = None) extends Query
   private[analytics] final case class QAsk(where: Group) extends Query
   private[analytics] final case class QConstruct(template: Seq[(Term, Term, Term)], where: Group) extends Query
   private[analytics] final case class QDescribe(variable: String, where: Group) extends Query
@@ -818,10 +821,13 @@ object Sparql {
           case t => fail("expected number after OFFSET", text, t.pos)
         } else m2 = false
       }
+      // trailing ValuesClause (grammar: SolutionModifier ValuesClause) —
+      // joins the solutions AFTER grouping/HAVING, before projection
+      val postVals = if (takeWord("VALUES")) Some(values()) else None
       val ps = projs.result()
       if (!star && ps.isEmpty) err("SELECT needs a projection (or *)")
       QSelect(distinct, star, ps, where, groupBy.result(), having.result(),
-        orderBy.result(), limit, offset)
+        orderBy.result(), limit, offset, postVals)
     }
 
     // ---------------- update request ----------------
@@ -1141,23 +1147,34 @@ object Sparql {
               .withColumn(KgQuery.metaCol(v, "datatype"), dt)
               .withColumn(KgQuery.metaCol(v, "lang"), lg)
           }
-        case EValues(vars, rows) =>
-          import scala.jdk.CollectionConverters._
-          val schema = org.apache.spark.sql.types.StructType(
-            vars.map(v => org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
-          val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.map(_.orNull))).asJava
-          val df = spark.createDataFrame(data, schema)
-          if (acc == null) {
-            // leading VALUES: cross-extend the unit solution per graph
-            acc = store.select(col(graphCol).as(GraphCol)).distinct().crossJoin(df)
-          } else {
-            val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
-            acc = if (shared.isEmpty) acc.crossJoin(df)
-                  else acc.join(df, shared.toSeq.sorted)
-          }
+        case ev: EValues =>
+          acc =
+            if (acc == null)
+              // leading VALUES: cross-extend the unit solution per graph
+              store.select(col(graphCol).as(GraphCol)).distinct()
+                .crossJoin(valuesFrame(ev))
+            else joinValues(acc, ev)
       }
       val a = need("the group")
       filters.result().foldLeft(a)((d, e) => applyFilter(d, e, store))
+    }
+
+    /** an EValues inline-data table as a one-string-column-per-var frame
+      * (UNDEF lands as NULL — which, per the engine's documented equi-join
+      * compilation of VALUES, matches nothing). */
+    private def valuesFrame(ev: EValues): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(
+        ev.vars.map(v => org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(
+        ev.rows.map(r => org.apache.spark.sql.Row.fromSeq(r.map(_.orNull))).asJava, schema)
+    }
+
+    /** Join(acc, data): equi join on shared vars, cross-extend when none. */
+    private def joinValues(acc: DataFrame, ev: EValues): DataFrame = {
+      val df = valuesFrame(ev)
+      val shared = acc.columns.toSet.intersect(df.columns.toSet) - GraphCol
+      if (shared.isEmpty) acc.crossJoin(df) else acc.join(df, shared.toSeq.sorted)
     }
 
     /** sentinel in freeVars marking an EXISTS constraint (join-compiled, so
@@ -1485,7 +1502,8 @@ object Sparql {
       }
 
     private def selectDF(q: QSelect, store: DataFrame): DataFrame = {
-      val QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset) = q;
+      val QSelect(distinct, star, projs, where, groupBy, having, orderBy, limit, offset,
+        postValues) = q;
       {
         var df = compileGroup(where, store)
         val grouped = groupBy.nonEmpty || having.nonEmpty || projs.exists {
@@ -1524,9 +1542,13 @@ object Sparql {
           val keys = groupBy.map(col)
           df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           havingSub.foreach(e => df = df.filter(compileExpr(e, df)))
+          // trailing VALUES joins the grouped solutions (spec §18.2.4: after
+          // aggregation/HAVING, before projection/ORDER BY)
+          postValues.foreach(ev => df = joinValues(df, ev))
           projSub.foreach {
             case Projection(_, PVar(n)) =>
-              require(groupBy.contains(n), s"projected ?$n is neither grouped nor aggregated")
+              require(groupBy.contains(n) || postValues.exists(_.vars.contains(n)),
+                s"projected ?$n is neither grouped nor aggregated")
             case _ => ()
           }
           val out = df
@@ -1543,6 +1565,8 @@ object Sparql {
           // (group keys and aggregate aliases — all that exists post-agg)
           if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, df): _*)
         } else {
+          // trailing VALUES joins the pattern solutions before projection
+          postValues.foreach(ev => df = joinValues(df, ev))
           // Non-grouped: ORDER BY may reference non-projected variables
           // (SPARQL ORDER BY runs before projection). Sort the WIDE frame —
           // every bound variable plus the computed projection aliases —

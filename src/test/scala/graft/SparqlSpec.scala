@@ -152,6 +152,31 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(got, "graph", "w", "st") == Set(Seq("d1", "w1", "s1"), Seq("d2", "w1", "s9")))
   }
 
+  test("trailing VALUES clause joins the query solutions") {
+    // grammar: SolutionModifier ValuesClause — after the WHERE group
+    val got = q(P + """SELECT ?w ?h WHERE { ?w ifc:hasHeight ?h } VALUES ?w { "w2" "w9" }""")
+    assert(rows(got, "w", "h") == Set(Seq("w2", "12.5")))
+    // with solution modifiers in between
+    val ord = q(P + """SELECT ?w ?st WHERE { ?w ifc:inStorey ?st }
+      ORDER BY ?w LIMIT 10 VALUES (?w ?st) { ("w1" "s1") ("w1" "s9") }""")
+    assert(rows(ord, "graph", "w", "st") == Set(Seq("d1", "w1", "s1"), Seq("d2", "w1", "s9")))
+  }
+
+  test("trailing VALUES joins AFTER grouping (spec §18.2.4)") {
+    // the VALUES var is the group key: restricts the aggregated solutions
+    val got = q(P + """SELECT ?cls (COUNT(?i) AS ?n) WHERE { ?i a ?cls }
+      GROUP BY ?cls VALUES ?cls { <http://example.org/ifc#Wall> }""")
+    assert(rows(got, "cls", "n") == Set(Seq(s"${ifc}Wall", 3L)))
+    // no shared var: cross-extends each aggregated row (a post-grouping
+    // VALUES var is projectable even though it is neither grouped nor
+    // aggregated — the join runs after aggregation)
+    val cross = q(P + """SELECT ?cls (COUNT(?i) AS ?n) ?tag
+      WHERE { ?i a ?cls . VALUES ?cls { <http://example.org/ifc#Door> } }
+      GROUP BY ?cls VALUES ?tag { "a" "b" }""")
+    assert(rows(cross, "cls", "n", "tag") ==
+      Set(Seq(s"${ifc}Door", 1L, "a"), Seq(s"${ifc}Door", 1L, "b")))
+  }
+
   // ------------------------------------------------------------ paths
 
   test("property path: sequence and inverse") {
