@@ -42,8 +42,11 @@ import org.apache.spark.sql.functions._
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
   *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, MD5, SHA1,
   *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC,
+  *    the xsd:dateTime accessors YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ
+  *    (over the ISO-8601 lexical form; non-dateTime argument → NULL, the
+  *    relational image of the SPARQL type error),
   *    and the term inspectors LANG, DATATYPE, LANGMATCHES, isIRI/isURI,
-  *    isLiteral, isBlank (read [[KgQuery.metaCol]] companions bound from
+  *    isLiteral, isBlank, sameTerm (read [[KgQuery.metaCol]] companions bound from
   *    the store's obj_kind/obj_datatype/obj_lang columns — matching stays
   *    lexical, but tags and kinds are fully inspectable; loud error when
   *    the store carries no metadata or the variable is path/BIND-bound).
@@ -516,7 +519,8 @@ object Sparql {
       "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND",
       "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC",
       "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
-      "STRLANG", "STRDT")
+      "STRLANG", "STRDT", "SAMETERM",
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -948,7 +952,8 @@ object Sparql {
   // builtin anywhere in the query gets KgQuery.metaCol companions bound at
   // its pattern scans. LANGMATCHES is not listed: its arguments are plain
   // expressions (the variables surface through the nested LANG call).
-  private val TermFns = Set("LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+  private val TermFns = Set("LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+    "SAMETERM")
 
   private def exprMeta(e: Expr): Set[String] = e match {
     case ExFn(f, args) =>
@@ -1360,9 +1365,46 @@ object Sparql {
       case ExFn("ISIRI" | "ISURI", Seq(a)) => termFacets(a, df, "isIRI")._1 === "iri"
       case ExFn("ISLITERAL", Seq(a)) => termFacets(a, df, "isLiteral")._1 === "literal"
       case ExFn("ISBLANK", Seq(a)) => termFacets(a, df, "isBlank")._1 === "bnode"
+      case ExFn("SAMETERM", Seq(a, b)) =>
+        // RDF term identity: same kind, same lexical form, and for literals
+        // the same effective datatype (xsd:string default, rdf:langString
+        // when tagged) and case-normalized language tag — strictly finer
+        // than `=` on a metadata-carrying store
+        val (ka, da, la) = termFacets(a, df, "sameTerm")
+        val (kb, db, lb) = termFacets(b, df, "sameTerm")
+        def effDt(k: Column, d: Column, l: Column) =
+          when(k === "literal",
+            when(l.isNotNull && l =!= "", lit(RdfNs + "langString"))
+              .when(d.isNotNull && d =!= "", d)
+              .otherwise(lit(XsdString)))
+            .otherwise(lit(""))
+        def effLang(k: Column, l: Column) =
+          when(k === "literal", lower(coalesce(l, lit("")))).otherwise(lit(""))
+        (compileExpr(a, df) === compileExpr(b, df)) && (ka <=> kb) &&
+          (effDt(ka, da, la) <=> effDt(kb, db, lb)) &&
+          (effLang(ka, la) <=> effLang(kb, lb))
       // the constructed term's VALUE is its lexical form; the tag/datatype
       // surface through termFacetsOpt (BIND binds them as companions)
       case ExFn("STRLANG" | "STRDT", Seq(a, _)) => compileExpr(a, df)
+      // xsd:dateTime accessors over the ISO-8601 lexical form (values are
+      // lexical in this store); a non-dateTime argument extracts nothing →
+      // NULL, the relational image of the SPARQL type error
+      case ExFn("YEAR", Seq(a)) =>
+        regexp_extract(compileExpr(a, df), "^(-?\\d{4,})-", 1).try_cast("int")
+      case ExFn("MONTH", Seq(a)) =>
+        regexp_extract(compileExpr(a, df), "^-?\\d{4,}-(\\d{2})-", 1).try_cast("int")
+      case ExFn("DAY", Seq(a)) =>
+        regexp_extract(compileExpr(a, df), "^-?\\d{4,}-\\d{2}-(\\d{2})", 1).try_cast("int")
+      case ExFn("HOURS", Seq(a)) =>
+        regexp_extract(compileExpr(a, df), "T(\\d{2}):", 1).try_cast("int")
+      case ExFn("MINUTES", Seq(a)) =>
+        regexp_extract(compileExpr(a, df), "T\\d{2}:(\\d{2})", 1).try_cast("int")
+      case ExFn("SECONDS", Seq(a)) =>
+        regexp_extract(compileExpr(a, df),
+          "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1).try_cast("double")
+      case ExFn("TZ", Seq(a)) =>
+        // "Z", "+05:30", … ; "" when the lexical form carries no offset
+        regexp_extract(compileExpr(a, df), "(Z|[+-]\\d{2}:\\d{2})$", 1)
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")

@@ -637,6 +637,52 @@ class SparqlSpec extends SparkTestBase {
       Seq("urn:s3", ""), Seq("_:b2", "")))
   }
 
+  test("sameTerm: RDF term identity, strictly finer than lexical '='") {
+    // "chat"@en vs "chat"@fr: equal lexically, different terms — the
+    // self-join keeps only the matching-tag pairs ('=' would keep all 4)
+    val self = Sparql.query(langKg,
+      """SELECT ?a ?b WHERE { <urn:s1> <urn:label> ?a . <urn:s1> <urn:label> ?b .
+         FILTER SAMETERM(?a, ?b) }""")
+    assert(self.count() == 2)
+    // a plain-literal constant matches only the untagged literal
+    assert(rows(Sparql.query(langKg,
+      """SELECT ?s WHERE { ?s <urn:label> ?v FILTER SAMETERM(?v, "gato") }"""), "s") ==
+      Set(Seq("urn:s3")))
+    assert(Sparql.query(langKg,
+      """SELECT ?s WHERE { ?s <urn:label> ?v FILTER SAMETERM(?v, "chat") }""").count() == 0)
+    // constructed tagged term matches only the same-tag row
+    assert(rows(Sparql.query(langKg,
+      """SELECT ?s (LANG(?v) AS ?tag) WHERE { ?s <urn:label> ?v
+         FILTER SAMETERM(?v, STRLANG("chat", "en")) }"""), "s", "tag") ==
+      Set(Seq("urn:s1", "en")))
+    // IRI object: kind-distinct from any literal of the same lexical form
+    assert(rows(Sparql.query(langKg,
+      """SELECT ?s WHERE { ?s <urn:label> ?v FILTER SAMETERM(?v, <urn:thing>) }"""), "s") ==
+      Set(Seq("urn:s4")))
+  }
+
+  test("xsd:dateTime accessors over the lexical form") {
+    val dtKg = ntStore(
+      "<urn:e1> <urn:at> \"2011-01-10T14:45:13.815-05:00\"^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+      "<urn:e2> <urn:at> \"1999-12-31T23:59:07Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+      "<urn:e3> <urn:at> \"2020-06-01T08:30:00\"^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+      "<urn:e4> <urn:at> \"not a date\" .")
+    val got = Sparql.query(dtKg,
+      """SELECT ?s (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+                (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+                (TZ(?t) AS ?tz)
+         WHERE { ?s <urn:at> ?t }""")
+    assert(rows(got, "s", "y", "mo", "d", "h", "mi", "sec", "tz") == Set(
+      Seq("urn:e1", 2011, 1, 10, 14, 45, 13.815, "-05:00"),
+      Seq("urn:e2", 1999, 12, 31, 23, 59, 7.0, "Z"),
+      Seq("urn:e3", 2020, 6, 1, 8, 30, 0.0, ""),
+      Seq("urn:e4", null, null, null, null, null, null, ""))) // type error → NULL
+    // FILTER use: numeric comparison on an accessor
+    assert(rows(Sparql.query(dtKg,
+      "SELECT ?s WHERE { ?s <urn:at> ?t FILTER (YEAR(?t) > 2000) }"), "s") ==
+      Set(Seq("urn:e1"), Seq("urn:e3")))
+  }
+
   test("LANGMATCHES: exact, subtag-prefix and '*' ranges (RFC 4647 basic)") {
     val en = Sparql.query(langKg,
       """SELECT ?s WHERE { ?s <urn:label> ?v FILTER LANGMATCHES(LANG(?v), "en") }""")
