@@ -513,6 +513,67 @@ class SparqlFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- trailing VALUES: random data clauses vs brute-force post-join ----
+
+  test("random trailing VALUES clauses == brute-force post-join (bag semantics)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val subjects = Seq("s0", "s1", "s2", "s3")
+    val objCands = Seq("l0", "l1", "s0", "s1")
+    val tripleGen = for {
+      g <- Gen.oneOf("d0", "d1"); s <- Gen.oneOf(subjects)
+      p <- Gen.oneOf("urn:p0", "urn:p1"); o <- Gen.oneOf(objCands)
+    } yield (g, s, p, o)
+    // values rows mix hits and guaranteed misses ("zz"); a ?z var tests the
+    // cross-extension (no shared var) and mixed shared+fresh shapes
+    val valCands = Seq("s0", "s1", "s2", "l0", "l1", "zz")
+    val qGen = for {
+      vvars <- Gen.oneOf(Seq("a"), Seq("b"), Seq("a", "b"), Seq("a", "z"), Seq("z"))
+      n <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(vvars.size, Gen.oneOf(valCands)))
+      twoPat <- Gen.oneOf(true, false)
+    } yield (vvars, rows, twoPat)
+
+    val prop = Prop.forAll(Gen.listOfN(14, tripleGen), qGen) { (triples, q) =>
+      val (vvars, vrows, twoPat) = q
+      val pats = Seq(("?a", "urn:p0", "?b")) ++
+        (if (twoPat) Seq(("?b", "urn:p1", "?c")) else Nil)
+      val usedVars = if (twoPat) Seq("a", "b", "c") else Seq("a", "b")
+      val projVars = (usedVars ++ vvars).distinct
+
+      val valuesText =
+        if (vvars.size == 1)
+          s"VALUES ?${vvars.head} { ${vrows.map(r => s""""${r.head}"""").mkString(" ")} }"
+        else
+          s"VALUES (${vvars.map("?" + _).mkString(" ")}) { " +
+            vrows.map(r => s"(${r.map(x => s""""$x"""").mkString(" ")})").mkString(" ") + " }"
+      val text = s"SELECT ${projVars.map("?" + _).mkString(" ")} WHERE { " +
+        pats.map(p => s"${p._1} <${p._2}> ${p._3} .").mkString(" ") +
+        s" } $valuesText"
+
+      val df = Sparql.query(triples.toDF("doc_id", "subj", "pred", "obj"), text)
+      val got = bag(df.collect().toSeq.map(_.toSeq.map(_.asInstanceOf[String])))
+
+      // brute: BGP solutions joined with the data rows AFTER evaluation —
+      // compatible iff every shared var agrees; fresh vars extend the binding
+      val joined = bruteBgp(triples, pats).flatMap { case (g, b) =>
+        vrows.flatMap { r =>
+          val rb = vvars.zip(r).toMap
+          if (vvars.filter(b.contains).forall(v => b(v) == rb(v))) Some((g, b ++ rb))
+          else None
+        }
+      }
+      val want = bag(joined.map { case (g, b) => g +: projVars.map(b) })
+      if (got != want) {
+        println(s"QUERY: $text\nTRIPLES: $triples\nGOT: $got\nWANT: $want")
+        false
+      } else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- UPDATE: random modify requests vs brute-force set algebra ----
 
   test("random DELETE/INSERT WHERE requests: update == (store ∖ del) ∪ ins") {
