@@ -279,7 +279,21 @@ object SparkEntry {
         """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
            PREFIX list: <https://w3id.org/list#>
            SELECT DISTINCT ?s ?o
-           WHERE { ?s !(rdf:type|^list:hasContents|^rdf:type) ?o }"""))
+           WHERE { ?s !(rdf:type|^list:hasContents|^rdf:type) ?o }""")),
+      // SPARQL 1.1 Update dataset clauses: WITH scopes op 1's match+delete to
+      // one graph and its GRAPH-template block directs the insert to a fresh
+      // audit graph; op 2's USING restricts its WHERE like FROM while the
+      // delete still hits the store (§3.1.3)
+      "q60_sparql_with" -> ((s, _) => graft.analytics.Sparql.update(goldenTriples(s),
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           PREFIX list: <https://w3id.org/list#>
+           WITH <t16>
+           DELETE { ?c list:hasNext ?n }
+           INSERT { GRAPH <urn:graft:audit> { ?c <urn:graft:unlinked> ?n } }
+           WHERE  { ?c list:hasNext ?n } ;
+           DELETE { ?i rdf:type ?cls }
+           USING <t12> WHERE { ?i rdf:type ?cls }""")
+        .select("doc_id", "subj", "pred", "obj"))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -486,5 +500,17 @@ object SparkEntry {
          SELECT doc_id, obj AS s, subj AS o FROM trip
          WHERE pred NOT IN ('https://w3id.org/list#hasContents',
                             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'))
-       SELECT DISTINCT doc_id AS graph, s, o FROM e""")
+       SELECT DISTINCT doc_id AS graph, s, o FROM e""",
+    "q60_sparql_with" ->
+      s"""WITH trip AS (SELECT doc_id, subj, pred, obj
+               FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       m AS (SELECT subj, obj FROM trip WHERE doc_id = 't16'
+             AND pred = 'https://w3id.org/list#hasNext')
+       SELECT doc_id, subj, pred, obj FROM trip
+       WHERE NOT (doc_id = 't16' AND pred = 'https://w3id.org/list#hasNext')
+         AND NOT (doc_id = 't12'
+                  AND pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+       UNION ALL
+       SELECT DISTINCT 'urn:graft:audit' AS doc_id, subj,
+              'urn:graft:unlinked' AS pred, obj FROM m""")
 }

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *    projections), ASK, CONSTRUCT { template } / CONSTRUCT WHERE,
   *    DESCRIBE ?var WHERE / DESCRIBE <iri>.
   *  - Update forms ([[update]]): INSERT DATA / DELETE DATA (ground quads in
-  *    GRAPH blocks), DELETE WHERE, DELETE { } INSERT { } WHERE { },
+  *    GRAPH blocks), DELETE WHERE, [WITH <g>] DELETE { } INSERT { }
+  *    [USING [NAMED] <g>]* WHERE { } with quad templates (GRAPH <iri>/?var
+  *    blocks inside DELETE/INSERT templates),
   *    `;`-separated sequences — compiled to keyed anti joins + unions over
   *    the store (copy-on-write: the result is the next table snapshot);
   *    graph management CLEAR/DROP (coincide: graphs exist implicitly),
@@ -256,8 +258,14 @@ object Sparql {
   /** ground quads: (graph, subj, pred, obj) — GRAPH block mandatory. */
   private[analytics] final case class UInsertData(quads: Seq[(String, String, String, String)]) extends Update
   private[analytics] final case class UDeleteData(quads: Seq[(String, String, String, String)]) extends Update
-  private[analytics] final case class UModify(del: Seq[(Term, Term, Term)],
-      ins: Seq[(Term, Term, Term)], where: Group) extends Update
+  /** one DELETE/INSERT template quad: the optional graph target is an IRI
+    * (`I`) or a WHERE-bound variable (`V`); `None` falls back to the WITH
+    * graph when one was given, else to the matched solution's own graph
+    * (the store has no default graph to fall back to). */
+  private[analytics] type TQuad = (Option[Term], Term, Term, Term)
+  private[analytics] final case class UModify(del: Seq[TQuad], ins: Seq[TQuad],
+      where: Group, withGraph: Option[String] = None,
+      using: Seq[String] = Nil, usingNamed: Seq[String] = Nil) extends Update
   /** CLEAR/DROP (they coincide here: graphs exist implicitly, so there is no
     * empty-graph state to distinguish): Some(g) clears one graph, None is
     * NAMED/ALL. */
@@ -850,32 +858,89 @@ object Sparql {
       }
     }
 
-    private def template(): Seq[(Term, Term, Term)] = {
-      expectPunct("{"); val b = triplesBlock(); expectPunct("}"); b
+    /** quad template: plain triples interleaved with `GRAPH (?v|<iri>) { … }`
+      * blocks (SPARQL 1.1 grammar `Quads`). */
+    private def template(): Seq[TQuad] = {
+      expectPunct("{")
+      val out = Seq.newBuilder[TQuad]
+      while (!takePunct("}")) {
+        if (takeWord("GRAPH")) {
+          val g = next() match {
+            case TVar(n, _) => V(n)
+            case TIri(iri, _) => I(base + iri)
+            case p: TPName => I(resolve(p))
+            case t => fail("expected ?var or graph IRI after GRAPH", text, t.pos)
+          }
+          expectPunct("{")
+          if (!takePunct("}")) {
+            triplesBlock().foreach { case (s, p, o) => out += ((Some(g), s, p, o)) }
+            expectPunct("}")
+          }
+          takePunct(".")
+        } else triplesBlock().foreach { case (s, p, o) => out += ((None, s, p, o)) }
+      }
+      out.result()
     }
 
-    private def update1(): Update =
+    /** `( USING [NAMED] <iri> )*` — the WHERE-clause dataset of a
+      * DELETE/INSERT operation, mirroring FROM / FROM NAMED. */
+    private def usingClauses(): (Seq[String], Seq[String]) = {
+      val u = Seq.newBuilder[String]; val un = Seq.newBuilder[String]
+      while (takeWord("USING")) {
+        if (takeWord("NAMED")) un += graphIri() else u += graphIri()
+      }
+      (u.result(), un.result())
+    }
+
+    /** DELETE WHERE { quads }: rebuild the WHERE group from the template
+      * quads, preserving adjacency — consecutive same-graph quads form one
+      * BGP block, GRAPH-targeted runs wrap in an EGraph element. */
+    private def groupOfQuads(quads: Seq[TQuad]): Group = {
+      val runs = quads.foldLeft(Vector.empty[(Option[Term], Vector[(Term, Term, Term)])]) {
+        case (acc, (g, s, p, o)) =>
+          if (acc.nonEmpty && acc.last._1 == g) acc.init :+ ((g, acc.last._2 :+ ((s, p, o))))
+          else acc :+ ((g, Vector((s, p, o))))
+      }
+      Group(runs.map {
+        case (Some(V(n)), ts) => EGraph(Left(n), Group(Seq(EBlock(ts))))
+        case (Some(I(g)), ts) => EGraph(Right(g), Group(Seq(EBlock(ts))))
+        case (_, ts) => EBlock(ts)
+      })
+    }
+
+    private def update1(): Update = {
+      val withAt = peek.pos
+      val withG = if (takeWord("WITH")) Some(graphIri()) else None
+      def noWith(form: String): Unit =
+        if (withG.isDefined)
+          fail(s"WITH applies only to DELETE/INSERT … WHERE, not $form", text, withAt)
       if (takeWord("INSERT")) {
-        if (takeWord("DATA")) UInsertData(quadData())
+        if (takeWord("DATA")) { noWith("INSERT DATA"); UInsertData(quadData()) }
         else {
           val ins = template()
+          val (u, un) = usingClauses()
           expectWord("WHERE")
-          UModify(Nil, ins, group())
+          UModify(Nil, ins, group(), withG, u, un)
         }
       } else if (takeWord("DELETE")) {
-        if (takeWord("DATA")) UDeleteData(quadData())
+        if (takeWord("DATA")) { noWith("DELETE DATA"); UDeleteData(quadData()) }
         else if (isWord(peek, "WHERE")) {
           // DELETE WHERE { pattern }: the pattern is both template and WHERE
           i += 1
           val pats = template()
-          UModify(pats, Nil, Group(Seq(EBlock(pats))))
+          UModify(pats, Nil, groupOfQuads(pats), withG)
         } else {
           val del = template()
           val ins = if (takeWord("INSERT")) template() else Nil
+          val (u, un) = usingClauses()
           expectWord("WHERE")
-          UModify(del, ins, group())
+          UModify(del, ins, group(), withG, u, un)
         }
-      } else if (takeWord("CLEAR") || takeWord("DROP")) {
+      } else { noWith("graph management"); update1Rest() }
+    }
+
+    private def update1Rest(): Update =
+      if (takeWord("CLEAR") || takeWord("DROP")) {
         takeWord("SILENT")
         if (takeWord("GRAPH")) UClear(Some(graphIri()))
         else if (takeWord("NAMED") || takeWord("ALL")) UClear(None)
@@ -993,7 +1058,7 @@ object Sparql {
     case QDescribeIri(_) => Set.empty
   }
   private def updateMeta(u: Update): Set[String] = u match {
-    case UModify(_, _, w) => groupMeta(w)
+    case UModify(_, _, w, _, _, _) => groupMeta(w)
     case _ => Set.empty
   }
 
@@ -1655,9 +1720,12 @@ object Sparql {
 
     private val QuadKey = Seq(graphCol, "subj", "pred", "obj")
 
-    /** template instantiation per solution, graph from the solution's graph
-      * column — the CONSTRUCT projection, deduplicated (RDF set semantics). */
-    private def instantiate(sol: DataFrame, tmpl: Seq[(Term, Term, Term)]): DataFrame = {
+    /** template instantiation per solution — the CONSTRUCT projection,
+      * deduplicated (RDF set semantics). Each quad's graph target: explicit
+      * GRAPH IRI/var wins, else the WITH graph, else the solution's own
+      * graph column (the store has no default graph). */
+    private def instantiate(sol: DataFrame, tmpl: Seq[TQuad],
+        withGraph: Option[String]): DataFrame = {
       val bound = sol.columns.toSet
       def t(x: Term): Column = x match {
         case V(n) =>
@@ -1666,8 +1734,9 @@ object Sparql {
         case I(v) => lit(v)
         case _ => throw new IllegalArgumentException("paths cannot appear in an update template")
       }
-      tmpl.map { case (s, p, o) =>
-        sol.select(col(GraphCol).as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
+      tmpl.map { case (g, s, p, o) =>
+        val gc = g.map(t).getOrElse(withGraph.map(lit).getOrElse(col(GraphCol)))
+        sol.select(gc.as(graphCol), t(s).as("subj"), t(p).as("pred"), t(o).as("obj"))
       }.reduce(_.unionByName(_)).distinct()
     }
 
@@ -1700,10 +1769,13 @@ object Sparql {
     def applyUpdate(u: Update): DataFrame = u match {
       case UInsertData(quads) => insertRows(triples, quadDF(quads))
       case UDeleteData(quads) => deleteRows(triples, quadDF(quads))
-      case UModify(del, ins, where) =>
+      case UModify(del, ins, where, withG, _, _) =>
+        // WHERE matches the dataset-restricted view (WITH/USING — wired into
+        // defaultStore by Sparql.update); deletes/inserts apply to the STORE
         val sol = compileGroup(where, defaultStore)
-        val afterDel = if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del))
-        if (ins.isEmpty) afterDel else insertRows(afterDel, instantiate(sol, ins))
+        val afterDel =
+          if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del, withG))
+        if (ins.isEmpty) afterDel else insertRows(afterDel, instantiate(sol, ins, withG))
       case UClear(Some(g)) => triples.filter(col(graphCol) =!= lit(g))
       case UClear(None) => triples.limit(0)
       case UCreate => triples
@@ -1793,6 +1865,17 @@ object Sparql {
     * default graph to insert into); extra non-quad columns survive deletes
     * and NULL-fill on inserted rows. */
   def update(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
-    new Parser(text).updateRequest().foldLeft(triples)((store, op) =>
-      new Compiler(store, graphCol, metaVars = updateMeta(op)).applyUpdate(op))
+    new Parser(text).updateRequest().foldLeft(triples) { (store, op) =>
+      // WITH/USING shape the WHERE clause's dataset exactly like FROM /
+      // FROM NAMED shape a query's: USING graphs (when any) are the default
+      // graph, else the WITH graph, else the whole store; USING NAMED
+      // restricts which graphs GRAPH clauses range over (SPARQL 1.1 Update
+      // §3.1.3). Templates resolve their graph in `instantiate`.
+      val (from, named) = op match {
+        case UModify(_, _, _, withG, u, un) =>
+          (if (u.nonEmpty) u else withG.toSeq, un)
+        case _ => (Nil, Nil)
+      }
+      new Compiler(store, graphCol, from, named, updateMeta(op)).applyUpdate(op)
+    }
 }

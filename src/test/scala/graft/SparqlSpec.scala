@@ -581,6 +581,59 @@ class SparqlSpec extends SparkTestBase {
     bad(P + "INSERT DATA { GRAPH <d1> { ?v a ifc:Wall } }", "variable ?v")
     bad(P + "INSERT DATA { <a> <b> <c> }", "GRAPH")
     bad(P + "SELECT ?x WHERE { ?x ?p ?o }", "expected INSERT, DELETE, CLEAR")
+    bad(P + "WITH <d1> INSERT DATA { GRAPH <d1> { <a> <b> <c> } }", "WITH applies only")
+    bad(P + "WITH <d1> CLEAR GRAPH <d1>", "WITH applies only")
+  }
+
+  test("WITH scopes both the WHERE match and unGRAPHed template quads") {
+    val got = Sparql.update(kg, P + """WITH <d1> DELETE { ?w ifc:inStorey ?st }
+        INSERT { ?st <urn:hosts> ?w } WHERE { ?w ifc:inStorey ?st }""")
+    // d2's inStorey row survives untouched; d1's two are rewritten in d1
+    val expect = all(kg).filterNot(r => r(0) == "d1" && r(2) == s"${ifc}inStorey") ++
+      Set(Seq("d1", "s1", "urn:hosts", "w1"): Seq[Any], Seq("d1", "s1", "urn:hosts", "w2"))
+    assert(all(got) == expect)
+  }
+
+  test("WITH <g> DELETE WHERE shorthand scopes pattern and template to the graph") {
+    val got = Sparql.update(kg, P + "WITH <d1> DELETE WHERE { ?w ifc:inStorey ?st }")
+    assert(all(got) == all(kg)
+      - Seq("d1", "w1", s"${ifc}inStorey", "s1") - Seq("d1", "w2", s"${ifc}inStorey", "s1"))
+  }
+
+  test("GRAPH <iri> template blocks direct inserted quads to that graph") {
+    val got = Sparql.update(kg, P + """INSERT { GRAPH <summary> { ?w a ifc:Wall } }
+        WHERE { ?w a ifc:Wall }""")
+    assert(all(got).filter(_(0) == "summary") == Set(
+      Seq("summary", "w1", rdfType, s"${ifc}Wall"): Seq[Any],
+      Seq("summary", "w2", rdfType, s"${ifc}Wall")))
+    assert(got.count() == kg.count() + 2)
+  }
+
+  test("GRAPH ?var template blocks follow the solution's graph binding") {
+    val got = Sparql.update(kg, P + """INSERT { GRAPH ?g { ?w <urn:isWall> "y" } }
+        WHERE { GRAPH ?g { ?w a ifc:Wall } }""")
+    assert(all(got).filter(_(2) == "urn:isWall") == Set(
+      Seq("d1", "w1", "urn:isWall", "y"): Seq[Any],
+      Seq("d1", "w2", "urn:isWall", "y"),
+      Seq("d2", "w1", "urn:isWall", "y")))
+  }
+
+  test("DELETE WHERE accepts GRAPH blocks as quad patterns") {
+    val got = Sparql.update(kg, P + "DELETE WHERE { GRAPH <d2> { ?w ifc:inStorey ?st } }")
+    assert(all(got) == all(kg) - Seq("d2", "w1", s"${ifc}inStorey", "s9"))
+  }
+
+  test("USING restricts the WHERE dataset like FROM; the delete hits the store") {
+    val got = Sparql.update(kg, P + """DELETE { ?w ifc:inStorey ?st }
+        USING <d2> WHERE { ?w ifc:inStorey ?st }""")
+    assert(all(got) == all(kg) - Seq("d2", "w1", s"${ifc}inStorey", "s9"))
+  }
+
+  test("USING NAMED restricts which graphs GRAPH ranges over in update WHERE") {
+    val got = Sparql.update(kg, P + """DELETE { ?w ifc:inStorey ?st }
+        USING NAMED <d1> WHERE { GRAPH ?g { ?w ifc:inStorey ?st } }""")
+    assert(all(got) == all(kg)
+      - Seq("d1", "w1", s"${ifc}inStorey", "s1") - Seq("d1", "w2", s"${ifc}inStorey", "s1"))
   }
 
   // ------------------------------------------------------------ errors
