@@ -293,7 +293,16 @@ object SparkEntry {
            WHERE  { ?c list:hasNext ?n } ;
            DELETE { ?i rdf:type ?cls }
            USING <t12> WHERE { ?i rdf:type ?cls }""")
-        .select("doc_id", "subj", "pred", "obj"))
+        .select("doc_id", "subj", "pred", "obj")),
+      // Blank-node pattern syntax: nested [ … ] property lists are scoped
+      // existential variables — same plan as the q44 three-pattern join,
+      // written the way working SPARQL users actually write it
+      "q61_sparql_bnode" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX list: <https://w3id.org/list#>
+           SELECT ?v ?nv WHERE {
+             [ list:hasContents ?v ; list:hasNext [ list:hasContents ?nv ] ]
+             FILTER (?v != ?nv)
+           }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,5 +521,15 @@ object SparkEntry {
                   AND pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
        UNION ALL
        SELECT DISTINCT 'urn:graft:audit' AS doc_id, subj,
-              'urn:graft:unlinked' AS pred, obj FROM m""")
+              'urn:graft:unlinked' AS pred, obj FROM m""",
+    "q61_sparql_bnode" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       c AS (SELECT doc_id, subj, obj FROM trip
+             WHERE pred = 'https://w3id.org/list#hasContents'),
+       n AS (SELECT doc_id, subj, obj FROM trip
+             WHERE pred = 'https://w3id.org/list#hasNext')
+       SELECT c1.doc_id AS graph, c1.obj AS v, c2.obj AS nv
+       FROM c c1 JOIN n ON n.doc_id = c1.doc_id AND n.subj = c1.subj
+                 JOIN c c2 ON c2.doc_id = n.doc_id AND c2.subj = n.obj
+       WHERE c1.obj <> c2.obj""")
 }

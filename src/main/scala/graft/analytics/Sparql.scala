@@ -96,9 +96,15 @@ import org.apache.spark.sql.functions._
   *  - GRAPH ?g binds the doc_id (the store's graph names are document ids,
   *    not IRIs — the documented data-model delta); GRAPH <iri> compiles to
   *    a pushed-down graph-column filter.
-  *  - Unsupported (loud parse errors, never silent): blank-node syntax and
-  *    collections `( … )` in triple positions (the pipeline skolemizes every
-  *    node, so its output contains neither), SERVICE (no federation).
+  *  - Blank nodes in patterns (`_:label`, `[ … ]` property lists, and
+  *    collections `( … )` expanded to rdf:first/rest chains) are scoped
+  *    non-projectable variables (SELECT * hides them); in CONSTRUCT/INSERT
+  *    templates a bnode label mints a FRESH node per solution
+  *    (deterministic content hash); DELETE templates reject them loudly.
+  *    Delta: a label reused across two separate groups joins like a
+  *    variable where the spec scopes labels to one BGP.
+  *  - Unsupported (loud parse errors, never silent): SERVICE (no
+  *    federation).
   */
 object Sparql {
 
@@ -353,9 +359,25 @@ object Sparql {
     // ---------------- terms ----------------
 
     /** graph term in subject/object position, or a variable. */
-    private def term(): Term = next() match {
+    // ------- blank nodes in patterns: scoped, non-projectable variables.
+    // `_:label` → V("_:u"+label), `[ … ]` / collections mint V("_:g"+n) —
+    // the two spaces are disjoint (user labels can't start a fresh "g" id
+    // because the prefix is ours), and no user ?var can collide ('_:' has a
+    // ':' which VARNAME forbids). Bracket/collection expansions accumulate
+    // in `pending`; triplesBlock drains it per statement.
+    private var anonN = 0
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[(Term, Term, Term)]
+    private var lastTermWasBracket = false
+    private def freshAnon(): Term = { anonN += 1; V("_:g" + anonN) }
+
+    private def term(): Term = { lastTermWasBracket = false; term0() }
+
+    private def term0(): Term = next() match {
       case TVar(n, _) => V(n)
       case TIri(iri, _) => I(base + iri)
+      // SPARQL forbids '_' as a declared prefix (PN_PREFIX can't start with
+      // '_'), so pfx=="_" is unambiguously a blank-node label
+      case TPName("_", local, _) => V("_:u" + local)
       case p: TPName => I(resolve(p))
       case TStr(v, _) =>
         // swallow an optional ^^datatype / @lang — matching is lexical
@@ -376,8 +398,42 @@ object Sparql {
       }
       case t if isWord(t, "true") => I("true")
       case t if isWord(t, "false") => I("false")
-      case TPunct("(", p) => fail("RDF collections '(…)' are not supported (pipeline output has none)", text, p)
-      case TPunct("[", p) => fail("blank-node syntax is not supported (pipeline output is fully skolemized)", text, p)
+      case TPunct("(", _) =>
+        // RDF collection: expand to the rdf:first/rdf:rest chain over fresh
+        // anon bnodes (SPARQL 1.1 §4.2.3); `()` is rdf:nil
+        if (takePunct(")")) I(RdfNs + "nil")
+        else {
+          val items = Seq.newBuilder[Term]
+          while (!takePunct(")")) items += term0()
+          val cells = items.result().map(it => (freshAnon(), it))
+          cells.zipWithIndex.foreach { case ((cell, it), k) =>
+            pending += ((cell, I(RdfNs + "first"), it))
+            pending += ((cell, I(RdfNs + "rest"),
+              if (k == cells.size - 1) I(RdfNs + "nil") else cells(k + 1)._1))
+          }
+          lastTermWasBracket = true // TriplesNode: PropertyList may be empty
+          cells.head._1
+        }
+      case TPunct("[", _) =>
+        // blankNodePropertyList: a fresh anon bnode carrying the bracketed
+        // predicate-object list (SPARQL 1.1 §4.2.2)
+        val v = freshAnon()
+        if (!takePunct("]")) {
+          var moreVerbs = true
+          while (moreVerbs) {
+            val pd = verb()
+            var moreObjs = true
+            while (moreObjs) {
+              pending += ((v, pd, term0()))
+              moreObjs = takePunct(",")
+            }
+            moreVerbs = takePunct(";") &&
+              (peek match { case TPunct("]", _) => false; case _ => true })
+          }
+          expectPunct("]")
+        }
+        lastTermWasBracket = true
+        v
       case t => fail(s"expected an RDF term or variable", text, t.pos)
     }
 
@@ -455,7 +511,9 @@ object Sparql {
       var more = true
       while (more) {
         val s = term()
-        var moreVerbs = true
+        // a bracket/collection subject may stand alone (`[ p o ] .` —
+        // TriplesNode with an empty PropertyList); everything else needs verbs
+        var moreVerbs = !(lastTermWasBracket && startsTerminator)
         while (moreVerbs) {
           val p = verb()
           var moreObjs = true
@@ -465,6 +523,8 @@ object Sparql {
           }
           moreVerbs = takePunct(";") && !startsTerminator
         }
+        pats ++= pending
+        pending.clear()
         takePunct(".")
         more = startsTriple
       }
@@ -481,6 +541,7 @@ object Sparql {
 
     private def startsTriple: Boolean = peek match {
       case TVar(_, _) | TIri(_, _) | TPName(_, _, _) | TStr(_, _) | TNum(_, _) => true
+      case TPunct("[" | "(", _) => true
       case t if isWord(t, "true") || isWord(t, "false") => !isGroupKeyword(t)
       case _ => false
     }
@@ -1559,6 +1620,17 @@ object Sparql {
       }
     }
 
+    /** fresh blank node per (solution, template label) — SPARQL template
+      * bnode semantics, deterministically: a 64-bit content hash over the
+      * solution's lexical bindings plus the label. Distinct solutions get
+      * distinct labels up to the hash width (collisions astronomically
+      * unlikely and harmless at query granularity). */
+    private def mintBnode(sol: DataFrame, label: String): Column = {
+      val parts = lit(label) +:
+        sol.columns.filterNot(KgQuery.isMetaCol).sorted.map(col).toIndexedSeq
+      concat(lit("_:m"), lower(hex(xxhash64(parts: _*))))
+    }
+
     def compile(q: Query): DataFrame = q match {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
       case s: QSelect => selectDF(s, defaultStore)
@@ -1566,6 +1638,9 @@ object Sparql {
         val sol = compileGroup(where, defaultStore)
         val bound = sol.columns.toSet
         def t(x: Term): Column = x match {
+          // template bnode labels always denote FRESH bnodes per solution
+          // (never the pattern's binding, per the spec's template scope)
+          case V(n) if n.startsWith("_:") => mintBnode(sol, n)
           case V(n) =>
             require(bound.contains(n), s"template variable ?$n not bound by WHERE")
             col(n)
@@ -1699,9 +1774,12 @@ object Sparql {
               case (_, Projection(_, _: PAgg)) =>
                 throw new IllegalStateException("unreachable")
             }
-          // term-metadata companions are internal — never user-visible
+          // term-metadata companions are internal — never user-visible; and
+          // blank-node pattern variables are existential (SPARQL §16.2:
+          // SELECT * projects named variables only)
           val visible =
-            if (star) df.columns.filterNot(KgQuery.isMetaCol).toSeq
+            if (star) df.columns
+              .filterNot(KgQuery.isMetaCol).filterNot(_.startsWith("_:")).toSeq
             else GraphCol +: projs.map(_.alias)
           if (distinct) {
             df = wide.select(visible.map(col): _*).distinct()
@@ -1728,6 +1806,7 @@ object Sparql {
         withGraph: Option[String]): DataFrame = {
       val bound = sol.columns.toSet
       def t(x: Term): Column = x match {
+        case V(n) if n.startsWith("_:") => mintBnode(sol, n) // fresh per solution
         case V(n) =>
           require(bound.contains(n), s"template variable ?$n not bound by WHERE")
           col(n)
@@ -1772,6 +1851,10 @@ object Sparql {
       case UModify(del, ins, where, withG, _, _) =>
         // WHERE matches the dataset-restricted view (WITH/USING — wired into
         // defaultStore by Sparql.update); deletes/inserts apply to the STORE
+        require(!del.exists { case (g, s, p, o) =>
+          (Seq(s, p, o) ++ g).exists {
+            case V(n) => n.startsWith("_:"); case _ => false }
+        }, "blank nodes cannot appear in a DELETE template (SPARQL 1.1 Update §3.1.3.2)")
         val sol = compileGroup(where, defaultStore)
         val afterDel =
           if (del.isEmpty) triples else deleteRows(triples, instantiate(sol, del, withG))

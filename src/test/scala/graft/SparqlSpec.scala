@@ -629,6 +629,64 @@ class SparqlSpec extends SparkTestBase {
     assert(all(got) == all(kg) - Seq("d2", "w1", s"${ifc}inStorey", "s9"))
   }
 
+  // ------------------------------------------------ blank nodes in patterns
+
+  test("_:label and [ … ] act as scoped non-projectable variables") {
+    // _:w joins across the two patterns of one BGP like a variable
+    val g1 = q(P + "SELECT ?st WHERE { _:w a ifc:Wall . _:w ifc:inStorey ?st }")
+    assert(rows(g1, "graph", "st") == Set(Seq("d1", "s1"), Seq("d2", "s9")))
+    // bracket property list: same solutions via an anon subject
+    val g2 = q(P + "SELECT ?st WHERE { [ a ifc:Wall ; ifc:inStorey ?st ] }")
+    assert(rows(g2, "graph", "st") == Set(Seq("d1", "s1"), Seq("d2", "s9")))
+    // SELECT * hides the existential: only named variables project
+    val g3 = q(P + "SELECT * WHERE { [ a ifc:Wall ; ifc:inStorey ?st ] }")
+    assert(g3.columns.toSet == Set("graph", "st"))
+    // nested bracket as object
+    val g4 = q(P + "SELECT ?h WHERE { ?w ifc:inStorey [ a ifc:Storey ] . ?w ifc:hasHeight ?h }")
+    assert(rows(g4, "h") == Set(Seq("3.0"), Seq("12.5")))
+    // standalone bracket statement (TriplesNode with empty PropertyList)
+    val g5 = q(P + "SELECT ?g WHERE { GRAPH ?g { [ a ifc:Door ] . } }")
+    assert(rows(g5, "g") == Set(Seq("d1")))
+  }
+
+  test("collections expand to rdf:first/rest chains; () is rdf:nil") {
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val listStore = triples(Seq(
+      ("d1", "x", s"${ifc}items", "c1"),
+      ("d1", "c1", s"${rdfNs}first", "a"),
+      ("d1", "c1", s"${rdfNs}rest", "c2"),
+      ("d1", "c2", s"${rdfNs}first", "b"),
+      ("d1", "c2", s"${rdfNs}rest", s"${rdfNs}nil"),
+      ("d1", "y", s"${ifc}items", s"${rdfNs}nil")))
+    val g1 = Sparql.query(listStore, P + """SELECT ?s WHERE { ?s ifc:items ("a" "b") }""")
+    assert(rows(g1, "s") == Set(Seq("x")))
+    val g2 = Sparql.query(listStore, P + "SELECT ?s WHERE { ?s ifc:items () }")
+    assert(rows(g2, "s") == Set(Seq("y")))
+  }
+
+  test("CONSTRUCT/INSERT template bnodes mint fresh nodes per solution; DELETE rejects") {
+    val g1 = Sparql.query(kg, P + """CONSTRUCT { ?w <urn:hasSlot> _:s . _:s <urn:of> ?st }
+        WHERE { ?w ifc:inStorey ?st }""")
+    val minted = g1.collect().filter(_.getString(2) == "urn:hasSlot")
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    // three solutions → three distinct minted subjects, shared with the ?st edge
+    assert(minted.length == 3 && minted.map(_._3).distinct.length == 3)
+    assert(minted.forall(_._3.startsWith("_:m")))
+    val ofEdges = g1.collect().filter(_.getString(2) == "urn:of").map(_.getString(1)).toSet
+    assert(ofEdges == minted.map(_._3).toSet) // same label ⇒ same mint per solution
+    // determinism: the mint is a content hash, not RNG
+    val g1b = Sparql.query(kg, P + """CONSTRUCT { ?w <urn:hasSlot> _:s . _:s <urn:of> ?st }
+        WHERE { ?w ifc:inStorey ?st }""")
+    assert(g1.collect().map(_.toSeq).toSet == g1b.collect().map(_.toSeq).toSet)
+    // INSERT mints too; DELETE refuses loudly
+    val ins = Sparql.update(kg, P + """INSERT { ?w <urn:tag> _:t }
+        WHERE { ?w a ifc:Wall }""")
+    assert(ins.filter("pred = 'urn:tag'").count() == 3)
+    val e = intercept[IllegalArgumentException](
+      Sparql.update(kg, P + "DELETE { ?w <urn:x> _:t } WHERE { ?w a ifc:Wall }").collect())
+    assert(e.getMessage.contains("DELETE template"))
+  }
+
   test("USING NAMED restricts which graphs GRAPH ranges over in update WHERE") {
     val got = Sparql.update(kg, P + """DELETE { ?w ifc:inStorey ?st }
         USING NAMED <d1> WHERE { GRAPH ?g { ?w ifc:inStorey ?st } }""")
@@ -646,7 +704,7 @@ class SparqlSpec extends SparkTestBase {
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
     }
     bad("SELECT ?x WHERE { ?x foo:bar ?y }", "undeclared prefix")
-    bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y ] }", "blank-node")
+    bad(P + "SELECT ?x WHERE { ?x ifc:p [ ifc:q ?y }", "expected ']'")
     bad(P + "SELECT ?x WHERE { SERVICE <http://x> { ?x ?p ?o } }", "SERVICE")
     bad(P + "SELECT ?z WHERE { ?x a ifc:Wall }", "?z is not bound")
     val e = intercept[IllegalArgumentException](q(P + "ASK { ?x a ifc:Wall }"))
