@@ -44,9 +44,12 @@ import org.apache.spark.sql.functions._
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
   *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, MD5, SHA1,
   *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC,
-  *    the xsd:dateTime accessors YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ
-  *    (over the ISO-8601 lexical form; non-dateTime argument → NULL, the
-  *    relational image of the SPARQL type error),
+  *    the xsd:dateTime accessors YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ/
+  *    TIMEZONE (over the ISO-8601 lexical form; non-dateTime argument →
+  *    NULL, the relational image of the SPARQL type error),
+  *    the §17.4 constructors BNODE (deterministic content-hash mint, same
+  *    arg within one solution → same node), NOW (query-constant, not
+  *    run-constant), UUID/STRUUID/RAND (nondeterministic by definition),
   *    and the term inspectors LANG, DATATYPE, LANGMATCHES, isIRI/isURI,
   *    isLiteral, isBlank, sameTerm (read [[KgQuery.metaCol]] companions bound from
   *    the store's obj_kind/obj_datatype/obj_lang columns — matching stays
@@ -589,7 +592,8 @@ object Sparql {
       "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC",
       "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
       "STRLANG", "STRDT", "SAMETERM",
-      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
+      "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
+      "BNODE", "NOW", "UUID", "STRUUID", "RAND")
 
     private def exprMul(): Expr = {
       var e = exprPrimary()
@@ -1131,6 +1135,14 @@ object Sparql {
       from: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
       metaVars: Set[String] = Set.empty) {
     private val spark = triples.sparkSession
+    /** per-call-site salt for argless BNODE() — each occurrence mints its own
+      * node within a solution (compiled once per occurrence). */
+    private var bnodeCallN = 0
+    /** BIND-derived column names — excluded from the bnode-mint solution
+      * fingerprint so BNODE(?x) hashes the same frame at every call site
+      * (§17.4.1.9: same arg within one solution → same node) regardless of
+      * how many BINDs preceded it. Pattern/VALUES bindings stay in. */
+    private val derivedCols = scala.collection.mutable.Set.empty[String]
 
     private def graphRestrict(store: DataFrame, graphs: Seq[String]): DataFrame =
       if (graphs.isEmpty) store
@@ -1270,6 +1282,7 @@ object Sparql {
           val a = need("BIND")
           require(!a.columns.contains(v), s"BIND target ?$v is already bound")
           acc = a.withColumn(v, compileExpr(e, a))
+          derivedCols += v
           // an inspected BIND target gets companion columns when its
           // expression's facets are derivable (STRLANG/STRDT tags, simple
           // literals, IRI()); otherwise the inspector fails loudly later
@@ -1531,6 +1544,35 @@ object Sparql {
       case ExFn("TZ", Seq(a)) =>
         // "Z", "+05:30", … ; "" when the lexical form carries no offset
         regexp_extract(compileExpr(a, df), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      case ExFn("TIMEZONE", Seq(a)) =>
+        // xsd:dayTimeDuration of the offset ("PT0S", "-PT8H", "PT5H30M");
+        // no offset → SPARQL type error → NULL
+        val tzs = regexp_extract(compileExpr(a, df), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+        val hh = substring(tzs, 2, 2).cast("int")
+        val mm = substring(tzs, 5, 2).cast("int")
+        val sign = when(substring(tzs, 1, 1) === "-" && (hh > 0 || mm > 0), lit("-"))
+          .otherwise(lit(""))
+        val body = when(hh === 0 && mm === 0, lit("0S")).otherwise(concat(
+          when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+          when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
+        when(tzs === "Z", lit("PT0S"))
+          .when(tzs =!= "", concat(sign, lit("PT"), body))
+          .otherwise(lit(null))
+      // ---- §17.4 constructors. BNODE is deterministic (content-hash mint,
+      // keeping the engine's two-run determinism contract); NOW is constant
+      // across one query (Spark folds current_timestamp per plan) but not
+      // across runs; UUID/STRUUID/RAND are nondeterministic by definition.
+      case ExFn("BNODE", args) if args.size <= 1 =>
+        // same argument within one solution → same bnode (§17.4.1.9);
+        // argless calls salt per call site so each mints its own node
+        val salt = args.headOption.map(compileExpr(_, df))
+          .getOrElse { bnodeCallN += 1; lit("()#" + bnodeCallN) }
+        mintBnode(df, lit("BNODE"), salt)
+      case ExFn("NOW", Seq()) =>
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      case ExFn("UUID", Seq()) => concat(lit("urn:uuid:"), expr("uuid()"))
+      case ExFn("STRUUID", Seq()) => expr("uuid()")
+      case ExFn("RAND", Seq()) => rand()
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
@@ -1588,7 +1630,13 @@ object Sparql {
         case ExFn("STRLANG", Seq(_, t)) => Some((lit("literal"), nul, compileExpr(t, df)))
         case ExFn("STRDT", Seq(_, t)) => Some((lit("literal"), compileExpr(t, df), nul))
         case ExFn("IF" | "COALESCE", _) => None // branch facets may differ
-        case ExFn("IRI" | "URI", _) => Some((lit("iri"), nul, nul))
+        case ExFn("IRI" | "URI" | "UUID", _) => Some((lit("iri"), nul, nul))
+        case ExFn("BNODE", _) => Some((lit("bnode"), nul, nul))
+        case ExFn("NOW", _) =>
+          Some((lit("literal"), lit("http://www.w3.org/2001/XMLSchema#dateTime"), nul))
+        case ExFn("RAND", _) => Some((lit("literal"), lit(XsdDouble), nul))
+        case ExFn("TIMEZONE", _) => Some((lit("literal"),
+          lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nul))
         case ExIri(_) => Some((lit("iri"), nul, nul))
         case ExNum(_) | ExArith(_, _, _) => Some((lit("literal"), lit(XsdDouble), nul))
         case _ => Some((lit("literal"), nul, nul)) // string builtins: simple literals
@@ -1625,9 +1673,12 @@ object Sparql {
       * solution's lexical bindings plus the label. Distinct solutions get
       * distinct labels up to the hash width (collisions astronomically
       * unlikely and harmless at query granularity). */
-    private def mintBnode(sol: DataFrame, label: String): Column = {
-      val parts = lit(label) +:
-        sol.columns.filterNot(KgQuery.isMetaCol).sorted.map(col).toIndexedSeq
+    private def mintBnode(sol: DataFrame, salt: Column*): Column = {
+      // fingerprint = pattern/VALUES bindings only: BIND-derived columns are
+      // functions of those (so add no distinctness) and their presence varies
+      // by call site, which would break BNODE(?x)'s same-arg-same-node rule
+      val parts = salt.toIndexedSeq ++ sol.columns
+        .filterNot(KgQuery.isMetaCol).filterNot(derivedCols).sorted.map(col)
       concat(lit("_:m"), lower(hex(xxhash64(parts: _*))))
     }
 
@@ -1640,7 +1691,7 @@ object Sparql {
         def t(x: Term): Column = x match {
           // template bnode labels always denote FRESH bnodes per solution
           // (never the pattern's binding, per the spec's template scope)
-          case V(n) if n.startsWith("_:") => mintBnode(sol, n)
+          case V(n) if n.startsWith("_:") => mintBnode(sol, lit(n))
           case V(n) =>
             require(bound.contains(n), s"template variable ?$n not bound by WHERE")
             col(n)
@@ -1806,7 +1857,7 @@ object Sparql {
         withGraph: Option[String]): DataFrame = {
       val bound = sol.columns.toSet
       def t(x: Term): Column = x match {
-        case V(n) if n.startsWith("_:") => mintBnode(sol, n) // fresh per solution
+        case V(n) if n.startsWith("_:") => mintBnode(sol, lit(n)) // fresh per solution
         case V(n) =>
           require(bound.contains(n), s"template variable ?$n not bound by WHERE")
           col(n)

@@ -629,6 +629,37 @@ class SparqlSpec extends SparkTestBase {
     assert(all(got) == all(kg) - Seq("d2", "w1", s"${ifc}inStorey", "s9"))
   }
 
+  test("§17.4 constructors: BNODE, NOW, TIMEZONE, UUID, STRUUID, RAND") {
+    // BNODE(?x): same arg in one solution → same node; distinct solutions → distinct
+    val g1 = q(P + """SELECT ?w ?a ?b ?c WHERE { ?w a ifc:Wall .
+        BIND(BNODE(?w) AS ?a) BIND(BNODE(?w) AS ?b) BIND(BNODE() AS ?c) }""")
+    val r1 = g1.collect()
+    assert(r1.length == 3)
+    assert(r1.forall(r => r.getString(2) == r.getString(3))) // a == b
+    assert(r1.forall(r => r.getString(2) != r.getString(4))) // a != c (argless salt)
+    assert(r1.map(_.getString(2)).distinct.length == 3) // distinct per solution
+    assert(r1.forall(_.getString(2).startsWith("_:m")))
+    // TIMEZONE: dayTimeDuration forms, NULL when no offset; DATATYPE facet
+    val tzStore = triples(Seq(
+      ("d1", "e1", "urn:at", "2024-03-01T10:00:00Z"),
+      ("d1", "e2", "urn:at", "2024-03-01T10:00:00+05:30"),
+      ("d1", "e3", "urn:at", "2024-03-01T10:00:00-08:00"),
+      ("d1", "e4", "urn:at", "2024-03-01T10:00:00")))
+    val g2 = Sparql.query(tzStore,
+      "SELECT ?s (TIMEZONE(?t) AS ?z) WHERE { ?s <urn:at> ?t }")
+    assert(rows(g2, "s", "z") == Set(
+      Seq("e1", "PT0S"), Seq("e2", "PT5H30M"), Seq("e3", "-PT8H"), Seq("e4", null)))
+    // NOW is query-constant and ISO-shaped; UUID/STRUUID/RAND are well-formed
+    val g3 = q(P + """SELECT ?w ?n ?u ?su ?r WHERE { ?w a ifc:Wall .
+        BIND(NOW() AS ?n) BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) BIND(RAND() AS ?r) }""")
+    val r3 = g3.collect()
+    assert(r3.map(_.getString(2)).distinct.length == 1) // one NOW per query
+    assert(r3.head.getString(2).matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}.*"""))
+    assert(r3.forall(_.getString(3).startsWith("urn:uuid:")))
+    assert(r3.forall(_.getString(4).matches("[0-9a-fA-F-]{36}")))
+    assert(r3.forall { r => val d = r.getDouble(5); d >= 0.0 && d < 1.0 })
+  }
+
   // ------------------------------------------------ blank nodes in patterns
 
   test("_:label and [ … ] act as scoped non-projectable variables") {
