@@ -302,7 +302,14 @@ object SparkEntry {
            SELECT ?v ?nv WHERE {
              [ list:hasContents ?v ; list:hasNext [ list:hasContents ?nv ] ]
              FILTER (?v != ?nv)
-           }"""))
+           }""")),
+      // §17.5 XPath constructor casts: xsd:double filters numerically
+      // (uncastable lexical forms → NULL → dropped), the projected casts
+      // land as typed columns (double / bigint)
+      "q62_sparql_cast" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?s ?o (xsd:double(?o) AS ?num) (xsd:integer(?o) AS ?i)
+           WHERE { ?s ?p ?o FILTER (xsd:double(?o) > 1) }"""))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,5 +538,12 @@ object SparkEntry {
        SELECT c1.doc_id AS graph, c1.obj AS v, c2.obj AS nv
        FROM c c1 JOIN n ON n.doc_id = c1.doc_id AND n.subj = c1.subj
                  JOIN c c2 ON c2.doc_id = n.doc_id AND c2.subj = n.obj
-       WHERE c1.obj <> c2.obj""")
+       WHERE c1.obj <> c2.obj""",
+    "q62_sparql_cast" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}'))
+       SELECT doc_id AS graph, subj AS s, obj AS o,
+              TRY_CAST(obj AS DOUBLE) AS num,
+              CASE WHEN regexp_matches(obj, '^[+-]?[0-9]+$$')
+                   THEN CAST(obj AS BIGINT) END AS i
+       FROM trip WHERE TRY_CAST(obj AS DOUBLE) > 1""")
 }

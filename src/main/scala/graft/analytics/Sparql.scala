@@ -50,6 +50,9 @@ import org.apache.spark.sql.functions._
   *    the §17.4 constructors BNODE (deterministic content-hash mint, same
   *    arg within one solution → same node), NOW (query-constant, not
   *    run-constant), UUID/STRUUID/RAND (nondeterministic by definition),
+  *    the §17.5 XPath constructor casts xsd:integer/decimal/float/double/
+  *    string/boolean/dateTime/date (uncastable lexical form → NULL; any
+  *    other function IRI is a loud parse error),
   *    and the term inspectors LANG, DATATYPE, LANGMATCHES, isIRI/isURI,
   *    isLiteral, isBlank, sameTerm (read [[KgQuery.metaCol]] companions bound from
   *    the store's obj_kind/obj_datatype/obj_lang columns — matching stays
@@ -565,8 +568,8 @@ object Sparql {
         else if (takePunct("@")) next()
         ExStr(v)
       case TNum(lex, _) => i += 1; ExNum(lex)
-      case TIri(iri, _) => i += 1; ExIri(base + iri)
-      case p: TPName => i += 1; ExIri(resolve(p))
+      case TIri(iri, pos) => i += 1; iriOrCast(base + iri, pos)
+      case p: TPName => i += 1; iriOrCast(resolve(p), p.pos)
       case t if isWord(t, "true") => i += 1; ExBool(true)
       case t if isWord(t, "false") => i += 1; ExBool(false)
       case t if isWord(t, "EXISTS") => i += 1; ExExists(group(), neg = false)
@@ -585,6 +588,25 @@ object Sparql {
         ExFn(w.toUpperCase, args.result())
       case t => fail("expected an expression", text, t.pos)
     }
+
+    /** §17.5 XPath constructor casts: an IRI followed by an argument list in
+      * expression position. Only the xsd:* constructors are callable — any
+      * other function IRI fails loudly (no extensible function registry). */
+    private def iriOrCast(iri: String, pos: Int): Expr = peek match {
+      case TPunct("(", _) =>
+        if (!CastIris.contains(iri))
+          fail(s"unsupported function IRI <$iri> (only the xsd:* constructor " +
+            "casts are callable)", text, pos)
+        expectPunct("(")
+        val a = exprOr()
+        expectPunct(")")
+        ExFn("CAST:" + iri, Seq(a))
+      case _ => ExIri(iri)
+    }
+
+    private val CastIris = Set("integer", "decimal", "float", "double",
+      "string", "boolean", "dateTime", "date")
+      .map("http://www.w3.org/2001/XMLSchema#" + _)
 
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
       "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
@@ -1573,6 +1595,24 @@ object Sparql {
       case ExFn("UUID", Seq()) => concat(lit("urn:uuid:"), expr("uuid()"))
       case ExFn("STRUUID", Seq()) => expr("uuid()")
       case ExFn("RAND", Seq()) => rand()
+      // ---- §17.5 XPath constructor casts. Uncastable lexical form → NULL
+      // (the relational image of the cast error). Numeric casts return
+      // typed columns (comparisons/sorts go numeric); dateTime/date
+      // validate the lexical shape and keep the canonical string form.
+      case ExFn(n, Seq(a)) if n.startsWith("CAST:") =>
+        val c = compileExpr(a, df)
+        n.stripPrefix("CAST:http://www.w3.org/2001/XMLSchema#") match {
+          case "integer" => c.try_cast("bigint")
+          case "decimal" | "double" | "float" => c.try_cast("double")
+          case "string" => c.cast("string")
+          case "boolean" =>
+            when(c.cast("string").isin("true", "1"), lit(true))
+              .when(c.cast("string").isin("false", "0"), lit(false))
+              .otherwise(lit(null).cast("boolean"))
+          case "dateTime" => when(c.rlike(
+            "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"), c)
+          case "date" => when(c.rlike("^\\d{4}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$"), c)
+        }
       case ExFn("ABS", Seq(a)) => abs(compileExpr(a, df).try_cast("double"))
       case ExFn("CEIL", Seq(a)) => ceil(compileExpr(a, df).try_cast("double")).cast("double")
       case ExFn("FLOOR", Seq(a)) => floor(compileExpr(a, df).try_cast("double")).cast("double")
@@ -1638,6 +1678,8 @@ object Sparql {
         case ExFn("TIMEZONE", _) => Some((lit("literal"),
           lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nul))
         case ExIri(_) => Some((lit("iri"), nul, nul))
+        case ExFn(n, _) if n.startsWith("CAST:") =>
+          Some((lit("literal"), lit(n.stripPrefix("CAST:")), nul))
         case ExNum(_) | ExArith(_, _, _) => Some((lit("literal"), lit(XsdDouble), nul))
         case _ => Some((lit("literal"), nul, nul)) // string builtins: simple literals
       }

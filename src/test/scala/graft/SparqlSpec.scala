@@ -825,6 +825,40 @@ class SparqlSpec extends SparkTestBase {
       Set(Seq("urn:e1"), Seq("urn:e3")))
   }
 
+  test("§17.5 XSD constructor casts; unknown function IRI fails loudly") {
+    val st = triples(Seq(
+      ("d1", "e1", "urn:v", "42"),
+      ("d1", "e2", "urn:v", "3.5"),
+      ("d1", "e3", "urn:v", "true"),
+      ("d1", "e4", "urn:v", "nope"),
+      ("d1", "e5", "urn:v", "2024-03-01T10:00:00Z")))
+    val pre = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+    val g = Sparql.query(st, pre +
+      """SELECT ?s (xsd:integer(?v) AS ?i) (xsd:double(?v) AS ?d)
+                (xsd:boolean(?v) AS ?b) (xsd:dateTime(?v) AS ?t)
+         WHERE { ?s <urn:v> ?v }""")
+    assert(rows(g, "s", "i", "d", "b", "t") == Set(
+      Seq("e1", 42L, 42.0, null, null),
+      Seq("e2", null, 3.5, null, null), // xsd:integer("3.5") is a cast error
+      Seq("e3", null, null, true, null),
+      Seq("e4", null, null, null, null),
+      Seq("e5", null, null, null, "2024-03-01T10:00:00Z")))
+    // FILTER over a cast: numeric comparison after xsd:integer
+    assert(rows(Sparql.query(st, pre +
+      "SELECT ?s WHERE { ?s <urn:v> ?v FILTER (xsd:integer(?v) = 42) }"), "s") ==
+      Set(Seq("e1")))
+    // DATATYPE of a cast-bound variable reports the constructor's type
+    assert(rows(Sparql.query(st, pre +
+      """SELECT ?s (DATATYPE(?i) AS ?dt) WHERE { ?s <urn:v> ?v . ?s <urn:v> "42"
+         BIND(xsd:integer(?v) AS ?i) }"""), "s", "dt") ==
+      Set(Seq("e1", "http://www.w3.org/2001/XMLSchema#integer")))
+    // any non-xsd function IRI is a loud parse error, never a silent NULL
+    val ex = intercept[IllegalArgumentException] {
+      Sparql.query(st, "SELECT ?s WHERE { ?s <urn:v> ?v FILTER (<urn:fn>(?v)) }")
+    }
+    assert(ex.getMessage.contains("unsupported function IRI"))
+  }
+
   test("LANGMATCHES: exact, subtag-prefix and '*' ranges (RFC 4647 basic)") {
     val en = Sparql.query(langKg,
       """SELECT ?s WHERE { ?s <urn:label> ?v FILTER LANGMATCHES(LANG(?v), "en") }""")
