@@ -386,6 +386,100 @@ object Battery {
         length(col("payload")).as("n_bytes"),
         lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("head_hex"),
         (h32(col("text")) % 256).as("fake_feature"))
+    }),
+
+    // --- training-data pipeline: corpus curation (round 5) ---
+    "q63_decontaminate" -> ((s, d) => {
+      // benchmark decontamination (the GPT-3/PaLM data-pipeline step): drop
+      // every training document that shares any word 5-gram with the eval
+      // split (here the deterministic doc_id % 97 == 0 slice). Scale plan:
+      // the eval side is benchmark-suite-sized (MBs against a 100-TB
+      // corpus), so its distinct grams BROADCAST and the training grams
+      // stream map-side through the semi join — the corpus is never
+      // shuffled; the surviving contaminated-id set is smaller still and
+      // broadcasts into the final anti join.
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val grams = tk.select(col("doc_id"),
+        explode(graft.functions.TextOps.shingles(col("tk"), 5)).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+      val contam = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(contam), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+    "q64_repetition" -> ((s, d) => {
+      // Gopher-style repetition signals: duplicate word-2gram count and the
+      // top single-token frequency per document; keep iff BOTH fractions
+      // are <= 0.2 (integer cross-multiplied — no float aggregation). Each
+      // signal is one explode into a two-level hash aggregate (map-side
+      // combinable, keyed by doc_id so the per-doc reduce co-locates);
+      // the doc_id-keyed join back is between two already-tiny per-doc
+      // frames. Documents under 2 tokens have no 2-gram row and drop from
+      // the report in both engines (inner join).
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      val d2 = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(graft.functions.TextOps.shingles(col("tk"), 2)).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("n2d"))
+      val tc = tk.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("n1"), max(col("c")).as("top_n"))
+      tc.join(d2, Seq("doc_id"))
+        .select(col("doc_id"), col("n1"), col("top_n"), col("n2"),
+          (col("n2") - col("n2d")).as("dup2"),
+          ((col("n2") - col("n2d")) * 5 <= col("n2") &&
+            col("top_n") * 5 <= col("n1")).as("keep"))
+    }),
+    "q65_corpus_stats" -> ((s, d) => {
+      // per-language data-card report with an EXACT lower median of doc
+      // length. percentile_approx is merge-order-dependent (not oracle-able)
+      // and a per-lang row_number over the raw corpus is a skew bomb (one
+      // task sorts all of "en"), so the median comes from a HISTOGRAM:
+      // the corpus-wide pass is one map-side-combinable groupBy on
+      // (lang, n_chars) — bounded cardinality: |langs| x distinct doc
+      // lengths — and the cumulative-sum window runs over that tiny frame.
+      // Lower median = smallest length whose cumulative count reaches
+      // ceil(n/2), i.e. cum*2 >= n + (n % 2).
+      val docs = t(s, d, "documents").select(col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("ntok"))
+      val hist = docs.groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"), sum(col("ntok")).as("tok"))
+      val byLang = Window.partitionBy(col("lang"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("n_chars").asc)))
+        .withColumn("n", sum(col("c")).over(byLang))
+      cum.groupBy(col("lang")).agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(when(col("cum") * 2 >= col("n") + (col("n") % 2), col("n_chars")))
+          .as("median_lo_chars"))
+    }),
+    "q66_tfidf_topk" -> ((s, d) => {
+      // top-3 TF-IDF keywords per document, all-integer scoring:
+      // score = tf * ((N * 1000) div df). The document frequency comes from
+      // a WINDOW count over the tf frame (one w-keyed exchange — the web-
+      // scale vocabulary could never broadcast), N from a 1-row broadcast
+      // cross join, and the per-doc top-3 from a doc_id-keyed row_number
+      // with the token as deterministic tiebreak.
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      val n = docs.agg(count(lit(1)).as("n"))
+      withDf.crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(n * 1000) div df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("score"),
+          col("rk").cast("int").as("rk"))
     })
   )
 
@@ -876,6 +970,56 @@ object Battery {
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
          ('0x' || substr(md5(text), 1, 8))::BIGINT % 256 AS fake_feature
-         FROM documents"""
+         FROM documents""",
+    "q63_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+       idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM tk),
+       g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram FROM idx),
+       ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0)
+       SELECT d.doc_id, d.lang FROM documents d
+       WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contam)""",
+    "q64_repetition" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+       idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tk),
+       g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g FROM idx),
+       d2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n2,
+                     CAST(count(DISTINCT g) AS BIGINT) AS n2d
+              FROM g GROUP BY 1),
+       w AS (SELECT doc_id, unnest(ws) AS w FROM tk),
+       tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n1, CAST(MAX(c) AS BIGINT) AS top_n
+              FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1)
+       SELECT tc.doc_id, tc.n1, tc.top_n, d2.n2, d2.n2 - d2.n2d AS dup2,
+              (d2.n2 - d2.n2d) * 5 <= d2.n2 AND tc.top_n * 5 <= tc.n1 AS keep
+       FROM tc JOIN d2 USING (doc_id)""",
+    "q65_corpus_stats" ->
+      """WITH tk AS (SELECT lang, n_chars,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+               FROM documents),
+       hist AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS c,
+                       CAST(SUM(ntok) AS BIGINT) AS tok
+                FROM tk GROUP BY 1, 2),
+       cum AS (SELECT lang, n_chars, c, tok,
+                      SUM(c) OVER (PARTITION BY lang ORDER BY n_chars ASC) AS cum,
+                      SUM(c) OVER (PARTITION BY lang) AS n
+               FROM hist)
+       SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+              CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+              CAST(MIN(CASE WHEN cum * 2 >= n + (n % 2) THEN n_chars END) AS BIGINT) AS median_lo_chars
+       FROM cum GROUP BY 1""",
+    "q66_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+               FROM documents),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       sc AS (SELECT tf.doc_id, tf.w, tf.tf, df.df, tf.tf * (n.n * 1000 // df.df) AS score
+              FROM tf JOIN df USING (w) CROSS JOIN n)
+       SELECT doc_id, w, tf, df, score, CAST(rk AS INT) AS rk FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk
+         FROM sc)
+       WHERE rk <= 3"""
   )
 }
