@@ -153,4 +153,45 @@ class PlanShapeSpec extends SparkTestBase {
         "the left join must key on the shared columns")
     }
   }
+
+  test("q63: eval grams and contaminated ids broadcast; the corpus is never sort-merge joined") {
+    val p = plan("q63_decontaminate")
+    withClue(p) {
+      assert(p.contains("LeftSemi, BuildRight"),
+        "the benchmark-sized eval-gram set must broadcast into the semi join")
+      assert(p.contains("LeftAnti, BuildRight"),
+        "the contaminated-id set must broadcast into the anti join")
+      assert(!p.contains("SortMergeJoin"),
+        "no corpus-vs-corpus sort-merge join anywhere in the decontamination plan")
+    }
+  }
+
+  test("q65: the corpus pass is ONE map-side-combined histogram aggregate; windows run above it") {
+    val p = plan("q65_corpus_stats")
+    withClue(p) {
+      // partial (map-side) aggregate keyed by (lang, n_chars) directly over the scan
+      assert("HashAggregate\\(keys=\\[lang#\\d+, n_chars#\\d+L?\\], functions=\\[partial_".r
+        .findFirstIn(p).isDefined,
+        "the histogram must partial-aggregate map-side before any exchange")
+      // both windows sit ABOVE the histogram aggregate (tree prints parents first),
+      // i.e. the cumulative sums run over the tiny histogram, never the raw corpus
+      val win = p.indexOf("Window [")
+      val hist = "HashAggregate\\(keys=\\[lang#\\d+, n_chars#\\d+".r
+        .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+      assert(win >= 0 && hist > win,
+        "the median window must consume the histogram, not the raw documents")
+      // the scan must not read doc_id (pruned: only text/lang/n_chars used)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("doc_id"), s"column pruning must drop doc_id: $readSchema")
+    }
+  }
+
+  test("q66: the per-doc top-3 is rank-limited BEFORE the doc_id exchange") {
+    val p = plan("q66_tfidf_topk")
+    withClue(p) {
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        "rk <= 3 must push a partial per-partition top-k below the shuffle " +
+          "(each map task ships at most 3 rows per doc, not the whole tf frame)")
+    }
+  }
 }
