@@ -480,7 +480,19 @@ object Battery {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("w"), col("tf"), col("df"), col("score"),
           col("rk").cast("int").as("rk"))
-    })
+    }),
+    "q67_kmeans" -> ((s, d) =>
+      // distributed Lloyd k-means, all-integer (truncating centroid
+      // division matches DuckDB //): seed assignment + 1 unrolled
+      // update+reassign round; centroids broadcast, corpus never shuffles
+      graft.functions.AnnOps.kmeansAssign(t(s, d, "embeddings"),
+        "vec_id", "embedding", KmeansStride, 1)),
+    "q68_semdedup" -> ((s, d) =>
+      // SemDeDup: within-kmeans-cluster quantized-cosine pairs (q23's
+      // decision arithmetic at 0.42), drop the higher id of every pair
+      // over the threshold; quadratic only in cluster size (K ∝ corpus)
+      graft.functions.AnnOps.semDedup(t(s, d, "embeddings"),
+        "vec_id", "embedding", KmeansStride, 1, 42, 100))
   )
 
   /** Deterministic synthetic statement table for the KG-core queries q24/q25:
@@ -546,6 +558,8 @@ object Battery {
   val IvfSeedStride = 40
   val IvfProbe = 2
   val IvfCap = 64
+  /** 10 k-means centroids over the 500-vector battery table */
+  val KmeansStride = 50
 
   /** k=8 MinHash parameter pairs (a, b) — shared literally with the oracle. */
   val MinhashParams: Seq[(Long, Long)] = Seq(
@@ -1020,6 +1034,46 @@ object Battery {
        SELECT doc_id, w, tf, df, score, CAST(rk AS INT) AS rk FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk
          FROM sc)
-       WHERE rk <= 3"""
+       WHERE rk <= 3""",
+    "q67_kmeans" ->
+      s"""WITH $kmeansCtes
+       SELECT vid, cid FROM a1""",
+    "q68_semdedup" ->
+      s"""WITH $kmeansCtes,
+       norms AS (SELECT vid, CAST(FLOOR(SQRT(CAST(SUM(ei*ei) AS DOUBLE))) AS BIGINT) AS nrm
+                 FROM el GROUP BY 1),
+       pr AS (SELECT x.vid AS a, y.vid AS b FROM a1 x JOIN a1 y
+                ON x.cid = y.cid AND x.vid < y.vid),
+       dots AS (SELECT a, b, CAST(SUM(x.ei * y.ei) AS BIGINT) AS dot
+                FROM pr JOIN el x ON pr.a = x.vid
+                        JOIN el y ON pr.b = y.vid AND x.pos = y.pos
+                GROUP BY 1, 2),
+       drops AS (SELECT DISTINCT b FROM dots
+                 JOIN norms na ON dots.a = na.vid JOIN norms nb ON dots.b = nb.vid
+                 WHERE dot * 100 >= na.nrm * nb.nrm * 42)
+       SELECT vid, cid FROM a1 WHERE vid NOT IN (SELECT b FROM drops)"""
   )
+
+  /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors
+    * [[graft.functions.AnnOps.kmeansAssign]]'s arithmetic: FLOOR(e*1000)
+    * quantization, truncating `//` centroid division (= Spark `div`),
+    * (d2 ASC, cid ASC) deterministic argmin; shared by q67 and q68 */
+  private lazy val kmeansCtes: String =
+    s"""el AS (SELECT vec_id AS vid, pos, CAST(FLOOR(e*1000) AS BIGINT) AS ei FROM (
+                SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings)),
+       seeds AS (SELECT vid AS cid, pos, ei AS ce FROM el WHERE vid % $KmeansStride = 0),
+       dd0 AS (SELECT e.vid, s.cid, SUM((e.ei - s.ce) * (e.ei - s.ce)) AS d2
+               FROM el e JOIN seeds s ON e.pos = s.pos GROUP BY 1, 2),
+       a0 AS (SELECT vid, cid FROM (
+                SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
+                FROM dd0) WHERE rk = 1),
+       c1 AS (SELECT a0.cid, el.pos, SUM(el.ei) // COUNT(*) AS ce
+              FROM a0 JOIN el ON a0.vid = el.vid GROUP BY 1, 2),
+       dd1 AS (SELECT e.vid, c.cid, SUM((e.ei - c.ce) * (e.ei - c.ce)) AS d2
+               FROM el e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2),
+       a1 AS (SELECT vid, cid FROM (
+                SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS rk
+                FROM dd1) WHERE rk = 1)"""
 }

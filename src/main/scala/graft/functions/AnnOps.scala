@@ -274,6 +274,73 @@ object AnnOps {
     dots.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** distributed k-means assignment (Lloyd), all-integer: stride-seeded
+    * centroids, L2 over 1e3-quantized elements (the [[quantized]] rule,
+    * kept per-row as a long array), centroid update by TRUNCATING integer
+    * division — `div` here, `//` in DuckDB, both round toward zero, so a
+    * negative-sum dimension means the same centroid in both engines.
+    *
+    * Scale posture: the K centroids broadcast every round (k-means'
+    * defining trait — the corpus is never shuffled for assignment; each
+    * row scores all K in one zip_with pass), and the update is one
+    * (cid, pos)-keyed map-side-combinable aggregate whose output is
+    * K·dims rows. `iters` full update+reassign rounds follow the seed
+    * assignment; the battery unrolls 1 (oracle-able as two CTE layers) —
+    * a convergence loop at corpus scale would cut lineage per round with
+    * [[graft.sql.GraftBridge.statsFreshCopy]] exactly as GraphOps does. */
+  def kmeansAssign(df: DataFrame, id: String, emb: String,
+                   seedStride: Int, iters: Int): DataFrame = {
+    val e = df.filter(size(col(emb)) > 0).select(col(id).as("vid"),
+      expr(s"transform($emb, x -> CAST(FLOOR(x * 1000) AS BIGINT))").as("q"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d2 = expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      // NULLS LAST for the same reason as ivfAssign: DuckDB's default
+      val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc_nulls_last, col("cid").asc)
+      e.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cid"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vid"), col("cid"))
+    }
+    val seeds = e.filter(col("vid") % seedStride === 0)
+      .select(col("vid").as("cid"), col("q").as("c"))
+    var asg = assign(seeds)
+    for (_ <- 0 until iters) {
+      val cents = asg.join(e, "vid")
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "ei")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("ei")).as("sm"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"), expr("sm div cnt").as("ce"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, ce))), s -> s.ce)").as("c"))
+      asg = assign(cents)
+    }
+    asg
+  }
+
+  /** SemDeDup semantic dedup: k-means cluster the corpus, score only
+    * WITHIN-cluster pairs with the exact quantized-cosine decision rule
+    * (`dot * thrDen >= |a| * |b| * thrNum`, the q23 arithmetic), and drop
+    * the higher id of every pair above the threshold. Returns survivors
+    * as (vid, cid). The pairwise stage is quadratic only in the CLUSTER
+    * size — bounded by choosing K ∝ corpus size, the SemDeDup contract —
+    * and scoring is the narrow [[QuantDot]]/[[QuantNorm]] pass over two
+    * id-keyed array fetches, same as q23. */
+  def semDedup(df: DataFrame, id: String, emb: String, seedStride: Int,
+               iters: Int, thrNum: Int, thrDen: Int): DataFrame = {
+    val asg = kmeansAssign(df, id, emb, seedStride, iters)
+    val withNorm = df.filter(size(col(emb)) > 0)
+      .select(col(id).as("vid"), col(emb).as("_e"), QuantNorm(col(emb)).as("nrm"))
+    val pairs = asg.as("x").join(asg.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b"))
+    val drops = pairs
+      .join(withNorm.select(col("vid").as("a"), col("_e").as("_ea"), col("nrm").as("na")), "a")
+      .join(withNorm.select(col("vid").as("b"), col("_e").as("_eb"), col("nrm").as("nb")), "b")
+      .filter(QuantDot(col("_ea"), col("_eb")) * thrDen >= col("na") * col("nb") * thrNum)
+      .select(col("b").as("vid")).distinct()
+    asg.join(drops, Seq("vid"), "left_anti")
+  }
+
   /** true float cosine similarity between two embedding columns (per-row;
     * zip_with + aggregate keep the summation order deterministic per row) */
   def cosine(a: Column, b: Column): Column = {

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.AnnOps
+
+/** Hand-computed pins for the k-means (Lloyd) assignment and SemDeDup
+  * (q67/q68): the update round must MOVE a centroid enough to flip a
+  * point's assignment, and the semantic-dedup rule must drop exactly the
+  * higher id of every over-threshold pair. The truncating-division parity
+  * with DuckDB `//` (negative centroid sums) is pinned by the driver
+  * oracle — the synthetic embeddings are negative in half their dims. */
+class KmeansSpec extends SparkTestBase {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("one Lloyd round flips the point the moved centroid abandons") {
+    // 1-D over EXACT binary fractions (floor(e*1000) of an inexact float
+    // lands one integer low — 0.03f quantizes to 29). Quantized: id0=0
+    // (seed c0), id5=500 (seed c5), id1=375, id2=id3=1500. Seed assignment:
+    // 375 -> c5 (15625 < 140625). Update: c0 stays 0, c5 = (375+1500+1500+
+    // 500) div 4 = 968. Reassign: 375 -> c0 (140625 < 351649) — FLIP.
+    val df = emb(0L -> Seq(0.0f), 1L -> Seq(0.375f), 2L -> Seq(1.5f),
+      3L -> Seq(1.5f), 5L -> Seq(0.5f))
+    val seed = AnnOps.kmeansAssign(df, "vec_id", "embedding", 5, 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seed == Map(0L -> 0L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 5L -> 5L))
+    val after = AnnOps.kmeansAssign(df, "vec_id", "embedding", 5, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(0L -> 0L, 1L -> 0L, 2L -> 5L, 3L -> 5L, 5L -> 5L))
+  }
+
+  test("semDedup drops the higher id of each over-threshold pair, keeps anti-aligned") {
+    // one cluster (single seed): ids 0,1,2 colinear (cos = 1 -> ids 1,2
+    // drop against id 0); id 3 anti-aligned (cos = -1 -> survives)
+    val df = emb(0L -> Seq(0.5f), 1L -> Seq(0.3f), 2L -> Seq(0.2f), 3L -> Seq(-0.4f))
+    val surv = AnnOps.semDedup(df, "vec_id", "embedding", 100, 1, 42, 100)
+      .collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq == Seq(0L, 3L))
+  }
+
+  test("empty-embedding rows never reach assignment") {
+    val df = emb(0L -> Seq(0.5f), 1L -> Seq.empty[Float])
+    val asg = AnnOps.kmeansAssign(df, "vec_id", "embedding", 100, 1).collect()
+    assert(asg.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+}
