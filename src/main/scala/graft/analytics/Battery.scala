@@ -492,7 +492,25 @@ object Battery {
       // decision arithmetic at 0.42), drop the higher id of every pair
       // over the threshold; quadratic only in cluster size (K ∝ corpus)
       graft.functions.AnnOps.semDedup(t(s, d, "embeddings"),
-        "vec_id", "embedding", KmeansStride, 1, 42, 100))
+        "vec_id", "embedding", KmeansStride, 1, 42, 100)),
+    "q69_dedup_edit" -> ((s, d) => {
+      // two-stage fuzzy dedup: MinHash-LSH candidates (the q13 generator)
+      // VERIFIED by exact edit distance — the standard candidate->verify
+      // shape. The length-diff pre-filter is free rejection (levenshtein
+      // >= |la - lb|, so a pair failing the bound on lengths alone never
+      // pays the O(la*lb) DP); the DP runs only on surviving candidates
+      // (bounded by the LSH banding) as a per-row codegen'd expression.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), length(col("text")).as("ln"))
+      minhashPairs(s, d)
+        .join(docs.select(col("doc_id").as("a"), col("text").as("ta"), col("ln").as("la")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("text").as("tb"), col("ln").as("lb")), "b")
+        .filter(abs(col("la") - col("lb")) * 5 <= greatest(col("la"), col("lb")))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") * 5 <= greatest(col("la"), col("lb")))
+        .select(col("a"), col("b"), col("dist"),
+          greatest(col("la"), col("lb")).cast("long").as("mx"))
+    })
   )
 
   /** Deterministic synthetic statement table for the KG-core queries q24/q25:
@@ -1051,7 +1069,15 @@ object Battery {
        drops AS (SELECT DISTINCT b FROM dots
                  JOIN norms na ON dots.a = na.vid JOIN norms nb ON dots.b = nb.vid
                  WHERE dot * 100 >= na.nrm * nb.nrm * 42)
-       SELECT vid, cid FROM a1 WHERE vid NOT IN (SELECT b FROM drops)"""
+       SELECT vid, cid FROM a1 WHERE vid NOT IN (SELECT b FROM drops)""",
+    "q69_dedup_edit" ->
+      s"""WITH $minhashPairsCtes
+       SELECT p.a, p.b, CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+              CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS mx
+       FROM pairs p JOIN documents da ON p.a = da.doc_id
+                    JOIN documents db ON p.b = db.doc_id
+       WHERE abs(len(da.text) - len(db.text)) * 5 <= greatest(len(da.text), len(db.text))
+         AND levenshtein(da.text, db.text) * 5 <= greatest(len(da.text), len(db.text))"""
   )
 
   /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors

@@ -285,13 +285,18 @@ object AnnOps {
     * row scores all K in one zip_with pass), and the update is one
     * (cid, pos)-keyed map-side-combinable aggregate whose output is
     * K·dims rows. `iters` full update+reassign rounds follow the seed
-    * assignment; the battery unrolls 1 (oracle-able as two CTE layers) —
-    * a convergence loop at corpus scale would cut lineage per round with
-    * [[graft.sql.GraftBridge.statsFreshCopy]] exactly as GraphOps does. */
+    * assignment; the battery unrolls 1 (oracle-able as two CTE layers).
+    * Each round's assignment is MATERIALIZED stats-fresh (the GraphOps
+    * cut: localCheckpoint + re-rooted leaf, prior round's blocks freed) —
+    * it is consumed twice per round (update + next assign) and again by
+    * every downstream reuse, so leaving it lazy recomputes the whole
+    * chain per consumer, exponentially in `iters`; the quantized input
+    * is persisted for the loop's lifetime and released before return. */
   def kmeansAssign(df: DataFrame, id: String, emb: String,
                    seedStride: Int, iters: Int): DataFrame = {
     val e = df.filter(size(col(emb)) > 0).select(col(id).as("vid"),
       expr(s"transform($emb, x -> CAST(FLOOR(x * 1000) AS BIGINT))").as("q"))
+      .persist()
     def assign(cents: DataFrame): DataFrame = {
       val d2 = expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
       // NULLS LAST for the same reason as ivfAssign: DuckDB's default
@@ -301,9 +306,14 @@ object AnnOps {
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("vid"), col("cid"))
     }
+    def cut(d: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val ck = d.localCheckpoint(true)
+      (org.apache.spark.sql.GraftBridge.statsFreshCopy(ck),
+        org.apache.spark.sql.GraftBridge.checkpointedRdd(ck))
+    }
     val seeds = e.filter(col("vid") % seedStride === 0)
       .select(col("vid").as("cid"), col("q").as("c"))
-    var asg = assign(seeds)
+    var (asg, asgRdd) = cut(assign(seeds))
     for (_ <- 0 until iters) {
       val cents = asg.join(e, "vid")
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "ei")))
@@ -312,8 +322,12 @@ object AnnOps {
         .select(col("cid"), col("pos"), expr("sm div cnt").as("ce"))
         .groupBy(col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, ce))), s -> s.ce)").as("c"))
-      asg = assign(cents)
+      val (next, nextRdd) = cut(assign(cents))
+      asgRdd.foreach(_.unpersist(false)) // round k-1 no longer referenced
+      asg = next
+      asgRdd = nextRdd
     }
+    e.unpersist()
     asg
   }
 
