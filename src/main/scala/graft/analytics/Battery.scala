@@ -510,6 +510,105 @@ object Battery {
         .filter(col("dist") * 5 <= greatest(col("la"), col("lb")))
         .select(col("a"), col("b"), col("dist"),
           greatest(col("la"), col("lb")).cast("long").as("mx"))
+    }),
+    "q70_pii_redact" -> ((s, d) => {
+      // PII scrub (the privacy pass every released corpus runs): count and
+      // redact emails / IPv4s / phone numbers. The corpus text is synthetic
+      // words, so deterministic PII is appended per doc (same expression in
+      // the oracle); detection is pure per-row regex — a narrow map stage
+      // with NO shuffle, which is exactly the 100-TB shape (the scrub
+      // streams through the scan). Patterns avoid alternation so Java
+      // (leftmost-first) and RE2 (leftmost-longest) agree; the redacted
+      // text is hashed to keep the report narrow.
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or "),
+        lit("10."), (col("doc_id") % 200).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"), lit(".7 tel +1-555-"),
+        ((col("doc_id") % 9000) + 1000).cast("string")).as("text"))
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipv4 = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\+1-555-\d{4}"""
+      aug.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_email"),
+        regexp_count(col("text"), lit(ipv4)).as("n_ip"),
+        regexp_count(col("text"), lit(phone)).as("n_phone"),
+        h32(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>")).as("red_h"))
+    }),
+    "q71_paragraph_dedup" -> ((s, d) => {
+      // paragraph-level exact dedup (the C4 three-sentence rule): documents
+      // split into fixed 10-token chunks (the corpus has no newlines; the
+      // chunker is shared literally with the oracle), every chunk deduped
+      // ACROSS the corpus keeping the first (doc_id, idx) occurrence. One
+      // chunk-keyed hash aggregate — map-side combinable, the corpus text
+      // never sorts; first-occurrence is min over a packed (doc_id, idx)
+      // long so the tiebreak is a plain integer min in both engines.
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 10)
+      val chunks = tk.select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, size(tk) div 10 - 1), " +
+          "i -> array_join(slice(tk, i*10+1, 10), ' '))")))
+        .toDF("doc_id", "idx", "chunk")
+      chunks
+        .groupBy(col("chunk"))
+        .agg(min(col("doc_id") * 1000000 + col("idx")).as("fk"),
+          count(lit(1)).as("n_copies"))
+        .select(expr("fk div 1000000").as("doc_id"),
+          (col("fk") % 1000000).as("idx"),
+          h32(col("chunk")).as("chunk_h"), col("n_copies"))
+    }),
+    "q72_unigram_quality" -> ((s, d) => {
+      // unigram-LM quality proxy (the CCNet/Gopher "perplexity" gate made
+      // integer-exact): corpus unigram counts give each token a surprise of
+      // (T * 1000) div cf; a document's score is the mean token surprise.
+      // Low score = boilerplate of corpus-common tokens, high = rare-token
+      // noise. Two map-side-combinable aggregates: tf keyed by (doc, w),
+      // cf via a w-keyed window over the (already tiny vs the corpus) tf
+      // frame — the q66 vocabulary shape, no corpus-wide broadcast.
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val withCf = tf.withColumn("cf", sum(col("tf")).over(Window.partitionBy(col("w"))))
+      val tot = tf.agg(sum(col("tf")).as("t"))
+      withCf.crossJoin(broadcast(tot))
+        .withColumn("surprise", expr("(t * 1000) div cf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("ntok"),
+          sum(col("tf") * col("surprise")).as("bits"))
+        .select(col("doc_id"), col("ntok"),
+          expr("bits div ntok").as("q_score"))
+    }),
+    "q73_url_domains" -> ((s, d) => {
+      // URL/domain analysis (source-mix audits + domain blocklists): URLs
+      // extracted from text with regexp_extract_all, exploded, hosts parsed
+      // and rolled into a per-host report with a TLD blocklist flag. The
+      // corpus text carries no URLs, so two deterministic ones are appended
+      // per doc (shared with the oracle). Extraction is a narrow map; the
+      // report is one small-keyed hash aggregate (|hosts| << corpus).
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"), lit(" see https://"),
+        expr("CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' " +
+          "WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'eps' END"),
+        lit(".example."),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit(" and https://mirror.example.org/c/"),
+        (col("doc_id") % 16).cast("string")).as("text"))
+      val urlPat = """https://[A-Za-z0-9.-]+/[A-Za-z0-9/._-]*"""
+      val urls = aug.select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$urlPat', 0)")).as("url"))
+      val hosts = urls.select(col("doc_id"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+        .withColumn("tld", element_at(split(col("host"), "\\."), -1))
+      hosts.groupBy(col("host"), col("tld"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"))
+        .withColumn("blocked", col("tld") === "net")
     })
   )
 
@@ -1077,7 +1176,65 @@ object Battery {
        FROM pairs p JOIN documents da ON p.a = da.doc_id
                     JOIN documents db ON p.b = db.doc_id
        WHERE abs(len(da.text) - len(db.text)) * 5 <= greatest(len(da.text), len(db.text))
-         AND levenshtein(da.text, db.text) * 5 <= greatest(len(da.text), len(db.text))"""
+         AND levenshtein(da.text, db.text) * 5 <= greatest(len(da.text), len(db.text))""",
+    "q70_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or '
+                   || '10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                   || CAST(doc_id % 250 AS VARCHAR) || '.7 tel +1-555-'
+                   || CAST((doc_id % 9000) + 1000 AS VARCHAR) AS text
+            FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+         CAST(len(regexp_extract_all(text, '\+1-555-\d{4}')) AS INT) AS n_phone,
+         ('0x' || substr(md5(
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '\+1-555-\d{4}', '<PHONE>', 'g')), 1, 8))::BIGINT AS red_h
+       FROM aug""",
+    "q71_paragraph_dedup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+       ch AS (SELECT doc_id, unnest(generate_series(0, len(ws) // 10 - 1)) AS idx, ws
+              FROM tk WHERE len(ws) >= 10),
+       c2 AS (SELECT doc_id, idx, array_to_string(ws[idx*10+1 : idx*10+10], ' ') AS chunk
+              FROM ch)
+       SELECT fk // 1000000 AS doc_id, fk % 1000000 AS idx,
+              ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS chunk_h, n_copies
+       FROM (SELECT chunk, MIN(doc_id * 1000000 + idx) AS fk,
+                    CAST(count(*) AS BIGINT) AS n_copies
+             FROM c2 GROUP BY 1)""",
+    "q72_unigram_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+               FROM documents),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       wc AS (SELECT doc_id, w, tf, SUM(tf) OVER (PARTITION BY w) AS cf FROM tf),
+       n AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+       sc AS (SELECT doc_id, tf, (n.t * 1000) // cf AS surprise FROM wc CROSS JOIN n)
+       SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS ntok,
+              CAST(SUM(tf * surprise) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS q_score
+       FROM sc GROUP BY 1""",
+    "q73_url_domains" ->
+      """WITH aug AS (SELECT doc_id,
+              text || ' see https://'
+                   || CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                           WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'eps' END
+                   || '.example.'
+                   || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+                   || '/p/' || CAST(doc_id AS VARCHAR)
+                   || ' and https://mirror.example.org/c/' || CAST(doc_id % 16 AS VARCHAR) AS text
+            FROM documents),
+       u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                    'https://[A-Za-z0-9.-]+/[A-Za-z0-9/._-]*')) AS url
+             FROM aug),
+       h AS (SELECT doc_id, regexp_extract(url, '^https://([^/]+)/', 1) AS host FROM u),
+       h2 AS (SELECT doc_id, host, string_split(host, '.')[-1] AS tld FROM h)
+       SELECT host, tld, CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              MIN(doc_id) AS min_doc, tld = 'net' AS blocked
+       FROM h2 GROUP BY 1, 2"""
   )
 
   /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors

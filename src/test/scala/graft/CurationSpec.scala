@@ -88,4 +88,68 @@ class CurationSpec extends SparkTestBase {
       ("rare", 1L, 1L, 4000L, 1),
       ("the", 3L, 4L, 3000L, 2)))
   }
+
+  test("q70: organic + appended PII both counted; boundary non-matches stay") {
+    // doc 7 appends user7@mail.example.com / 10.7.7.7 / +1-555-1007.
+    // Organic text adds one more of each class, plus two MUST-NOT-match
+    // decoys: "1234.5.6.7" (first octet 4 digits — \b kills every start)
+    // and "a@b" (no dot-TLD after the host).
+    val d = docsDir(Seq(
+      (7L, "ping 1.2.3.4 write bob@x.co or 1234.5.6.7 maybe a@b", "en", "s", 51L)))
+    val got = run("q70_pii_redact", d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((7L, 2, 2, 1)))
+  }
+
+  test("q70: redaction hash equals the hash of the hand-redacted text") {
+    val s = spark
+    import s.implicits._
+    val d = docsDir(Seq((7L, "mail bob@x.co ip 1.2.3.4", "en", "s", 24L)))
+    val gotH = run("q70_pii_redact", d).collect()(0).getLong(4)
+    val expText = "mail <EMAIL> ip <IP> contact <EMAIL> or <IP> tel <PHONE>"
+    val expH = Seq(expText).toDF("t")
+      .select(graft.functions.TextOps.h32(org.apache.spark.sql.functions.col("t")))
+      .collect()(0).getLong(0)
+    assert(gotH == expH)
+  }
+
+  test("q71: cross-doc chunk dedup keeps first (doc_id, idx); partial chunks drop") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val ten2 = (11 to 20).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, ten, "en", "s", 10L),                       // chunk0 = canonical
+      (2L, ten, "en", "s", 10L),                       // exact dup of doc 1
+      (3L, s"$ten $ten2 tail tail tail", "en", "s", 10L), // chunk0 dup + fresh chunk1; 3 leftovers drop
+      (4L, "a b c d e f g h i", "en", "s", 9L)))       // 9 tokens: below width
+    val got = run("q71_paragraph_dedup", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq((1L, 0L, 3L), (3L, 1L, 1L)))
+  }
+
+  test("q72: integer surprise arithmetic on a hand-computed corpus") {
+    // corpus: doc1 "a a b", doc2 "a c". T=5; cf a=3,b=1,c=1.
+    // surprise a = 5000 div 3 = 1666, b = c = 5000.
+    // doc1: ntok 3, bits 2*1666+5000 = 8332, score 8332 div 3 = 2777
+    // doc2: ntok 2, bits 1666+5000 = 6666, score 3333
+    val d = docsDir(Seq(
+      (1L, "a a b", "en", "s", 5L),
+      (2L, "a c", "en", "s", 3L)))
+    val got = run("q72_unigram_quality", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 2777L), (2L, 2L, 3333L)))
+  }
+
+  test("q73: organic + appended URLs roll into per-host rows; .net blocked") {
+    // doc 7: 7%5=2 -> gamma, 7%3=1 -> org; appended mirror.example.org;
+    // organic evil.example.net must flag blocked.
+    val d = docsDir(Seq(
+      (7L, "go https://evil.example.net/x now", "en", "s", 33L)))
+    val got = run("q73_url_domains", d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("evil.example.net", "net", 1L, 1L, 7L, true),
+      ("gamma.example.org", "org", 1L, 1L, 7L, false),
+      ("mirror.example.org", "org", 1L, 1L, 7L, false)))
+  }
 }
