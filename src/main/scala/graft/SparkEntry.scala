@@ -309,7 +309,17 @@ object SparkEntry {
       "q62_sparql_cast" -> ((s, _) => graft.analytics.Sparql.query(goldenTriples(s),
         """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
            SELECT ?s ?o (xsd:double(?o) AS ?num) (xsd:integer(?o) AS ?i)
-           WHERE { ?s ?p ?o FILTER (xsd:double(?o) > 1) }"""))
+           WHERE { ?s ?p ?o FILTER (xsd:double(?o) > 1) }""")),
+      // W3C SPARQL 1.1 Results serializers over the WHOLE golden store —
+      // term-retaining SELECT, then the TSV (full term syntax) / JSON-lines
+      // (typed binding objects) renderers; both are pure codegen'd string
+      // expressions, so the driver hash pins every escape and suffix rule
+      "q74_sparql_tsv" -> ((s, _) => graft.analytics.SparqlResults.tsv(
+        graft.analytics.Sparql.selectTerms(goldenTriples(s),
+          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
+      "q75_sparql_json" -> ((s, _) => graft.analytics.SparqlResults.jsonLines(
+        graft.analytics.Sparql.selectTerms(goldenTriples(s),
+          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }")))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -545,5 +555,46 @@ object SparkEntry {
               TRY_CAST(obj AS DOUBLE) AS num,
               CASE WHEN regexp_matches(obj, '^[+-]?[0-9]+$$')
                    THEN CAST(obj AS BIGINT) END AS i
-       FROM trip WHERE TRY_CAST(obj AS DOUBLE) > 1""")
+       FROM trip WHERE TRY_CAST(obj AS DOUBLE) > 1""",
+    // serializer mirrors: the same escape chains and term-syntax rules as
+    // SparqlResults (tsvEscape/jsonEscape orders match literally); golden
+    // IRIs/doc-ids carry no escapable characters, so their chains are
+    // identity and only the literal object column is escaped
+    "q74_sparql_tsv" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       e AS (SELECT doc_id, subj, pred, obj, obj_kind, obj_datatype,
+               replace(replace(replace(replace(replace(obj,
+                 '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+                 chr(9), '\\t') AS eo
+             FROM trip)
+       SELECT CAST(0 AS BIGINT) AS ord,
+              '?graph' || chr(9) || '?s' || chr(9) || '?p' || chr(9) || '?v' AS line
+       UNION ALL
+       SELECT CAST(1 AS BIGINT),
+              '"' || doc_id || '"' || chr(9) || '<' || subj || '>' || chr(9) ||
+              '<' || pred || '>' || chr(9) ||
+              CASE WHEN obj_kind = 'iri' THEN '<' || obj || '>'
+                   WHEN obj_datatype <> ''
+                        AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+                     THEN '"' || eo || '"^^<' || obj_datatype || '>'
+                   ELSE '"' || eo || '"' END
+       FROM e""",
+    "q75_sparql_json" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       e AS (SELECT doc_id, subj, pred, obj, obj_kind, obj_datatype,
+               replace(replace(replace(replace(replace(replace(obj,
+                 '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+                 chr(9), '\\t'), chr(8), '\\b') AS ej
+             FROM trip)
+       SELECT '{"graph":{"type":"literal","value":"' || doc_id ||
+              '"},"s":{"type":"uri","value":"' || subj ||
+              '"},"p":{"type":"uri","value":"' || pred || '"},"v":' ||
+              CASE WHEN obj_kind = 'iri'
+                     THEN '{"type":"uri","value":"' || ej || '"}'
+                   WHEN obj_datatype <> ''
+                        AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+                     THEN '{"type":"literal","value":"' || ej ||
+                          '","datatype":"' || obj_datatype || '"}'
+                   ELSE '{"type":"literal","value":"' || ej || '"}' END || '}' AS line
+       FROM e""")
 }

@@ -226,7 +226,8 @@ object KgQuery {
       // excluded from all join keys). A path pattern rebinds subj/obj from
       // the edge table, which has no kind columns — no companions there.
       val isPath = pat._2.isInstanceOf[P]
-      val metaSel = bind.filter { case (_, n) => termMeta(n) }.flatMap {
+      // "*" in termMeta = every bound variable (SELECT * under retainMeta)
+      val metaSel = bind.filter { case (_, n) => termMeta(n) || termMeta("*") }.flatMap {
         case ("obj", n) if !isPath && base.columns.contains("obj_kind") =>
           col("obj_kind").as(metaCol(n, "kind")) +:
             Seq("datatype", "lang").collect {

@@ -1155,7 +1155,7 @@ object Sparql {
 
   private final class Compiler(triples: DataFrame, graphCol: String,
       from: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
-      metaVars: Set[String] = Set.empty) {
+      metaVars: Set[String] = Set.empty, retainMeta: Boolean = false) {
     private val spark = triples.sparkSession
     /** per-call-site salt for argless BNODE() — each occurrence mints its own
       * node within a solution (compiled once per occurrence). */
@@ -1849,7 +1849,7 @@ object Sparql {
           // DISTINCT the key must survive projection (which row's key would
           // order a collapsed group is undefined), so there the keys
           // compile against the projected solution as before.
-          val wide =
+          var wide =
             if (star) df
             else projs.foldLeft(df) {
               case (d, Projection(alias, PVar(n))) =>
@@ -1867,13 +1867,29 @@ object Sparql {
               case (_, Projection(_, _: PAgg)) =>
                 throw new IllegalStateException("unreachable")
             }
-          // term-metadata companions are internal — never user-visible; and
+          // term-metadata companions are internal — never user-visible
+          // (except under retainMeta, the serializers' entry: each projected
+          // plain variable keeps its `alias#kind/#datatype/#lang` companions
+          // so CSV/TSV/JSON results can render true RDF term syntax); and
           // blank-node pattern variables are existential (SPARQL §16.2:
           // SELECT * projects named variables only)
-          val visible =
+          if (retainMeta && !star) projs.foreach {
+            case Projection(alias, PVar(n)) if alias != n =>
+              Seq("kind", "datatype", "lang").foreach { f =>
+                if (wide.columns.contains(KgQuery.metaCol(n, f)))
+                  wide = wide.withColumn(KgQuery.metaCol(alias, f),
+                    col(KgQuery.metaCol(n, f)))
+              }
+            case _ => ()
+          }
+          val visible0 =
             if (star) df.columns
               .filterNot(KgQuery.isMetaCol).filterNot(_.startsWith("_:")).toSeq
             else GraphCol +: projs.map(_.alias)
+          val visible =
+            if (!retainMeta) visible0
+            else visible0 ++ visible0.flatMap(n => Seq("kind", "datatype", "lang")
+              .map(KgQuery.metaCol(n, _)).filter(wide.columns.contains))
           if (distinct) {
             df = wide.select(visible.map(col): _*).distinct()
             if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, df): _*)
@@ -2015,6 +2031,28 @@ object Sparql {
       case QAsk(_) => throw new IllegalArgumentException("use Sparql.ask for ASK queries")
       case q => new Compiler(triples, graphCol, p.fromGraphs, p.fromNamed,
         queryMeta(q)).compile(q)
+    }
+  }
+
+  /** Parse and plan a SPARQL SELECT retaining RDF-term metadata: each
+    * projected plain variable `?v` keeps `v#kind` / `v#datatype` / `v#lang`
+    * companion columns where the store can derive them (object positions
+    * need `obj_kind`-family columns; subjects/predicates derive kind
+    * structurally; expression and aggregate projections carry none and
+    * serialize as plain literals). This is the result-serializer entry —
+    * [[SparqlResults]] renders these frames as W3C SPARQL 1.1 Results
+    * CSV/TSV/JSON. Note DISTINCT under this entry deduplicates over TERMS
+    * (value + kind/datatype/lang), not the engine's usual lexical form. */
+  def selectTerms(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame = {
+    val p = new Parser(text)
+    p.query() match {
+      case q: QSelect =>
+        val projVars: Set[String] =
+          if (q.star) Set("*")
+          else q.projs.collect { case Projection(_, PVar(n)) => n }.toSet
+        new Compiler(triples, graphCol, p.fromGraphs, p.fromNamed,
+          queryMeta(q) ++ projVars, retainMeta = true).compile(q)
+      case _ => throw new IllegalArgumentException("selectTerms requires a SELECT query")
     }
   }
 

@@ -1,0 +1,144 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** W3C SPARQL 1.1 Query Results serializers — CSV/TSV
+  * (https://www.w3.org/TR/sparql11-results-csv-tsv/) and JSON
+  * (https://www.w3.org/TR/sparql11-results-json/) — over the term-retaining
+  * frames [[Sparql.selectTerms]] produces. The reference stack (Jena
+  * ResultSetFormatter, IFCtoRDF's query-side companion) serializes result
+  * sets on the driver; here every row renders through pure Column
+  * expressions (concat / regexp_replace chains — whole-stage codegen'd), so
+  * serialization is a narrow map stage that scales with the result set and
+  * never collects. Only [[jsonDocument]] assembles a single in-memory
+  * document, and it fail-fasts over an explicit row cap — the distributed
+  * exports are the line forms.
+  *
+  * Term-kind fidelity: a column with a `name#kind` companion renders true
+  * RDF term syntax (IRIs in `<>`, bnodes bare `_:`, literals quoted with
+  * `@lang` / `^^<datatype>` suffixes in TSV, typed objects in JSON). A
+  * column without companions (expression/aggregate projections, the graph
+  * column) renders as a plain literal — all the engine's lexical data model
+  * can claim for it. xsd:string datatypes are omitted per RDF 1.1 (they ARE
+  * the plain literal type), matching the N-Triples sink's canonical rule.
+  */
+object SparqlResults {
+
+  private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+
+  /** the result variables of a bindings frame: every non-companion column */
+  def vars(df: DataFrame): Seq[String] = df.columns.filterNot(KgQuery.isMetaCol).toSeq
+
+  private def kindOf(df: DataFrame, n: String): Column =
+    if (df.columns.contains(KgQuery.metaCol(n, "kind"))) col(KgQuery.metaCol(n, "kind"))
+    else lit("literal")
+  private def dtOf(df: DataFrame, n: String): Column =
+    if (df.columns.contains(KgQuery.metaCol(n, "datatype"))) col(KgQuery.metaCol(n, "datatype"))
+    else lit("")
+  private def langOf(df: DataFrame, n: String): Column =
+    if (df.columns.contains(KgQuery.metaCol(n, "lang"))) col(KgQuery.metaCol(n, "lang"))
+    else lit("")
+
+  // ------------------------------------------------------------------ CSV
+
+  /** RFC 4180 field: quote iff the value contains comma/quote/CR/LF, with
+    * inner quotes doubled. Per the CSV results spec, terms render in plain
+    * lexical form — IRIs bare, literals untagged, bnodes keep `_:` (which
+    * the store's value columns already carry). Unbound → empty field. */
+  private def csvField(c: Column): Column = {
+    val v = coalesce(c, lit(""))
+    when(v.rlike("[,\"\r\n]"),
+      concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\""))).otherwise(v)
+  }
+
+  /** one `(ord, line)` row per solution (ord 1) plus the header (ord 0);
+    * `df.orderBy` survives into the line frame if the caller sorted */
+  def csv(df: DataFrame): DataFrame = {
+    val vs = vars(df)
+    val header = df.sparkSession.range(1)
+      .select(lit(0L).as("ord"), lit(vs.mkString(",")).as("line"))
+    header.unionByName(df.select(lit(1L).as("ord"),
+      concat_ws(",", vs.map(n => csvField(col(n))): _*).as("line")))
+  }
+
+  // ------------------------------------------------------------------ TSV
+
+  /** TSV literal escapes (the spec reuses Turtle's): \ " \n \r \t */
+  private def tsvEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+
+  /** full SPARQL term syntax for one column (the TSV results rule) */
+  private def tsvTerm(df: DataFrame, n: String): Column = {
+    val v = col(n)
+    val dt = dtOf(df, n)
+    val lang = langOf(df, n)
+    when(v.isNull, lit(""))
+      .when(kindOf(df, n) === "iri", concat(lit("<"), v, lit(">")))
+      .when(kindOf(df, n) === "bnode", v)
+      .otherwise(concat(lit("\""), tsvEscape(v), lit("\""),
+        when(lang =!= "", concat(lit("@"), lang))
+          .when(dt =!= "" && dt =!= XsdString, concat(lit("^^<"), dt, lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  /** one `(ord, line)` row per solution plus the `?var` header (ord 0) */
+  def tsv(df: DataFrame): DataFrame = {
+    val vs = vars(df)
+    val header = df.sparkSession.range(1)
+      .select(lit(0L).as("ord"), lit(vs.map("?" + _).mkString("\t")).as("line"))
+    header.unionByName(df.select(lit(1L).as("ord"),
+      concat_ws("\t", vs.map(n => tsvTerm(df, n)): _*).as("line")))
+  }
+
+  // ----------------------------------------------------------------- JSON
+
+  /** JSON string escapes: \ " and the named control chars (the stores carry
+    * no other control characters — the tokenizer rejects them upstream) */
+  private def jsonEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t"), "[\b]", "\\\\b")
+
+  /** `"name":{"type":…,"value":…}` fragment, NULL when unbound (unbound
+    * variables are omitted from a JSON binding per the spec) */
+  private def jsonBinding(df: DataFrame, n: String): Column = {
+    val v = col(n)
+    val dt = dtOf(df, n)
+    val lang = langOf(df, n)
+    val tpe = when(kindOf(df, n) === "iri", lit("uri"))
+      .when(kindOf(df, n) === "bnode", lit("bnode"))
+      .otherwise(lit("literal"))
+    val suffix = when(tpe =!= "literal", lit(""))
+      .when(lang =!= "", concat(lit("\",\"xml:lang\":\""), lang))
+      .when(dt =!= "" && dt =!= XsdString, concat(lit("\",\"datatype\":\""), jsonEscape(dt)))
+      .otherwise(lit(""))
+    // bnode JSON values drop the `_:` prefix (the label alone is the value)
+    val value = when(tpe === "bnode", expr(s"substring(`$n`, 3)")).otherwise(v)
+    when(v.isNull, lit(null).cast("string"))
+      .otherwise(concat(lit("\"" + n + "\":{\"type\":\""), tpe,
+        lit("\",\"value\":\""), jsonEscape(value), suffix, lit("\"}")))
+  }
+
+  /** one solution per row: the `{…}` binding object of the JSON results
+    * format, emitted as JSON-lines (the distributed export shape) */
+  def jsonLines(df: DataFrame): DataFrame = {
+    val vs = vars(df)
+    df.select(concat(lit("{"),
+      concat_ws(",", vs.map(n => jsonBinding(df, n)): _*), lit("}")).as("line"))
+  }
+
+  /** the complete `{"head":…,"results":…}` document — DRIVER-SIDE assembly
+    * of a result set that must fit in memory; refuses result sets over
+    * `maxRows` with a named error instead of an opaque OOM (the same
+    * fail-fast contract as AnnOps.bruteForceTopK). */
+  def jsonDocument(df: DataFrame, maxRows: Int = 100000): String = {
+    val lines = jsonLines(df).limit(maxRows + 1).collect().map(_.getString(0))
+    require(lines.length <= maxRows,
+      s"jsonDocument: result set exceeds maxRows=$maxRows — " +
+        "use jsonLines for a distributed export")
+    val head = vars(df).map(v => "\"" + v + "\"").mkString(",")
+    s"""{"head":{"vars":[$head]},"results":{"bindings":[${lines.mkString(",")}]}}"""
+  }
+}
