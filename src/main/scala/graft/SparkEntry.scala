@@ -319,6 +319,12 @@ object SparkEntry {
           "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
       "q75_sparql_json" -> ((s, _) => graft.analytics.SparqlResults.jsonLines(
         graft.analytics.Sparql.selectTerms(goldenTriples(s),
+          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
+      "q76_sparql_csv" -> ((s, _) => graft.analytics.SparqlResults.csv(
+        graft.analytics.Sparql.selectTerms(goldenTriples(s),
+          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
+      "q77_sparql_xml" -> ((s, _) => graft.analytics.SparqlResults.xml(
+        graft.analytics.Sparql.selectTerms(goldenTriples(s),
           "SELECT ?s ?p ?v WHERE { ?s ?p ?v }")))
     )
 
@@ -596,5 +602,40 @@ object SparkEntry {
                      THEN '{"type":"literal","value":"' || ej ||
                           '","datatype":"' || obj_datatype || '"}'
                    ELSE '{"type":"literal","value":"' || ej || '"}' END || '}' AS line
-       FROM e""")
+       FROM e""",
+    "q76_sparql_csv" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       f AS (SELECT doc_id, subj, pred, obj,
+               CASE WHEN regexp_matches(obj, '[,"\\n\\r]')
+                    THEN '"' || replace(obj, '"', '""') || '"' ELSE obj END AS fo
+             FROM trip)
+       SELECT CAST(0 AS BIGINT) AS ord, 'graph,s,p,v' AS line
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), doc_id || ',' || subj || ',' || pred || ',' || fo
+       FROM f""",
+    "q77_sparql_xml" ->
+      s"""WITH trip AS (SELECT * FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       e AS (SELECT doc_id, subj, pred, obj, obj_kind, obj_datatype,
+               replace(replace(replace(obj,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS xo
+             FROM trip)
+       SELECT CAST(0 AS BIGINT) AS ord,
+              '<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">' ||
+              '<head><variable name="graph"/><variable name="s"/>' ||
+              '<variable name="p"/><variable name="v"/></head><results>' AS line
+       UNION ALL
+       SELECT CAST(1 AS BIGINT),
+              '<result><binding name="graph"><literal>' || doc_id ||
+              '</literal></binding><binding name="s"><uri>' || subj ||
+              '</uri></binding><binding name="p"><uri>' || pred ||
+              '</uri></binding><binding name="v">' ||
+              CASE WHEN obj_kind = 'iri' THEN '<uri>' || xo || '</uri>'
+                   WHEN obj_datatype <> ''
+                        AND obj_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+                     THEN '<literal datatype="' || obj_datatype || '">' || xo || '</literal>'
+                   ELSE '<literal>' || xo || '</literal>' END ||
+              '</binding></result>'
+       FROM e
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), '</results></sparql>'""")
 }

@@ -28,7 +28,7 @@ object SparqlRun {
     val Seq(triplesPath, queryArg, outDir) = pos.toSeq
     val graphCol = flags.getOrElse("graph-col", "doc_id")
     val format = flags.getOrElse("format", "parquet")
-    require(Set("parquet", "csv").contains(format), s"unknown --format $format")
+    require(Formats.contains(format), s"unknown --format $format (one of ${Formats.mkString("|")})")
     val text =
       if (queryArg.startsWith("@"))
         new String(java.nio.file.Files.readAllBytes(
@@ -46,10 +46,35 @@ object SparqlRun {
     finally if (!sys.env.contains("GRAFT_KEEP_SESSION")) spark.stop()
   }
 
+  /** `--format` values: parquet/csv write the solution TABLE; the
+    * `results-*` forms render a SELECT through the W3C SPARQL 1.1 Results
+    * serializers ([[graft.analytics.SparqlResults]]) and write text lines
+    * (one file, document order — result sets a human exports this way are
+    * driver-sized; the distributed export is the table forms). */
+  private val Formats = Set("parquet", "csv",
+    "results-csv", "results-tsv", "results-json", "results-xml")
+
   /** The testable core: session supplied by the caller. */
   def run(spark: SparkSession, triplesPath: String, text: String, outDir: String,
           graphCol: String = "doc_id", format: String = "parquet"): Unit = {
     val triples = spark.read.parquet(triplesPath)
+    if (format.startsWith("results-")) {
+      require(form(text) == "SELECT",
+        s"--format $format renders SELECT result sets; ${form(text)} forms " +
+          "write solution tables (use parquet or csv)")
+      val bindings = Sparql.selectTerms(triples, text, graphCol)
+      val lines = format match {
+        case "results-csv" => graft.analytics.SparqlResults.csv(bindings)
+        case "results-tsv" => graft.analytics.SparqlResults.tsv(bindings)
+        case "results-xml" => graft.analytics.SparqlResults.xml(bindings)
+        case _ => graft.analytics.SparqlResults.jsonLines(bindings)
+          .select(org.apache.spark.sql.functions.lit(1L).as("ord"),
+            org.apache.spark.sql.functions.col("line"))
+      }
+      lines.coalesce(1).sortWithinPartitions("ord").select("line")
+        .write.mode("overwrite").text(outDir)
+      return
+    }
     val result = form(text) match {
       case "ASK" =>
         val answer = Sparql.ask(triples, text, graphCol)

@@ -129,6 +129,53 @@ object SparqlResults {
       concat_ws(",", vs.map(n => jsonBinding(df, n)): _*), lit("}")).as("line"))
   }
 
+  // ------------------------------------------------------------------ XML
+
+  /** XML text-node escapes (attribute positions add the quote) */
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+  private def xmlAttrEscape(c: Column): Column =
+    regexp_replace(xmlEscape(c), "\"", "&quot;")
+
+  /** `<binding name="v">…</binding>` fragment, NULL when unbound (unbound
+    * variables are omitted from a result element per the XML results spec) */
+  private def xmlBinding(df: DataFrame, n: String): Column = {
+    val v = col(n)
+    val dt = dtOf(df, n)
+    val lang = langOf(df, n)
+    val kind = kindOf(df, n)
+    val term = when(kind === "iri", concat(lit("<uri>"), xmlEscape(v), lit("</uri>")))
+      .when(kind === "bnode",
+        concat(lit("<bnode>"), xmlEscape(expr(s"substring(`$n`, 3)")), lit("</bnode>")))
+      .otherwise(concat(
+        when(lang =!= "", concat(lit("<literal xml:lang=\""), xmlAttrEscape(lang), lit("\">")))
+          .when(dt =!= "" && dt =!= XsdString,
+            concat(lit("<literal datatype=\""), xmlAttrEscape(dt), lit("\">")))
+          .otherwise(lit("<literal>")),
+        xmlEscape(v), lit("</literal>")))
+    when(v.isNull, lit(null).cast("string"))
+      .otherwise(concat(lit("<binding name=\"" + n + "\">"), term, lit("</binding>")))
+  }
+
+  /** W3C SPARQL Results XML as `(ord, line)` rows: ord 0 = the document
+    * head through `<results>`, ord 1 = one `<result>` element per solution,
+    * ord 2 = the closing tags — sort by ord (solutions in any order, RDF
+    * result sets are unordered unless the query sorted) to reassemble. */
+  def xml(df: DataFrame): DataFrame = {
+    val vs = vars(df)
+    val headLine = "<?xml version=\"1.0\"?>" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"><head>" +
+      vs.map(v => s"""<variable name="$v"/>""").mkString + "</head><results>"
+    val header = df.sparkSession.range(1)
+      .select(lit(0L).as("ord"), lit(headLine).as("line"))
+    val footer = df.sparkSession.range(1)
+      .select(lit(2L).as("ord"), lit("</results></sparql>").as("line"))
+    header.unionByName(df.select(lit(1L).as("ord"),
+      concat(lit("<result>"),
+        concat_ws("", vs.map(n => xmlBinding(df, n)): _*),
+        lit("</result>")).as("line"))).unionByName(footer)
+  }
+
   /** the complete `{"head":…,"results":…}` document — DRIVER-SIDE assembly
     * of a result set that must fit in memory; refuses result sets over
     * `maxRows` with a named error instead of an opaque OOM (the same

@@ -120,6 +120,28 @@ class SparqlResultsSpec extends SparkTestBase {
       && got.columns.contains("v#lang"))
   }
 
+  test("XML: document structure, typed bindings, entity escapes, unbound omitted") {
+    val esc = typedStore(Seq(
+      ("g1", "http://e/s1", "http://e/name", "a<b>&c", "literal", "", "en"),
+      ("g1", "http://e/s1", "http://e/size", "42", "literal", xsdInt, ""),
+      ("g1", "_:b0", "http://e/name", "anon", "literal", "", "")))
+    val got = lines(SparqlResults.xml(Sparql.selectTerms(esc,
+      """SELECT ?s ?v ?r WHERE { ?s <http://e/name> ?v
+         OPTIONAL { ?s <http://e/size> ?r } }""").drop("graph")))
+    assert(got.head == (0L, "<?xml version=\"1.0\"?>" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"><head>" +
+      "<variable name=\"s\"/><variable name=\"v\"/><variable name=\"r\"/>" +
+      "</head><results>"))
+    assert(got.last == (2L, "</results></sparql>"))
+    val data = got.filter(_._1 == 1L).map(_._2).toSet
+    assert(data == Set(
+      "<result><binding name=\"s\"><uri>http://e/s1</uri></binding>" +
+        "<binding name=\"v\"><literal xml:lang=\"en\">a&lt;b&gt;&amp;c</literal></binding>" +
+        "<binding name=\"r\"><literal datatype=\"" + xsdInt + "\">42</literal></binding></result>",
+      "<result><binding name=\"s\"><bnode>b0</bnode></binding>" +
+        "<binding name=\"v\"><literal>anon</literal></binding></result>"))
+  }
+
   test("serializers degrade to plain literals on a kind-less store") {
     import spark.implicits._
     val bare = Seq(("g1", "s1", "p1", "o1")).toDF("doc_id", "subj", "pred", "obj")

@@ -49,6 +49,36 @@ class SparqlRunSpec extends SparkTestBase {
     assert(lines.toSet.contains("d1,d7"))
   }
 
+  test("results-* formats render W3C serializations; non-SELECT refuses loudly") {
+    val triples = writeTriples()
+    def textLines(out: String): List[String] =
+      Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+        .filter(_.endsWith(".txt")).toList.flatMap(p =>
+          scala.io.Source.fromFile(p).getLines().toList)
+    val tsvOut = tmp("rtsv")
+    SparqlRun.run(spark, triples,
+      s"SELECT ?x WHERE { ?x <$rdfType> <urn:Door> }", tsvOut, format = "results-tsv")
+    val tsv = textLines(tsvOut)
+    assert(tsv.head == "?graph\t?x")
+    // subject position derives iri kind structurally
+    assert(tsv.tail == List("\"d1\"\t<d7>"))
+    val xmlOut = tmp("rxml")
+    SparqlRun.run(spark, triples,
+      s"SELECT ?x WHERE { ?x <$rdfType> <urn:Door> }", xmlOut, format = "results-xml")
+    val xml = textLines(xmlOut)
+    assert(xml.head.startsWith("<?xml version=\"1.0\"?><sparql"))
+    assert(xml.last == "</results></sparql>")
+    val jsonOut = tmp("rjson")
+    SparqlRun.run(spark, triples,
+      s"SELECT ?x WHERE { ?x <$rdfType> <urn:Door> }", jsonOut, format = "results-json")
+    assert(textLines(jsonOut).exists(_.contains("\"x\":{\"type\":\"uri\",\"value\":\"d7\"}")))
+    val e = intercept[IllegalArgumentException] {
+      SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Door> }",
+        tmp("rask"), format = "results-csv")
+    }
+    assert(e.getMessage.contains("SELECT"))
+  }
+
   test("CLI end-to-end over the committed pipeline expectation table") {
     val out = tmp("kg")
     SparqlRun.run(spark, ExpectedGen.TriplesFile,
