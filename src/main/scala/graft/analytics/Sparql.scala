@@ -1815,7 +1815,17 @@ object Sparql {
           }
           require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
           val keys = groupBy.map(col)
-          df = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          // retainMeta (the serializer entry): group-key term metadata rides
+          // the aggregate as a deterministic min — grouping itself stays
+          // LEXICAL (the engine's documented matching delta), so a key whose
+          // occurrences mix kinds picks the lexicographically least facet
+          val metaAggs =
+            if (!retainMeta) Nil
+            else groupBy.flatMap(g => Seq("kind", "datatype", "lang")
+              .map(KgQuery.metaCol(g, _)).filter(df.columns.contains)
+              .map(m => min(col(m)).as(m)))
+          val allAggs = aggs ++ metaAggs
+          df = df.groupBy(keys: _*).agg(allAggs.head, allAggs.tail: _*)
           havingSub.foreach(e => df = df.filter(compileExpr(e, df)))
           // trailing VALUES joins the grouped solutions (spec §18.2.4: after
           // aggregation/HAVING, before projection/ORDER BY)
@@ -1827,14 +1837,23 @@ object Sparql {
             case _ => ()
           }
           val out = df
-          df = df.select(projSub.map {
+          val projCols = projSub.map {
             case Projection(alias, PVar(n)) => col(n).as(alias)
             case Projection(alias, PExpr(e)) =>
               // compileExpr's unbound-var check enforces "grouped or
               // aggregated" for variables inside the expression
               compileExpr(e, out).as(alias)
             case Projection(alias, _) => col(alias)
-          }: _*)
+          }
+          val metaProjCols =
+            if (!retainMeta) Nil
+            else projSub.collect { case Projection(alias, PVar(n)) =>
+              Seq("kind", "datatype", "lang").map(f =>
+                (KgQuery.metaCol(n, f), KgQuery.metaCol(alias, f)))
+                .filter(p => out.columns.contains(p._1))
+                .map { case (src, dst) => col(src).as(dst) }
+            }.flatten
+          df = df.select(projCols ++ metaProjCols: _*)
           if (distinct) df = df.distinct()
           // grouped order keys compile against the projected solution
           // (group keys and aggregate aliases — all that exists post-agg)

@@ -47,7 +47,7 @@ object SparqlResults {
     * lexical form — IRIs bare, literals untagged, bnodes keep `_:` (which
     * the store's value columns already carry). Unbound → empty field. */
   private def csvField(c: Column): Column = {
-    val v = coalesce(c, lit(""))
+    val v = coalesce(c.cast("string"), lit(""))
     when(v.rlike("[,\"\r\n]"),
       concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\""))).otherwise(v)
   }
@@ -71,7 +71,9 @@ object SparqlResults {
 
   /** full SPARQL term syntax for one column (the TSV results rule) */
   private def tsvTerm(df: DataFrame, n: String): Column = {
-    val v = col(n)
+    // cast up front: typed result columns (aggregates, xsd casts) render
+    // their lexical form, and CaseWhen branch unification stays STRING
+    val v = col(n).cast("string")
     val dt = dtOf(df, n)
     val lang = langOf(df, n)
     when(v.isNull, lit(""))
@@ -104,7 +106,7 @@ object SparqlResults {
   /** `"name":{"type":…,"value":…}` fragment, NULL when unbound (unbound
     * variables are omitted from a JSON binding per the spec) */
   private def jsonBinding(df: DataFrame, n: String): Column = {
-    val v = col(n)
+    val v = col(n).cast("string")
     val dt = dtOf(df, n)
     val lang = langOf(df, n)
     val tpe = when(kindOf(df, n) === "iri", lit("uri"))
@@ -115,7 +117,7 @@ object SparqlResults {
       .when(dt =!= "" && dt =!= XsdString, concat(lit("\",\"datatype\":\""), jsonEscape(dt)))
       .otherwise(lit(""))
     // bnode JSON values drop the `_:` prefix (the label alone is the value)
-    val value = when(tpe === "bnode", expr(s"substring(`$n`, 3)")).otherwise(v)
+    val value = when(tpe === "bnode", v.substr(lit(3), length(v))).otherwise(v)
     when(v.isNull, lit(null).cast("string"))
       .otherwise(concat(lit("\"" + n + "\":{\"type\":\""), tpe,
         lit("\",\"value\":\""), jsonEscape(value), suffix, lit("\"}")))
@@ -140,13 +142,13 @@ object SparqlResults {
   /** `<binding name="v">…</binding>` fragment, NULL when unbound (unbound
     * variables are omitted from a result element per the XML results spec) */
   private def xmlBinding(df: DataFrame, n: String): Column = {
-    val v = col(n)
+    val v = col(n).cast("string")
     val dt = dtOf(df, n)
     val lang = langOf(df, n)
     val kind = kindOf(df, n)
     val term = when(kind === "iri", concat(lit("<uri>"), xmlEscape(v), lit("</uri>")))
       .when(kind === "bnode",
-        concat(lit("<bnode>"), xmlEscape(expr(s"substring(`$n`, 3)")), lit("</bnode>")))
+        concat(lit("<bnode>"), xmlEscape(v.substr(lit(3), length(v))), lit("</bnode>")))
       .otherwise(concat(
         when(lang =!= "", concat(lit("<literal xml:lang=\""), xmlAttrEscape(lang), lit("\">")))
           .when(dt =!= "" && dt =!= XsdString,

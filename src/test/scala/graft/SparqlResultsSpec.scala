@@ -142,6 +142,19 @@ class SparqlResultsSpec extends SparkTestBase {
         "<binding name=\"v\"><literal>anon</literal></binding></result>"))
   }
 
+  test("grouped SELECT: group-key term kinds survive aggregation (min facet)") {
+    val got = terms(
+      """SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s ?p ?v } GROUP BY ?s""")
+    assert(got.columns.contains("s#kind"))
+    val m = got.collect().map(r => (r.getAs[String]("s"),
+      r.getAs[String]("s#kind"), r.getAs[Long]("n"))).toSet
+    assert(m == Set(("http://e/s1", "iri", 4L), ("_:b0", "bnode", 1L)))
+    // and the TSV renderer uses it: the key renders as a term, the count
+    // (aggregate, no companion) as a plain literal
+    val t = lines(SparqlResults.tsv(got)).filter(_._1 == 1L).map(_._2).toSet
+    assert(t == Set("<http://e/s1>\t\"4\"", "_:b0\t\"1\""))
+  }
+
   test("serializers degrade to plain literals on a kind-less store") {
     import spark.implicits._
     val bare = Seq(("g1", "s1", "p1", "o1")).toDF("doc_id", "subj", "pred", "obj")
