@@ -50,7 +50,9 @@ object SparqlRun {
     * `results-*` forms render a SELECT through the W3C SPARQL 1.1 Results
     * serializers ([[graft.analytics.SparqlResults]]) and write text lines
     * (one file, document order — result sets a human exports this way are
-    * driver-sized; the distributed export is the table forms). */
+    * driver-sized; the distributed export is the table forms). ASK composes
+    * with results-json/results-xml only (the boolean documents — CSV/TSV
+    * define no boolean form). */
   private val Formats = Set("parquet", "csv",
     "results-csv", "results-tsv", "results-json", "results-xml")
 
@@ -58,6 +60,21 @@ object SparqlRun {
   def run(spark: SparkSession, triplesPath: String, text: String, outDir: String,
           graphCol: String = "doc_id", format: String = "parquet"): Unit = {
     val triples = spark.read.parquet(triplesPath)
+    if (format.startsWith("results-") && form(text) == "ASK") {
+      // boolean results: the W3C JSON/XML scalar documents (CSV/TSV define
+      // no boolean form — their spec covers SELECT only)
+      require(format == "results-json" || format == "results-xml",
+        s"--format $format has no boolean form; ASK renders through " +
+          "results-json or results-xml")
+      val answer = Sparql.ask(triples, text, graphCol)
+      println(answer) // the process-output contract, same as the table path
+      val doc = if (format == "results-json")
+        graft.analytics.SparqlResults.askJson(answer)
+      else graft.analytics.SparqlResults.askXml(answer)
+      import spark.implicits._
+      Seq(doc).toDF("line").coalesce(1).write.mode("overwrite").text(outDir)
+      return
+    }
     if (format.startsWith("results-")) {
       require(form(text) == "SELECT",
         s"--format $format renders SELECT result sets; ${form(text)} forms " +

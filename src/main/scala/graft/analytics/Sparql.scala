@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   *    IN / NOT IN, REGEX, BOUND, STR, STRLEN, LCASE, UCASE, CONTAINS,
   *    STRSTARTS, STRENDS, STRBEFORE, STRAFTER, SUBSTR, REPLACE, CONCAT,
   *    IF, COALESCE, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, MD5, SHA1,
-  *    SHA256, IRI/URI (identity — the store is untyped strings), ISNUMERIC,
+  *    SHA256/384/512, IRI/URI (identity — the store is untyped strings), ISNUMERIC,
   *    the xsd:dateTime accessors YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ/
   *    TIMEZONE (over the ISO-8601 lexical form; non-dateTime argument →
   *    NULL, the relational image of the SPARQL type error),
@@ -611,7 +611,7 @@ object Sparql {
     private val FnNames = Set("REGEX", "BOUND", "STR", "STRLEN", "LCASE", "UCASE",
       "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "SUBSTR",
       "REPLACE", "CONCAT", "IF", "COALESCE", "ABS", "CEIL", "FLOOR", "ROUND",
-      "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "IRI", "URI", "ISNUMERIC",
+      "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "IRI", "URI", "ISNUMERIC",
       "LANG", "DATATYPE", "LANGMATCHES", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
       "STRLANG", "STRDT", "SAMETERM",
       "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
@@ -1495,6 +1495,8 @@ object Sparql {
       case ExFn("MD5", Seq(a)) => md5(compileExpr(a, df).cast("binary"))
       case ExFn("SHA1", Seq(a)) => sha1(compileExpr(a, df).cast("binary"))
       case ExFn("SHA256", Seq(a)) => sha2(compileExpr(a, df).cast("binary"), 256)
+      case ExFn("SHA384", Seq(a)) => sha2(compileExpr(a, df).cast("binary"), 384)
+      case ExFn("SHA512", Seq(a)) => sha2(compileExpr(a, df).cast("binary"), 512)
       // the store is untyped strings, so IRI/URI construction is identity
       // (like STR); relative-IRI resolution would need a typed term model
       case ExFn("IRI" | "URI", Seq(a)) => compileExpr(a, df)

@@ -178,6 +178,23 @@ object SparqlResults {
         lit("</result>")).as("line"))).unionByName(footer)
   }
 
+  // -------------------------------------------------------- ASK (boolean)
+
+  /** W3C JSON boolean result document for an ASK answer — the results-JSON
+    * spec's scalar form (`{"head":{},"boolean":…}`). Boolean results are
+    * driver-sized by construction; no distributed form exists or is needed.
+    * CSV/TSV define no boolean form (their spec covers SELECT only), so ASK
+    * has exactly these two documents. */
+  def askJson(answer: Boolean): String =
+    s"""{"head":{},"boolean":$answer}"""
+
+  /** W3C XML boolean result document for an ASK answer
+    * (`<sparql…><head/><boolean>…</boolean></sparql>`). */
+  def askXml(answer: Boolean): String =
+    "<?xml version=\"1.0\"?>" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+      s"<head/><boolean>$answer</boolean></sparql>"
+
   /** the complete `{"head":…,"results":…}` document — DRIVER-SIDE assembly
     * of a result set that must fit in memory; refuses result sets over
     * `maxRows` with a named error instead of an opaque OOM (the same

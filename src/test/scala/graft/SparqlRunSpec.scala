@@ -76,7 +76,31 @@ class SparqlRunSpec extends SparkTestBase {
       SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Door> }",
         tmp("rask"), format = "results-csv")
     }
-    assert(e.getMessage.contains("SELECT"))
+    assert(e.getMessage.contains("no boolean form"))
+    val e2 = intercept[IllegalArgumentException] {
+      SparqlRun.run(spark, triples,
+        s"CONSTRUCT WHERE { ?x <$rdfType> <urn:Door> }",
+        tmp("rcons"), format = "results-json")
+    }
+    assert(e2.getMessage.contains("SELECT"))
+  }
+
+  test("ASK renders the W3C boolean documents through results-json/results-xml") {
+    val triples = writeTriples()
+    def textLines(out: String): List[String] =
+      Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+        .filter(_.endsWith(".txt")).toList.flatMap(p =>
+          scala.io.Source.fromFile(p).getLines().toList)
+    val jsonOut = tmp("askjson")
+    SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Door> }",
+      jsonOut, format = "results-json")
+    assert(textLines(jsonOut) == List("""{"head":{},"boolean":true}"""))
+    val xmlOut = tmp("askxml")
+    SparqlRun.run(spark, triples, s"ASK { ?x <$rdfType> <urn:Roof> }",
+      xmlOut, format = "results-xml")
+    assert(textLines(xmlOut) == List("<?xml version=\"1.0\"?>" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+      "<head/><boolean>false</boolean></sparql>"))
   }
 
   test("CLI end-to-end over the committed pipeline expectation table") {

@@ -414,6 +414,18 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(non, "graph", "w") == Set(Seq("d1", "w1"), Seq("d1", "w2"), Seq("d2", "w1")))
   }
 
+  test("SHA256/SHA384/SHA512 hash builtins (RFC test vectors for \"abc\")") {
+    val got = q(P + """SELECT ?h2 ?h3 ?h5 WHERE { ?x a ifc:Door .
+      BIND(SHA256("abc") AS ?h2) BIND(SHA384("abc") AS ?h3)
+      BIND(SHA512("abc") AS ?h5) }""")
+    assert(rows(got, "h2", "h3", "h5") == Set(Seq(
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+        "8086072ba1e7cc2358baeca134c825a7",
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")))
+  }
+
   // ------------------------------------------------------------ GRAPH
 
   test("GRAPH ?g binds the graph name (doc_id) of the group's solutions") {
