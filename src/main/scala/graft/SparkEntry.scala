@@ -325,7 +325,34 @@ object SparkEntry {
           "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
       "q77_sparql_xml" -> ((s, _) => graft.analytics.SparqlResults.xml(
         graft.analytics.Sparql.selectTerms(goldenTriples(s),
-          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }")))
+          "SELECT ?s ?p ?v WHERE { ?s ?p ?v }"))),
+      // RDFS entailment materialization (ρdf: rdfs2/3/5/7/9/11) — the
+      // reference's users run this step in a single-node Jena InfModel; here
+      // it is two tiny graph-keyed closures + broadcast rule joins. The TBox
+      // is deterministic: every asserted class under urn:graft:Artifact
+      // (itself under Entity — a 2-hop chain), hasNext sp linked sp related
+      // with domain/range on the DERIVED properties (exercises the
+      // rdfs7-before-rdfs2/3 stratification), Cell sc Node (exercises
+      // dom-derived types feeding rdfs9)
+      "q78_rdfs" -> ((s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{col, lit}
+        val store = goldenTriples(s)
+        val classes = store.filter(col("pred") === graft.analytics.KgQuery.RdfType)
+          .select(col("obj").as("subj")).distinct()
+          .select(col("subj"), lit(graft.analytics.Rdfs.SubClassOf).as("pred"),
+            lit("urn:graft:Artifact").as("obj"))
+        val fixed = Seq(
+          ("urn:graft:Artifact", graft.analytics.Rdfs.SubClassOf, "urn:graft:Entity"),
+          (graft.analytics.KgQuery.ListHasNext, graft.analytics.Rdfs.SubPropertyOf, "urn:graft:linked"),
+          ("urn:graft:linked", graft.analytics.Rdfs.SubPropertyOf, "urn:graft:related"),
+          ("urn:graft:linked", graft.analytics.Rdfs.Domain, "urn:graft:Cell"),
+          ("urn:graft:related", graft.analytics.Rdfs.Range, "urn:graft:Cell"),
+          ("urn:graft:Cell", graft.analytics.Rdfs.SubClassOf, "urn:graft:Node")
+        ).toDF("subj", "pred", "obj")
+        graft.analytics.Rdfs.entail(graft.analytics.Rdfs.withSchema(
+          store, classes.unionByName(fixed)))
+      })
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -637,5 +664,78 @@ object SparkEntry {
               '</binding></result>'
        FROM e
        UNION ALL
-       SELECT CAST(2 AS BIGINT), '</results></sparql>'""")
+       SELECT CAST(2 AS BIGINT), '</results></sparql>'""",
+    // ρdf entailment mirrored relationally: recursive CTEs for the sc/sp
+    // closures, then the same stratified rule joins (rdfs7 → rdfs2/3 over
+    // asserted∪derived properties → rdfs9 over asserted∪derived types)
+    "q78_rdfs" ->
+      s"""WITH RECURSIVE
+       trip AS (SELECT doc_id, subj, pred, obj
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       graphs AS (SELECT DISTINCT doc_id FROM trip),
+       tbox AS (
+         SELECT DISTINCT obj AS subj,
+                'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS pred,
+                'urn:graft:Artifact' AS obj
+         FROM trip WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         UNION ALL SELECT * FROM (VALUES
+           ('urn:graft:Artifact',
+            'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:graft:Entity'),
+           ('https://w3id.org/list#hasNext',
+            'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 'urn:graft:linked'),
+           ('urn:graft:linked',
+            'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 'urn:graft:related'),
+           ('urn:graft:linked',
+            'http://www.w3.org/2000/01/rdf-schema#domain', 'urn:graft:Cell'),
+           ('urn:graft:related',
+            'http://www.w3.org/2000/01/rdf-schema#range', 'urn:graft:Cell'),
+           ('urn:graft:Cell',
+            'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:graft:Node'))),
+       store AS (SELECT * FROM trip
+         UNION ALL
+         SELECT g.doc_id, t.subj, t.pred, t.obj FROM graphs g CROSS JOIN tbox t),
+       sc_e AS (SELECT doc_id, subj AS src, obj AS dst FROM store
+                WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#subClassOf'),
+       sp_e AS (SELECT doc_id, subj AS src, obj AS dst FROM store
+                WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf'),
+       sc_p AS (SELECT * FROM sc_e
+         UNION
+         SELECT r.doc_id, r.src, e.dst FROM sc_p r
+         JOIN sc_e e ON e.doc_id = r.doc_id AND e.src = r.dst),
+       sp_p AS (SELECT * FROM sp_e
+         UNION
+         SELECT r.doc_id, r.src, e.dst FROM sp_p r
+         JOIN sp_e e ON e.doc_id = r.doc_id AND e.src = r.dst),
+       props AS (SELECT * FROM store
+                 WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+       d7 AS (SELECT p.doc_id, p.subj, s.dst AS pred, p.obj FROM props p
+              JOIN sp_p s ON s.doc_id = p.doc_id AND s.src = p.pred),
+       ap AS (SELECT * FROM props UNION ALL SELECT * FROM d7),
+       dm AS (SELECT doc_id, subj AS p, obj AS cls FROM store
+              WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#domain'),
+       rg AS (SELECT doc_id, subj AS p, obj AS cls FROM store
+              WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#range'),
+       t2 AS (SELECT a.doc_id, a.subj,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                d.cls AS obj
+              FROM ap a JOIN dm d ON d.doc_id = a.doc_id AND d.p = a.pred),
+       t3 AS (SELECT a.doc_id, a.obj AS subj,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                r.cls AS obj
+              FROM ap a JOIN rg r ON r.doc_id = a.doc_id AND r.p = a.pred),
+       ty AS (SELECT * FROM store
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+       d9 AS (SELECT y.doc_id, y.subj, y.pred, s.dst AS obj FROM ty y
+              JOIN sc_p s ON s.doc_id = y.doc_id AND s.src = y.obj)
+       SELECT DISTINCT doc_id, subj, pred, obj FROM (
+         SELECT * FROM store
+         UNION ALL SELECT doc_id, src,
+           'http://www.w3.org/2000/01/rdf-schema#subClassOf', dst FROM sc_p
+         UNION ALL SELECT doc_id, src,
+           'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', dst FROM sp_p
+         UNION ALL SELECT * FROM d7
+         UNION ALL SELECT * FROM t2
+         UNION ALL SELECT * FROM t3
+         UNION ALL SELECT * FROM d9)""")
 }

@@ -1,0 +1,135 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RDFS entailment materialization over the triples table — the ρdf
+  * fragment (subClassOf / subPropertyOf / domain / range; Muñoz, Pérez &
+  * Gutierrez, "Minimal deductive systems for RDF", ESWC 2007).
+  *
+  * The reference converts IFC to ifcOWL RDF and stops; its users then load
+  * the Turtle into Jena and run an `InfModel` reasoner to get subclass /
+  * subproperty inference (the ifcOWL TBox is a deep class hierarchy — every
+  * `ifc:IfcWall` is also an `ifc:IfcBuildingElement`, `ifc:IfcElement`, …).
+  * That driver-sized reasoning step is the last single-node stage left in
+  * the workflow; this operator materializes the same entailment on the
+  * cluster, so downstream BGP queries (`?x rdf:type ifc:IfcElement`) hit
+  * the closure with a plain scan.
+  *
+  * Rules (numbering per the RDFS semantics spec):
+  *  - rdfs5/11: transitivity of subPropertyOf / subClassOf (the derived
+  *    schema triples are part of the closure).
+  *  - rdfs7: (x p y), (p sp⁺ q) ⇒ (x q y).
+  *  - rdfs2: (x p y), (p dom C) ⇒ (x type C).
+  *  - rdfs3: (x p y), (p rng C) ⇒ (y type C).
+  *  - rdfs9: (x type C), (C sc⁺ D) ⇒ (x type D).
+  * Stratified order — sp-closure → rdfs7 → rdfs2/3 over asserted∪derived
+  * property triples → sc-closure → rdfs9 over asserted∪derived type
+  * triples — is COMPLETE for this fragment: sp/sc edges feed nothing
+  * upstream of themselves, property derivation (rdfs7) can enable dom/rng
+  * (rdfs2/3), and dom/rng-derived types can enable rdfs9, so one pass in
+  * that order reaches the fixpoint (no rule re-fires; this is the standard
+  * ρdf stratification, no iteration needed beyond the two closures).
+  * Reflexivity rules (rdfs6/8/10) and the axiomatic-triple rules are
+  * intentionally out of scope — they add `x sc x` noise, not information;
+  * Jena's RDFS-simple configuration omits them too.
+  *
+  * Range (rdfs3) is applied uniformly to the object column; a store with a
+  * typed term model can pre-filter literal objects out of the property
+  * assertions it passes in (the pipeline's own objects in range-bearing
+  * positions are IRIs).
+  *
+  * 100-TB posture: the schema side (sc/sp/dom/rng edges) is TBox-sized —
+  * thousands of rows against billions of instance triples — so both
+  * closures run on tiny graph-keyed tables (O(log diameter) rounds,
+  * [[KgQuery.transitiveClosure]]) and every rule join broadcasts the schema
+  * side; the instance table is never shuffled by a rule. The one wide edge
+  * is the final `distinct` — inherent to set-semantics entailment (the same
+  * triple is typically derivable several ways) — keyed on the full
+  * (graph, s, p, o) row, so per-doc IRI minting keeps it skew-free.
+  *
+  * Graph scoping: each named graph (document) entails independently —
+  * schema triples apply inside their own graph only, and every derived
+  * triple lands in the graph its premises came from. A corpus with one
+  * shared TBox replicates it per graph (or cross-joins it in) before
+  * calling; [[withSchema]] does exactly that.
+  */
+object Rdfs {
+
+  val SubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val SubPropertyOf = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+  val Domain = "http://www.w3.org/2000/01/rdf-schema#domain"
+  val Range = "http://www.w3.org/2000/01/rdf-schema#range"
+
+  /** Replicate a graph-less TBox (subj/pred/obj rows) into every named
+    * graph of `triples` — the "one ontology, many documents" corpus shape.
+    * The TBox is broadcast; the distinct graph list is one column scan. */
+  def withSchema(triples: DataFrame, schema: DataFrame,
+                 graphCol: String = "doc_id"): DataFrame = {
+    val graphs = triples.select(col(graphCol)).distinct()
+    triples.select(col(graphCol), col("subj"), col("pred"), col("obj"))
+      .unionByName(graphs.crossJoin(
+        broadcast(schema.select(col("subj"), col("pred"), col("obj")))))
+  }
+
+  /** The entailed graph: input triples ∪ every ρdf-derivable triple,
+    * distinct per (graph, subj, pred, obj). */
+  def entail(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
+    val t = triples.select(col(graphCol).as("g"),
+      col("subj"), col("pred"), col("obj"))
+
+    def closurePlus(predIri: String): DataFrame =
+      KgQuery.transitiveClosure(
+        t.filter(col("pred") === predIri)
+          .select(col("g"), col("subj").as("src"), col("obj").as("dst")),
+        graph = Seq("g")).drop("dist")
+
+    val scPlus = closurePlus(SubClassOf)   // (g, src, dst) — TBox-sized
+    val spPlus = closurePlus(SubPropertyOf)
+
+    // rdfs5/11: the closures themselves are entailed schema triples
+    val schemaDerived =
+      scPlus.select(col("g"), col("src").as("subj"),
+          lit(SubClassOf).as("pred"), col("dst").as("obj"))
+        .unionByName(spPlus.select(col("g"), col("src").as("subj"),
+          lit(SubPropertyOf).as("pred"), col("dst").as("obj")))
+
+    // rdfs7: property inheritance — broadcast the sp closure keyed by the
+    // sub-property, rewrite pred to the super. Applies to every non-type
+    // assertion (schema predicates are properties too; uniform semantics).
+    val props = t.filter(col("pred") =!= KgQuery.RdfType)
+    val derived7 = props.join(
+        broadcast(spPlus.select(col("g").as("__g"), col("src").as("__sub"),
+          col("dst").as("__sup"))),
+        col("g") === col("__g") && col("pred") === col("__sub"))
+      .select(col("g"), col("subj"), col("__sup").as("pred"), col("obj"))
+    val allProps = props.unionByName(derived7)
+
+    // rdfs2/3 over asserted ∪ rdfs7-derived property assertions
+    def ruleTypes(schemaPred: String, instCol: String): DataFrame =
+      allProps.join(
+          broadcast(t.filter(col("pred") === schemaPred)
+            .select(col("g").as("__g"), col("subj").as("__p"),
+              col("obj").as("__cls"))),
+          col("g") === col("__g") && col("pred") === col("__p"))
+        .select(col("g"), col(instCol).as("subj"),
+          lit(KgQuery.RdfType).as("pred"), col("__cls").as("obj"))
+    val typesFromDom = ruleTypes(Domain, "subj")
+    val typesFromRng = ruleTypes(Range, "obj")
+
+    // rdfs9 over asserted ∪ dom/rng-derived type assertions
+    val allTypes = t.filter(col("pred") === KgQuery.RdfType)
+      .unionByName(typesFromDom).unionByName(typesFromRng)
+    val derived9 = allTypes.join(
+        broadcast(scPlus.select(col("g").as("__g"), col("src").as("__sub"),
+          col("dst").as("__sup"))),
+        col("g") === col("__g") && col("obj") === col("__sub"))
+      .select(col("g"), col("subj"), col("pred"), col("__sup").as("obj"))
+
+    t.unionByName(schemaDerived).unionByName(derived7)
+      .unionByName(typesFromDom).unionByName(typesFromRng)
+      .unionByName(derived9)
+      .distinct()
+      .withColumnRenamed("g", graphCol)
+  }
+}
