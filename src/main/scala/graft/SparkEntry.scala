@@ -352,6 +352,31 @@ object SparkEntry {
         ).toDF("subj", "pred", "obj")
         graft.analytics.Rdfs.entail(graft.analytics.Rdfs.withSchema(
           store, classes.unionByName(fixed)))
+      }),
+      // owl:sameAs smushing: every typed instance gains a 3-member identity
+      // clique (i ← urn:a1:i ← urn:a2:i, linked by directed sameAs edges so
+      // transitivity is exercised), an aliased type assertion (collapses
+      // into the original after rewrite) and an alias-valued property (obj
+      // rewrite). The oracle derives the expected output STRUCTURALLY
+      // (canon is always the http-prefixed original — 'h' < 'u'), an
+      // independent path from the engine's closure+min derivation
+      "q79_sameas" -> ((s, _) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val store = goldenTriples(s)
+          .select(col("doc_id"), col("subj"), col("pred"), col("obj"))
+        val types = store.filter(col("pred") === graft.analytics.KgQuery.RdfType)
+        val a1 = concat(lit("urn:a1:"), col("subj"))
+        val a2 = concat(lit("urn:a2:"), col("subj"))
+        val sa = graft.analytics.SameAs.OwlSameAs
+        val extra = types.select(col("doc_id"), a1.as("subj"),
+            lit(sa).as("pred"), col("subj").as("obj"))
+          .unionByName(types.select(col("doc_id"), a2.as("subj"),
+            lit(sa).as("pred"), a1.as("obj")))
+          .unionByName(types.select(col("doc_id"), a2.as("subj"),
+            col("pred"), col("obj")))
+          .unionByName(types.select(col("doc_id"), col("subj"),
+            lit("urn:graft:seenAt").as("pred"), a1.as("obj")))
+        graft.analytics.SameAs.resolve(store.unionByName(extra))
       })
     )
 
@@ -737,5 +762,22 @@ object SparkEntry {
          UNION ALL SELECT * FROM d7
          UNION ALL SELECT * FROM t2
          UNION ALL SELECT * FROM t3
-         UNION ALL SELECT * FROM d9)""")
+         UNION ALL SELECT * FROM d9)""",
+    // sameAs smushing expected output built structurally: the clique canon
+    // is always the original IRI (http… < urn:… bytewise), so the rewrite
+    // collapses the aliased type row into the asserted one, the alias-valued
+    // property rewrites to the canon, and each alias keeps one provenance
+    // sameAs row — no recursive closure needed on the oracle side
+    "q79_sameas" ->
+      s"""WITH trip AS (SELECT doc_id, subj, pred, obj
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       ty AS (SELECT doc_id, subj FROM trip
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+       SELECT DISTINCT doc_id, subj, pred, obj FROM (
+         SELECT doc_id, subj, pred, obj FROM trip
+         UNION ALL SELECT doc_id, subj, 'urn:graft:seenAt', subj FROM ty
+         UNION ALL SELECT doc_id, 'urn:a1:' || subj,
+           'http://www.w3.org/2002/07/owl#sameAs', subj FROM ty
+         UNION ALL SELECT doc_id, 'urn:a2:' || subj,
+           'http://www.w3.org/2002/07/owl#sameAs', subj FROM ty)""")
 }
