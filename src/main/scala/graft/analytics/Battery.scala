@@ -609,6 +609,42 @@ object Battery {
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("min_doc"))
         .withColumn("blocked", col("tld") === "net")
+    }),
+    "q80_exact_substr" -> ((s, d) => {
+      // ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499) re-expressed
+      // relationally: the suffix-array pass that finds byte spans repeated
+      // across documents becomes, for the fixed window k=5 tokens, a
+      // gram-keyed aggregate marking every k-gram seen in >= 2 distinct
+      // docs, joined back and merged into MAXIMAL duplicated spans per doc
+      // (gaps-and-islands over the surviving start positions). 100-TB
+      // posture: one map-side-combinable aggregate keyed by the gram, one
+      // gram-keyed semi join back (both shuffles carry (gram, ids) pairs,
+      // never document text), and a doc_id-keyed window over ONLY the
+      // duplicated starts (<< corpus) — no suffix sort of the corpus, no
+      // all-pairs. Output: one row per maximal span, all-integer.
+      val k = 5
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= k)
+      val grams = tk.select(col("doc_id"), size(col("tk")).cast("long").as("ntok"),
+          posexplode(graft.functions.TextOps.shingles(col("tk"), k)))
+        .toDF("doc_id", "ntok", "p", "g")
+      val dup = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      // intervals [p, p+k-1] of equal length merge iff p <= prev_p + k
+      // (adjacency included), so a plain lag decides the island break
+      grams.join(dup, Seq("g"), "left_semi")
+        .withColumn("pp", lag(col("p"), 1).over(w))
+        .withColumn("brk",
+          when(col("pp").isNull || col("p") > col("pp") + k, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("p")).cast("long").as("span_start"),
+          (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"),
+          min(col("ntok")).as("ntok"))
+        .select(col("doc_id"), col("span_start"), col("span_len"), col("ntok"))
     })
   )
 
@@ -1234,7 +1270,29 @@ object Battery {
        SELECT host, tld, CAST(count(*) AS BIGINT) AS n_urls,
               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
               MIN(doc_id) AS min_doc, tld = 'net' AS blocked
-       FROM h2 GROUP BY 1, 2"""
+       FROM h2 GROUP BY 1, 2""",
+    "q80_exact_substr" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+       idx AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok, ws,
+                      unnest(generate_series(0, len(ws) - 5)) AS p
+               FROM tk WHERE len(ws) >= 5),
+       g AS (SELECT doc_id, ntok, p, array_to_string(ws[p+1:p+5], ' ') AS gr FROM idx),
+       dup AS (SELECT gr FROM g GROUP BY gr HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, ntok, p FROM g WHERE gr IN (SELECT gr FROM dup)),
+       l AS (SELECT doc_id, ntok, p,
+                    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+             FROM hits),
+       b AS (SELECT doc_id, ntok, p,
+                    CASE WHEN pp IS NULL OR p > pp + 5 THEN 1 ELSE 0 END AS brk
+             FROM l),
+       i AS (SELECT doc_id, ntok, p,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+             FROM b)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+              CAST(MAX(p) + 5 - MIN(p) AS BIGINT) AS span_len,
+              MIN(ntok) AS ntok
+       FROM i GROUP BY doc_id, isl"""
   )
 
   /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors

@@ -115,4 +115,50 @@ class CurationFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- q80 exact-substring spans: 3-word vocab so cross-doc 5-gram ----
+  // ---- collisions are common (3^5 = 243 possible grams)            ----
+
+  private def bruteQ80(docs: Seq[Doc]): Set[(Long, Long, Long, Long)] = {
+    val k = 5
+    val gs = docs.map(d => (d._1, toksOf(d._2)))
+    val dupGrams = gs.flatMap { case (id, ws) => grams(ws, k).distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (g, xs) if xs.map(_._2).distinct.size >= 2 => g }
+      .toSet
+    gs.flatMap { case (id, ws) =>
+      val starts = grams(ws, k).zipWithIndex.collect {
+        case (g, p) if dupGrams(g) => p }
+      val spans = starts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 + 1 => (s0, p + k - 1) :: rest
+        case (acc, p) => (p, p + k - 1) :: acc
+      }.reverse
+      spans.map { case (s0, e0) => (id, s0.toLong, (e0 - s0 + 1).toLong, ws.size.toLong) }
+    }.toSet
+  }
+
+  private val collisionCorpusGen: Gen[Seq[Doc]] = for {
+    k <- Gen.choose(2, 10)
+    base <- Gen.listOfN(k, for {
+      len <- Gen.frequency(1 -> Gen.choose(0, 4), 4 -> Gen.choose(5, 16))
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" "))
+  } yield base.zipWithIndex.map { case (t, i) =>
+    (i.toLong, t, "en", s"s$i", t.length.toLong) }
+
+  test("q80 matches the brute-force interval-merge evaluator on random corpora") {
+    val s = spark
+    import s.implicits._
+    val prop = Prop.forAll(collisionCorpusGen) { docs =>
+      val dir = Files.createTempDirectory("q80fuzz").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.analytics.Battery.queries("q80_exact_substr")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = bruteQ80(docs)
+      if (got != want) { println(s"q80 MISMATCH\nDOCS: $docs\nGOT:  $got\nWANT: $want"); false }
+      else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

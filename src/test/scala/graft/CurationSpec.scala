@@ -152,4 +152,39 @@ class CurationSpec extends SparkTestBase {
       ("gamma.example.org", "org", 1L, 1L, 7L, false),
       ("mirror.example.org", "org", 1L, 1L, 7L, false)))
   }
+
+  private def spans(d: String): Seq[(Long, Long, Long, Long)] =
+    run("q80_exact_substr", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("q80: overlapping shared 5-grams merge into one maximal span") {
+    // c1..c7 shared across docs 1 and 2: three overlapping gram starts in
+    // doc 1 (0,1,2) merge to span (0, len 7); doc 2 shifted by one.
+    val d = docsDir(Seq(
+      (1L, "c1 c2 c3 c4 c5 c6 c7 z1 z2", "en", "s", 1L),
+      (2L, "y1 c1 c2 c3 c4 c5 c6 c7 y2", "en", "s", 1L)))
+    assert(spans(d) == Seq((1L, 0L, 7L, 9L), (2L, 1L, 7L, 9L)))
+  }
+
+  test("q80: adjacent spans merge; gapped spans split") {
+    // doc 1 carries d0..d9 contiguously (shared starts 0 and 5, adjacent:
+    // 5 = 0 + k -> ONE span of len 10); doc 2 carries the same two blocks
+    // split by X (starts 0 and 6, gap -> TWO spans of len 5).
+    val d = docsDir(Seq(
+      (1L, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9", "en", "s", 1L),
+      (2L, "d0 d1 d2 d3 d4 X d5 d6 d7 d8 d9", "en", "s", 1L)))
+    assert(spans(d) == Seq(
+      (1L, 0L, 10L, 10L),
+      (2L, 0L, 5L, 11L), (2L, 6L, 5L, 11L)))
+  }
+
+  test("q80: within-doc repetition and sub-width docs never flag") {
+    // doc 1 repeats its own 5-gram (1 distinct doc -> not duplicated);
+    // doc 2 is below the gram width entirely.
+    val d = docsDir(Seq(
+      (1L, "r1 r2 r3 r4 r5 q q q q r1 r2 r3 r4 r5", "en", "s", 1L),
+      (2L, "s1 s2 s3", "en", "s", 1L)))
+    assert(spans(d).isEmpty)
+  }
 }
