@@ -377,7 +377,12 @@ object SparkEntry {
           .unionByName(types.select(col("doc_id"), col("subj"),
             lit("urn:graft:seenAt").as("pred"), a1.as("obj")))
         graft.analytics.SameAs.resolve(store.unionByName(extra))
-      })
+      }),
+      // VoID dataset description (W3C note) of the pipeline store, emitted
+      // as triples — core per-graph statistics plus property/class
+      // partitions; the oracle recomputes every count independently in SQL
+      "q81_void" -> ((s, _) => graft.analytics.VoidStats.describe(
+        goldenTriples(s).select("doc_id", "subj", "pred", "obj")))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -779,5 +784,53 @@ object SparkEntry {
          UNION ALL SELECT doc_id, 'urn:a1:' || subj,
            'http://www.w3.org/2002/07/owl#sameAs', subj FROM ty
          UNION ALL SELECT doc_id, 'urn:a2:' || subj,
-           'http://www.w3.org/2002/07/owl#sameAs', subj FROM ty)""")
+           'http://www.w3.org/2002/07/owl#sameAs', subj FROM ty)""",
+    "q81_void" ->
+      s"""WITH trip AS (SELECT doc_id, subj, pred, obj
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       core AS (SELECT doc_id, 'urn:graft:void:' || doc_id AS ds,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT subj) AS BIGINT) AS ns,
+                       CAST(count(DISTINCT pred) AS BIGINT) AS np,
+                       CAST(count(DISTINCT obj) AS BIGINT) AS no,
+                       CAST(count(DISTINCT CASE WHEN pred =
+                         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                         THEN obj END) AS BIGINT) AS nc
+                FROM trip GROUP BY 1),
+       pp AS (SELECT doc_id, 'urn:graft:void:' || doc_id AS ds, pred AS p,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT subj) AS BIGINT) AS ns
+              FROM trip GROUP BY 1, 2, 3),
+       cp AS (SELECT doc_id, 'urn:graft:void:' || doc_id AS ds, obj AS c,
+                     CAST(count(DISTINCT subj) AS BIGINT) AS ne
+              FROM trip
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              GROUP BY 1, 2, 3)
+       SELECT doc_id, ds AS subj,
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+              'http://rdfs.org/ns/void#Dataset' AS obj FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#triples',
+              CAST(n AS VARCHAR) FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#distinctSubjects',
+              CAST(ns AS VARCHAR) FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#properties',
+              CAST(np AS VARCHAR) FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#distinctObjects',
+              CAST(no AS VARCHAR) FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#classes',
+              CAST(nc AS VARCHAR) FROM core
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#propertyPartition',
+              ds || ':prop:' || p FROM pp
+       UNION ALL SELECT doc_id, ds || ':prop:' || p,
+              'http://rdfs.org/ns/void#property', p FROM pp
+       UNION ALL SELECT doc_id, ds || ':prop:' || p,
+              'http://rdfs.org/ns/void#triples', CAST(n AS VARCHAR) FROM pp
+       UNION ALL SELECT doc_id, ds || ':prop:' || p,
+              'http://rdfs.org/ns/void#distinctSubjects', CAST(ns AS VARCHAR) FROM pp
+       UNION ALL SELECT doc_id, ds, 'http://rdfs.org/ns/void#classPartition',
+              ds || ':class:' || c FROM cp
+       UNION ALL SELECT doc_id, ds || ':class:' || c,
+              'http://rdfs.org/ns/void#class', c FROM cp
+       UNION ALL SELECT doc_id, ds || ':class:' || c,
+              'http://rdfs.org/ns/void#entities', CAST(ne AS VARCHAR) FROM cp""")
 }
