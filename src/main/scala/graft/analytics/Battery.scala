@@ -645,6 +645,32 @@ object Battery {
           (max(col("p")) + k - min(col("p"))).cast("long").as("span_len"),
           min(col("ntok")).as("ntok"))
         .select(col("doc_id"), col("span_start"), col("span_len"), col("ntok"))
+    }),
+    "q82_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) made
+      // integer-exact: hashed unigram buckets (B=64), target domain = the
+      // deterministic doc_id % 7 == 0 slice, per-bucket importance ratio
+      // s[b] = ((ct+1) * 100000) div (cr+1) (add-1 smoothing), per-doc
+      // weight = mean token ratio (integer div). 100-TB posture: the
+      // bucket model is B rows REGARDLESS of corpus size — built by one
+      // map-side-combinable aggregate and BROADCAST back over the token
+      // stream; the per-doc reduce is doc_id-keyed. The corpus is never
+      // sorted and no float ever aggregates (order-independent by
+      // construction).
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(toks(col("text"))).as("w"))
+        .withColumn("b", h32(col("w")) % 64)
+      val model = tok.groupBy(col("b")).agg(
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+        .withColumn("ratio", expr("((ct + 1) * 100000) div (cr + 1)"))
+      tok.join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ntok"), sum(col("ratio")).as("rsum"))
+        .select(col("doc_id"), col("ntok"),
+          expr("rsum div ntok").as("w_score"),
+          (col("doc_id") % 7 === 0).as("is_target"))
     })
   )
 
@@ -1292,7 +1318,21 @@ object Battery {
        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
               CAST(MAX(p) + 5 - MIN(p) AS BIGINT) AS span_len,
               MIN(ntok) AS ntok
-       FROM i GROUP BY doc_id, isl"""
+       FROM i GROUP BY doc_id, isl""",
+    "q82_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents),
+       tb AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b FROM tok),
+       model AS (SELECT b,
+                    CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                    CAST(count(*) AS BIGINT) AS cr
+                 FROM tb GROUP BY 1),
+       m2 AS (SELECT b, ((ct + 1) * 100000) // (cr + 1) AS ratio FROM model)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+              CAST(SUM(ratio) AS BIGINT) // CAST(count(*) AS BIGINT) AS w_score,
+              doc_id % 7 = 0 AS is_target
+       FROM tb JOIN m2 USING (b) GROUP BY doc_id"""
   )
 
   /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors

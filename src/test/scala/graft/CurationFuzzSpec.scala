@@ -161,4 +161,38 @@ class CurationFuzzSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- q82 DSIR importance weights ----
+
+  private def md5h32(s: String): Long =
+    java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+
+  private def bruteQ82(docs: Seq[Doc]): Set[(Long, Long, Long, Boolean)] = {
+    val tok = docs.flatMap(d => toksOf(d._2).map(w => (d._1, md5h32(w) % 64)))
+    val model = tok.groupBy(_._2).map { case (b, xs) =>
+      b -> ((xs.count(_._1 % 7 == 0).toLong + 1) * 100000) / (xs.size.toLong + 1)
+    }
+    tok.groupBy(_._1).map { case (id, xs) =>
+      val n = xs.size.toLong
+      (id, n, xs.map(x => model(x._2)).sum / n, id % 7 == 0)
+    }.toSet
+  }
+
+  test("q82 matches the brute-force hashed-bucket importance model") {
+    val s = spark
+    import s.implicits._
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val dir = Files.createTempDirectory("q82fuzz").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.analytics.Battery.queries("q82_dsir_weights")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      val want = bruteQ82(docs)
+      if (got != want) { println(s"q82 MISMATCH\nDOCS: $docs\nGOT:  $got\nWANT: $want"); false }
+      else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
