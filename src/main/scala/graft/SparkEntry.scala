@@ -382,7 +382,30 @@ object SparkEntry {
       // as triples — core per-graph statistics plus property/class
       // partitions; the oracle recomputes every count independently in SQL
       "q81_void" -> ((s, _) => graft.analytics.VoidStats.describe(
-        goldenTriples(s).select("doc_id", "subj", "pred", "obj")))
+        goldenTriples(s).select("doc_id", "subj", "pred", "obj"))),
+      // RDF store delta: snapshot B is a deterministic "next revision" of
+      // the golden store (list links dropped, a revision marker added per
+      // typed subject); the diff is two quad-keyed anti joins. The oracle
+      // recomputes both snapshots and EXCEPTs them independently.
+      "q83_graph_diff" -> ((s, _) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val a = goldenTriples(s).select("doc_id", "subj", "pred", "obj")
+        val b = a.filter(col("pred") =!= graft.analytics.KgQuery.ListHasNext)
+          .unionByName(a.filter(col("pred") === graft.analytics.KgQuery.RdfType)
+            .select(col("doc_id"), col("subj"),
+              lit("urn:graft:rev").as("pred"), lit("2").as("obj")))
+        graft.analytics.RdfDiff.diff(a, b)
+      }),
+      // integer-exact PageRank (2 unrolled rounds, d = 0.85, 1e6 scale)
+      // over the store's iri→iri edges, per graph; the oracle unrolls the
+      // same two rounds as SQL CTEs
+      "q84_pagerank" -> ((s, _) => {
+        import org.apache.spark.sql.functions.col
+        graft.functions.GraphOps.pageRank(
+          goldenTriples(s).filter(col("obj_kind") === "iri")
+            .select(col("doc_id").as("g"), col("subj").as("s"), col("obj").as("d")),
+          "g", "s", "d", 2)
+      })
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -832,5 +855,44 @@ object SparkEntry {
        UNION ALL SELECT doc_id, ds || ':class:' || c,
               'http://rdfs.org/ns/void#class', c FROM cp
        UNION ALL SELECT doc_id, ds || ':class:' || c,
-              'http://rdfs.org/ns/void#entities', CAST(ne AS VARCHAR) FROM cp""")
+              'http://rdfs.org/ns/void#entities', CAST(ne AS VARCHAR) FROM cp""",
+    "q83_graph_diff" ->
+      s"""WITH trip AS (SELECT DISTINCT doc_id, subj, pred, obj
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       b AS (SELECT DISTINCT doc_id, subj, pred, obj FROM (
+           SELECT doc_id, subj, pred, obj FROM trip
+           WHERE pred <> 'https://w3id.org/list#hasNext'
+           UNION ALL
+           SELECT doc_id, subj, 'urn:graft:rev', '2' FROM trip
+           WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'))
+       SELECT doc_id, subj, pred, obj, '+' AS op
+       FROM (SELECT doc_id, subj, pred, obj FROM b
+             EXCEPT SELECT doc_id, subj, pred, obj FROM trip)
+       UNION ALL
+       SELECT doc_id, subj, pred, obj, '-' AS op
+       FROM (SELECT doc_id, subj, pred, obj FROM trip
+             EXCEPT SELECT doc_id, subj, pred, obj FROM b)""",
+    "q84_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT doc_id AS g, subj AS s, obj AS d
+                FROM read_parquet('${ExpectedGen.TriplesFile}')
+                WHERE obj_kind = 'iri'),
+       outd AS (SELECT g, s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1, 2),
+       nodes AS (SELECT DISTINCT g, node FROM (
+           SELECT g, s AS node FROM e UNION ALL SELECT g, d AS node FROM e)),
+       pr0 AS (SELECT g, node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       c1 AS (SELECT e.g, e.d AS node, SUM(p.pr // o.deg) AS m
+              FROM e JOIN outd o ON o.g = e.g AND o.s = e.s
+                     JOIN pr0 p ON p.g = e.g AND p.node = e.s
+              GROUP BY 1, 2),
+       pr1 AS (SELECT n.g, n.node,
+                 CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN c1 ON c1.g = n.g AND c1.node = n.node),
+       c2 AS (SELECT e.g, e.d AS node, SUM(p.pr // o.deg) AS m
+              FROM e JOIN outd o ON o.g = e.g AND o.s = e.s
+                     JOIN pr1 p ON p.g = e.g AND p.node = e.s
+              GROUP BY 1, 2),
+       pr2 AS (SELECT n.g, n.node,
+                 CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN c2 ON c2.g = n.g AND c2.node = n.node)
+       SELECT g, node, pr FROM pr2""")
 }

@@ -100,4 +100,45 @@ object GraphOps {
     sym.unpersist()
     labels
   }
+
+  /** Integer-exact PageRank over a per-graph directed edge list, a fixed
+    * number of unrolled iterations (link-analysis centrality for KG nodes —
+    * entity-importance ranking for summarization/sampling).
+    *
+    * Scores are scaled by 10^6 and every operation is integer (truncating
+    * `div`), so the result is bitwise deterministic and cross-engine
+    * oracle-able: pr0 = 1e6; each round pr' = 150000 + (85 * Σ incoming
+    * (pr div outdeg)) div 100 — the standard d=0.85 update with dangling
+    * mass dropped (dangling nodes keep receiving, never redistribute).
+    *
+    * 100-TB posture per round: one (g, src)-keyed join of the edge list
+    * against the rank table, one (g, dst)-keyed map-side-combinable sum,
+    * one left join back onto the node set — three keyed hash shuffles of
+    * (node, long) pairs, nothing driver-side. A fixed iteration count
+    * keeps the plan static (no convergence collect); the deduped edge
+    * list recurs across rounds as a ReusedExchange (at real scale — or
+    * for more rounds — stage it to parquet and localCheckpoint each pr,
+    * as connectedComponents does). Long arithmetic holds to ~9e12
+    * incoming mass per node (sum of 1e6-scaled ranks) — beyond that,
+    * widen to decimal as connectedComponents' checksum does.
+    */
+  def pageRank(edges: DataFrame, g: String = "g", src: String = "s",
+      dst: String = "d", iters: Int = 2): DataFrame = {
+    val e = edges.select(col(g).as("g"), col(src).as("s"), col(dst).as("d"))
+      .distinct()
+    val out = e.groupBy(col("g"), col("s")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("g"), col("s").as("node"))
+      .unionByName(e.select(col("g"), col("d").as("node"))).distinct()
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(out, Seq("g", "s"))
+        .join(pr.select(col("g"), col("node").as("s"), col("pr")), Seq("g", "s"))
+        .select(col("g"), col("d").as("node"), expr("pr div deg").as("c"))
+        .groupBy(col("g"), col("node")).agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("g", "node"), "left")
+        .select(col("g"), col("node"),
+          (lit(150000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("pr"))
+    }
+    pr.select(col("g"), col("node"), col("pr"))
+  }
 }

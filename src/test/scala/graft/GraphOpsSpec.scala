@@ -111,4 +111,34 @@ class GraphOpsSpec extends SparkTestBase {
     val reps = graft.analytics.Battery.queries("q32_dup_representative")(spark, d)
     assert(reps.count() == byComp.size)
   }
+
+  test("pageRank: hand-computed two rounds, dangling receiver, per-graph isolation") {
+    import spark.implicits._
+    // g1: a->b, a->c, b->c (c dangling); g2: reuses node names, b->a only
+    val edges = Seq(
+      ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+      ("g2", "b", "a")).toDF("g", "s", "d")
+    val got = graft.functions.GraphOps.pageRank(edges, "g", "s", "d", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // g1 round1: pr(a)=150000, pr(b)=150000+85%*500000=575000,
+    //            pr(c)=150000+85%*1500000=1425000
+    //    round2: m(b)=150000/2=75000, m(c)=75000+575000=650000
+    assert(got == Set(
+      ("g1", "a", 150000L), ("g1", "b", 213750L), ("g1", "c", 702500L),
+      ("g2", "b", 150000L), ("g2", "a", 277500L)))
+  }
+
+  test("RdfDiff: set semantics, both directions, identical stores diff empty") {
+    import spark.implicits._
+    val a = Seq(
+      ("g", "s", "p", "o"), ("g", "s", "p", "o"), // duplicate row: ONE quad
+      ("g", "s", "q", "o2")).toDF("doc_id", "subj", "pred", "obj")
+    val b = Seq(
+      ("g", "s", "p", "o"),
+      ("g", "s", "r", "o3")).toDF("doc_id", "subj", "pred", "obj")
+    val got = graft.analytics.RdfDiff.diff(a, b)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toSet
+    assert(got == Set(("s", "r", "o3", "+"), ("s", "q", "o2", "-")))
+    assert(graft.analytics.RdfDiff.diff(a, a).count() == 0)
+  }
 }
