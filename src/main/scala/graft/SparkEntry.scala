@@ -396,6 +396,30 @@ object SparkEntry {
               lit("urn:graft:rev").as("pred"), lit("2").as("obj")))
         graft.analytics.RdfDiff.diff(a, b)
       }),
+      // SHACL-lite validation: three shapes over the golden store — one
+      // fully conforming (express:INTEGER, exercising the zero-violation
+      // path of four constraint kinds) and two violating (ontology nodes
+      // fail minCount 2 + nodeKind literal; list cells fail maxCount 0 on
+      // hasNext + an ^urn: pattern on hasContents). The oracle recomputes
+      // every constraint as independent SQL.
+      "q85_shacl" -> ((s, _) => {
+        import graft.analytics.Shacl.{NodeShape, PropShape}
+        graft.analytics.Shacl.validate(goldenTriples(s), Seq(
+          NodeShape("s_int", "https://w3id.org/express#INTEGER", Seq(
+            PropShape("https://w3id.org/express#hasInteger",
+              minCount = Some(1L), maxCount = Some(1L),
+              datatype = Some("http://www.w3.org/2001/XMLSchema#integer"),
+              nodeKind = Some("literal")))),
+          NodeShape("s_ont", "http://www.w3.org/2002/07/owl#Ontology", Seq(
+            PropShape("http://www.w3.org/2002/07/owl#imports",
+              minCount = Some(2L), nodeKind = Some("literal")))),
+          NodeShape("s_cell",
+            "http://standards.buildingsmart.org/IFC/DEV/IFC4/ADD2_TC1/OWL#IfcCartesianPoint_List",
+            Seq(
+              PropShape("https://w3id.org/list#hasNext", maxCount = Some(0L)),
+              PropShape("https://w3id.org/list#hasContents",
+                pattern = Some("^urn:"))))))
+      }),
       // integer-exact PageRank (2 unrolled rounds, d = 0.85, 1e6 scale)
       // over the store's iri→iri edges, per graph; the oracle unrolls the
       // same two rounds as SQL CTEs
@@ -894,5 +918,62 @@ object SparkEntry {
        pr2 AS (SELECT n.g, n.node,
                  CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS pr
                FROM nodes n LEFT JOIN c2 ON c2.g = n.g AND c2.node = n.node)
-       SELECT g, node, pr FROM pr2""")
+       SELECT g, node, pr FROM pr2""",
+    "q85_shacl" ->
+      s"""WITH trip AS (SELECT doc_id, subj, pred, obj, obj_kind, obj_datatype
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       ty AS (SELECT doc_id, subj, obj FROM trip
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+       f1 AS (SELECT DISTINCT doc_id, subj AS focus FROM ty
+              WHERE obj = 'https://w3id.org/express#INTEGER'),
+       v1 AS (SELECT doc_id, subj AS focus, obj, obj_kind, obj_datatype FROM trip
+              WHERE pred = 'https://w3id.org/express#hasInteger'),
+       c1 AS (SELECT f.doc_id, f.focus, CAST(count(v.obj) AS BIGINT) AS n
+              FROM f1 f LEFT JOIN v1 v ON v.doc_id = f.doc_id AND v.focus = f.focus
+              GROUP BY 1, 2),
+       f2 AS (SELECT DISTINCT doc_id, subj AS focus FROM ty
+              WHERE obj = 'http://www.w3.org/2002/07/owl#Ontology'),
+       v2 AS (SELECT doc_id, subj AS focus, obj, obj_kind FROM trip
+              WHERE pred = 'http://www.w3.org/2002/07/owl#imports'),
+       c2 AS (SELECT f.doc_id, f.focus, CAST(count(v.obj) AS BIGINT) AS n
+              FROM f2 f LEFT JOIN v2 v ON v.doc_id = f.doc_id AND v.focus = f.focus
+              GROUP BY 1, 2),
+       f3 AS (SELECT DISTINCT doc_id, subj AS focus FROM ty
+              WHERE obj = 'http://standards.buildingsmart.org/IFC/DEV/IFC4/ADD2_TC1/OWL#IfcCartesianPoint_List'),
+       v3n AS (SELECT doc_id, subj AS focus, obj FROM trip
+               WHERE pred = 'https://w3id.org/list#hasNext'),
+       c3 AS (SELECT f.doc_id, f.focus, CAST(count(v.obj) AS BIGINT) AS n
+              FROM f3 f LEFT JOIN v3n v ON v.doc_id = f.doc_id AND v.focus = f.focus
+              GROUP BY 1, 2),
+       v3c AS (SELECT doc_id, subj AS focus, obj FROM trip
+               WHERE pred = 'https://w3id.org/list#hasContents')
+       SELECT doc_id, focus, 's_int' AS shape,
+              'https://w3id.org/express#hasInteger' AS path,
+              'minCount' AS constraint, CAST(n AS VARCHAR) AS detail
+         FROM c1 WHERE n < 1
+       UNION ALL SELECT doc_id, focus, 's_int',
+              'https://w3id.org/express#hasInteger', 'maxCount', CAST(n AS VARCHAR)
+         FROM c1 WHERE n > 1
+       UNION ALL SELECT v.doc_id, v.focus, 's_int',
+              'https://w3id.org/express#hasInteger', 'datatype', v.obj
+         FROM f1 f JOIN v1 v ON v.doc_id = f.doc_id AND v.focus = f.focus
+         WHERE v.obj_datatype <> 'http://www.w3.org/2001/XMLSchema#integer'
+       UNION ALL SELECT v.doc_id, v.focus, 's_int',
+              'https://w3id.org/express#hasInteger', 'nodeKind', v.obj
+         FROM f1 f JOIN v1 v ON v.doc_id = f.doc_id AND v.focus = f.focus
+         WHERE v.obj_kind <> 'literal'
+       UNION ALL SELECT doc_id, focus, 's_ont',
+              'http://www.w3.org/2002/07/owl#imports', 'minCount', CAST(n AS VARCHAR)
+         FROM c2 WHERE n < 2
+       UNION ALL SELECT v.doc_id, v.focus, 's_ont',
+              'http://www.w3.org/2002/07/owl#imports', 'nodeKind', v.obj
+         FROM f2 f JOIN v2 v ON v.doc_id = f.doc_id AND v.focus = f.focus
+         WHERE v.obj_kind <> 'literal'
+       UNION ALL SELECT doc_id, focus, 's_cell',
+              'https://w3id.org/list#hasNext', 'maxCount', CAST(n AS VARCHAR)
+         FROM c3 WHERE n > 0
+       UNION ALL SELECT v.doc_id, v.focus, 's_cell',
+              'https://w3id.org/list#hasContents', 'pattern', v.obj
+         FROM f3 f JOIN v3c v ON v.doc_id = f.doc_id AND v.focus = f.focus
+         WHERE NOT regexp_matches(v.obj, '^urn:')""")
 }
