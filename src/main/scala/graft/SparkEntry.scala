@@ -243,6 +243,17 @@ object SparkEntry {
         graft.sources.NTriplesSource.parse(lines)
           .select("subj", "pred", "obj", "obj_kind", "obj_datatype")
       }),
+      // N-Quads roundtrip: serialize the golden store WITH its graph column
+      // (doc_id → urn:graft:graph:<id> per the sink's naming convention),
+      // parse it back, and recover the quads — the oracle applies the same
+      // convention to the expected table
+      "q86_nquads_roundtrip" -> ((s, _) => {
+        val lines = goldenTriples(s)
+          .select(graft.sinks.NQuadsSink.line().as("value"))
+          .as(org.apache.spark.sql.Encoders.STRING)
+        graft.sources.NQuadsSource.parse(lines)
+          .select("doc_id", "subj", "pred", "obj", "obj_kind", "obj_datatype")
+      }),
       // SPARQL typed-term layer: language tags ride the store's obj_lang
       // column and surface through LANG/LANGMATCHES/DATATYPE — the store is
       // the golden corpus with deterministic tags (length parity), so the
@@ -605,6 +616,12 @@ object SparkEntry {
          ON n.doc_id = c.doc_id AND n.subj = c.subj AND length(c.obj) > 40""",
     "q54_nt_roundtrip" ->
       s"""SELECT subj, pred, obj, obj_kind,
+              CASE WHEN obj_kind = 'iri' THEN ''
+                   WHEN obj_datatype = 'http://www.w3.org/2001/XMLSchema#string' THEN ''
+                   ELSE obj_datatype END AS obj_datatype
+       FROM read_parquet('${ExpectedGen.TriplesFile}')""",
+    "q86_nquads_roundtrip" ->
+      s"""SELECT 'urn:graft:graph:' || doc_id AS doc_id, subj, pred, obj, obj_kind,
               CASE WHEN obj_kind = 'iri' THEN ''
                    WHEN obj_datatype = 'http://www.w3.org/2001/XMLSchema#string' THEN ''
                    ELSE obj_datatype END AS obj_datatype

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *    `;`-separated sequences — compiled to keyed anti joins + unions over
   *    the store (copy-on-write: the result is the next table snapshot);
   *    graph management CLEAR/DROP (coincide: graphs exist implicitly),
-  *    CREATE (no-op), ADD/COPY/MOVE <g1> TO <g2>, and LOAD <path> INTO
-  *    GRAPH <g> (.nt splittable / .ttl file-per-doc sources). DEFAULT-graph
+  *    CREATE (no-op), ADD/COPY/MOVE <g1> TO <g2>, and LOAD <path> [INTO
+  *    GRAPH <g>] (.nt splittable / .nq splittable-with-graphs / .ttl
+  *    file-per-doc sources; INTO GRAPH is mandatory except for .nq, whose
+  *    own graph labels are kept — or overridden when given). DEFAULT-graph
   *    forms fail loudly — the store is named-graphs-only.
   *  - Patterns: basic graph patterns with `;`/`,` shorthand and `a`,
   *    property paths (`/`, `|`, `^`, `+`, `*`, `?`, parentheses, negated
@@ -1053,9 +1055,11 @@ object Sparql {
           case TIri(v, _) => v
           case t => fail("expected a <file-or-dir-path> after LOAD", text, t.pos)
         }
-        // no default graph to load into, so INTO GRAPH is mandatory
-        expectWord("INTO"); expectWord("GRAPH")
-        ULoad(path, graphIri())
+        // no default graph to load into, so INTO GRAPH is mandatory —
+        // except for N-Quads, which carry their own graph labels
+        if (takeWord("INTO")) { expectWord("GRAPH"); ULoad(path, graphIri()) }
+        else if (path.toLowerCase.endsWith(".nq")) ULoad(path, "")
+        else err("LOAD needs INTO GRAPH <g> (only .nq sources carry their own graphs)")
       } else err("expected INSERT, DELETE, CLEAR, DROP, CREATE, ADD, COPY, MOVE or LOAD")
 
     private def graphIri(): String = next() match {
@@ -2013,8 +2017,23 @@ object Sparql {
             graft.sources.NTriplesSource.read(spark, path).withColumn(graphCol, lit(g))
           else if (lower.endsWith(".ttl"))
             graft.sources.TurtleSource.read(spark, path).withColumn(graphCol, lit(g))
-          else throw new IllegalArgumentException(
-            s"LOAD supports .nt and .ttl sources, got: $path")
+          else if (lower.endsWith(".nq")) {
+            // quads carry their own graphs; INTO GRAPH <g> overrides them.
+            // Without an override, default-graph lines (doc_id "") have no
+            // home in this named-graphs-only store — fail loudly rather
+            // than invent a graph name.
+            val q = graft.sources.NQuadsSource.read(spark, path)
+              .withColumnRenamed("doc_id", graphCol)
+            if (g.nonEmpty) q.withColumn(graphCol, lit(g))
+            else {
+              val dflt = q.filter(col(graphCol) === "").count()
+              require(dflt == 0, s"LOAD <$path>: $dflt default-graph line(s) — " +
+                "this store is named-graphs-only; use LOAD ... INTO GRAPH <g> " +
+                "to assign them")
+              q
+            }
+          } else throw new IllegalArgumentException(
+            s"LOAD supports .nt, .nq and .ttl sources, got: $path")
         // project to the store's shape (never widen the store schema) and
         // dedup the file's own lines — RDF load is set semantics
         val metaCols = Seq("obj_kind", "obj_datatype", "obj_lang")

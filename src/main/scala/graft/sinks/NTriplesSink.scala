@@ -38,7 +38,12 @@ object NTriplesSink {
     * grammar); silently dropping the tag would alter the data — the same
     * loud-vs-lossy contract LOAD enforces on the way in. Blank-node terms
     * (`_:` subjects, obj_kind "bnode") serialize verbatim, not as IRIs. */
-  def line(withLang: Boolean = false): Column = {
+  def line(withLang: Boolean = false): Column =
+    concat(tripleTerms(withLang), lit(" ."))
+
+  /** The `<s> <p> o` term chain without the terminator — shared with the
+    * N-Quads serializer, which appends a graph label before the '.'. */
+  private[graft] def tripleTerms(withLang: Boolean): Column = {
     val lang = if (withLang) coalesce(col("obj_lang"), lit("")) else lit("")
     val litTerm = concat(
       lit("\""), esc(col("obj")), lit("\""),
@@ -51,7 +56,7 @@ object NTriplesSink {
       .otherwise(litTerm)
     val subjTerm = when(col("subj").startsWith("_:"), col("subj"))
       .otherwise(concat(lit("<"), col("subj"), lit(">")))
-    concat(subjTerm, lit(" <"), col("pred"), lit("> "), objTerm, lit(" ."))
+    concat(subjTerm, lit(" <"), col("pred"), lit("> "), objTerm)
   }
 
   /** Distributed export: one text part-file per partition, no shuffle.

@@ -81,7 +81,12 @@ object NTriplesSource {
 
   /** Parse one line; None for blank/comment lines. Hand-rolled index scan —
     * no regex, no split — so the per-line cost is one pass over the bytes. */
-  def parseLine(line: String): Option[NtRow] = {
+  def parseLine(line: String): Option[NtRow] = parseCore(line, allowGraph = false).map(_._1)
+
+  /** Shared NT/NQ statement core: with `allowGraph` an optional graph label
+    * (IRI or blank node — the N-Quads grammar) may precede the terminating
+    * '.'; returns it verbatim, "" when absent (= the default graph). */
+  private[sources] def parseCore(line: String, allowGraph: Boolean): Option[(NtRow, String)] = {
     val n = line.length
     var i = skipWs(line, 0)
     if (i >= n || line.charAt(i) == '#') return None
@@ -164,13 +169,20 @@ object NTriplesSource {
       case _ => err("expected IRI, blank node or literal object", i)
     }
 
-    // terminating '.' then only whitespace/comment
+    // optional graph label (N-Quads only), then terminating '.' and only
+    // whitespace/comment
     i = skipWs(line, i)
+    var graph = ""
+    if (allowGraph && i < n && (line.charAt(i) == '<' || line.charAt(i) == '_')) {
+      val (gv, j) = if (line.charAt(i) == '<') iri(i) else bnode(i)
+      graph = gv
+      i = skipWs(line, j)
+    }
     if (i >= n || line.charAt(i) != '.') err("expected terminating '.'", i)
     i = skipWs(line, i + 1)
     if (i < n && line.charAt(i) != '#') err("trailing content after '.'", i)
 
-    Some(NtRow(subj, pred, obj, kind, dt, lang))
+    Some((NtRow(subj, pred, obj, kind, dt, lang), graph))
   }
 
   @inline private def isWs(c: Char): Boolean = c == ' ' || c == '\t'

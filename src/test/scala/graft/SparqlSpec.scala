@@ -579,10 +579,37 @@ class SparqlSpec extends SparkTestBase {
       val e = intercept[IllegalArgumentException](Sparql.update(kg, text).collect())
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
     }
-    bad(s"LOAD <${nt}>", "expected INTO")
-    bad(s"LOAD <${dir.resolve("x.json")}> INTO GRAPH <dz>", ".nt and .ttl")
+    bad(s"LOAD <${nt}>", "LOAD needs INTO GRAPH")
+    bad(s"LOAD <${dir.resolve("x.json")}> INTO GRAPH <dz>", ".nt, .nq and .ttl")
     bad("CLEAR DEFAULT", "no default graph")
     bad("ADD DEFAULT TO <d1>", "no default graph")
+  }
+
+  test("LOAD .nq keeps its own graphs, INTO GRAPH overrides, default-graph lines loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparql-loadnq")
+    val nq = dir.resolve("data.nq")
+    java.nio.file.Files.write(nq,
+      ("<urn:x> <urn:p> \"v\" <urn:gA> .\n" +
+       "<urn:x> <urn:p> <urn:y> <urn:gB> .\n" +
+       "<urn:x> <urn:p> \"v\" <urn:gA> .\n").getBytes("UTF-8")) // dup line → one row
+    val kept = Sparql.update(kg, s"LOAD <${nq}>")
+    assert(kept.filter("doc_id = 'urn:gA'").count() == 1)
+    assert(kept.filter("doc_id = 'urn:gB'").count() == 1)
+    assert(kept.count() == kg.count() + 2)
+    // INTO GRAPH overrides the file's labels (and collapses the set further)
+    val forced = Sparql.update(kg, s"LOAD <${nq}> INTO GRAPH <dz>")
+    assert(forced.filter("doc_id = 'dz'").count() == 2)
+    assert(forced.filter("doc_id = 'urn:gA'").count() == 0)
+    // a default-graph line has no home without an override
+    val mixed = dir.resolve("mixed.nq")
+    java.nio.file.Files.write(mixed,
+      "<urn:x> <urn:p> \"v\" .\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      Sparql.update(kg, s"LOAD <${mixed}>").collect())
+    assert(e.getMessage.contains("default-graph"))
+    // ... but loads fine with one
+    assert(Sparql.update(kg, s"LOAD <${mixed}> INTO GRAPH <dw>")
+      .filter("doc_id = 'dw'").count() == 1)
   }
 
   test("update loud errors: variables in ground data, bare triples without GRAPH") {
