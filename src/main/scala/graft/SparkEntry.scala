@@ -361,8 +361,12 @@ object SparkEntry {
           ("urn:graft:related", graft.analytics.Rdfs.Range, "urn:graft:Cell"),
           ("urn:graft:Cell", graft.analytics.Rdfs.SubClassOf, "urn:graft:Node")
         ).toDF("subj", "pred", "obj")
+        // the augmented store is localCheckpointed before entailment: in
+        // production the entail input IS a staged table (parquet), not a
+        // lazy distinct+crossJoin union — without the cut, every rule scan
+        // re-derives the union (6 redundant graph-list shuffles here)
         graft.analytics.Rdfs.entail(graft.analytics.Rdfs.withSchema(
-          store, classes.unionByName(fixed)))
+          store, classes.unionByName(fixed)).localCheckpoint(true))
       }),
       // owl:sameAs smushing: every typed instance gains a 3-member identity
       // clique (i ← urn:a1:i ← urn:a2:i, linked by directed sameAs edges so

@@ -73,19 +73,32 @@ object Rdfs {
   }
 
   /** The entailed graph: input triples ∪ every ρdf-derivable triple,
-    * distinct per (graph, subj, pred, obj). */
+    * distinct per (graph, subj, pred, obj).
+    *
+    * The rule cascade is PRE-COMPOSED on the schema side: instead of
+    * deriving rdfs7 property assertions and re-joining them for rdfs2/3,
+    * then re-joining those types for rdfs9 (which makes the plan re-scan
+    * the corpus once per cascade stage — ~17 instance scans when each
+    * lazy branch recomputes), the sp/sc closures fold into EFFECTIVE
+    * property→class maps — effDom(p) = {C : p sp* q, q dom C} lifted
+    * through sc* — all TBox-sized joins among TBox-sized frames. Every
+    * instance-side rule is then ONE broadcast join against one scan:
+    * 6 bounded scans of the store regardless of schema depth. */
   def entail(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
     val t = triples.select(col(graphCol).as("g"),
       col("subj"), col("pred"), col("obj"))
 
-    def closurePlus(predIri: String): DataFrame =
-      KgQuery.transitiveClosure(
-        t.filter(col("pred") === predIri)
-          .select(col("g"), col("subj").as("src"), col("obj").as("dst")),
-        graph = Seq("g")).drop("dist")
+    // one scan extracts the whole schema side; eagerly cut (TBox-sized by
+    // the ρdf contract) so the map compositions below never re-derive it
+    val schemaEdges = t.filter(col("pred").isin(
+        SubClassOf, SubPropertyOf, Domain, Range))
+      .localCheckpoint(true)
+    def edgesOf(predIri: String): DataFrame =
+      schemaEdges.filter(col("pred") === predIri)
+        .select(col("g"), col("subj").as("src"), col("obj").as("dst"))
 
-    val scPlus = closurePlus(SubClassOf)   // (g, src, dst) — TBox-sized
-    val spPlus = closurePlus(SubPropertyOf)
+    val scPlus = KgQuery.transitiveClosure(edgesOf(SubClassOf), graph = Seq("g")).drop("dist")
+    val spPlus = KgQuery.transitiveClosure(edgesOf(SubPropertyOf), graph = Seq("g")).drop("dist")
 
     // rdfs5/11: the closures themselves are entailed schema triples
     val schemaDerived =
@@ -94,33 +107,42 @@ object Rdfs {
         .unionByName(spPlus.select(col("g"), col("src").as("subj"),
           lit(SubPropertyOf).as("pred"), col("dst").as("obj")))
 
-    // rdfs7: property inheritance — broadcast the sp closure keyed by the
-    // sub-property, rewrite pred to the super. Applies to every non-type
-    // assertion (schema predicates are properties too; uniform semantics).
+    // effective dom/rng maps (g, p, cls): zero-or-more sp steps into the
+    // declaring property (rdfs7 feeding rdfs2/3), then zero-or-one sc+
+    // lift of the class (rdfs9 over the derived type) — TBox-sized
+    def spInto(m: DataFrame): DataFrame = // m: (g, src=declaring p, dst=cls)
+      m.unionByName(
+        spPlus.join(
+            broadcast(m.select(col("g").as("__g"), col("src").as("__q"),
+              col("dst").as("__cls"))),
+            col("g") === col("__g") && col("dst") === col("__q"))
+          .select(col("g"), col("src"), col("__cls").as("dst")))
+    def scLift(m: DataFrame): DataFrame =
+      m.unionByName(m.join(broadcast(scPlus.select(col("g").as("__g"),
+            col("src").as("__c"), col("dst").as("__d"))),
+          col("g") === col("__g") && col("dst") === col("__c"))
+        .select(col("g"), col("src"), col("__d").as("dst")))
+    val effDom = scLift(spInto(edgesOf(Domain))).distinct()
+    val effRng = scLift(spInto(edgesOf(Range))).distinct()
+
+    // instance-side rules: ONE broadcast join per rule, one scan each
     val props = t.filter(col("pred") =!= KgQuery.RdfType)
     val derived7 = props.join(
         broadcast(spPlus.select(col("g").as("__g"), col("src").as("__sub"),
           col("dst").as("__sup"))),
         col("g") === col("__g") && col("pred") === col("__sub"))
       .select(col("g"), col("subj"), col("__sup").as("pred"), col("obj"))
-    val allProps = props.unionByName(derived7)
-
-    // rdfs2/3 over asserted ∪ rdfs7-derived property assertions
-    def ruleTypes(schemaPred: String, instCol: String): DataFrame =
-      allProps.join(
-          broadcast(t.filter(col("pred") === schemaPred)
-            .select(col("g").as("__g"), col("subj").as("__p"),
-              col("obj").as("__cls"))),
+    def ruleTypes(eff: DataFrame, instCol: String): DataFrame =
+      props.join(
+          broadcast(eff.select(col("g").as("__g"), col("src").as("__p"),
+            col("dst").as("__cls"))),
           col("g") === col("__g") && col("pred") === col("__p"))
         .select(col("g"), col(instCol).as("subj"),
           lit(KgQuery.RdfType).as("pred"), col("__cls").as("obj"))
-    val typesFromDom = ruleTypes(Domain, "subj")
-    val typesFromRng = ruleTypes(Range, "obj")
-
-    // rdfs9 over asserted ∪ dom/rng-derived type assertions
-    val allTypes = t.filter(col("pred") === KgQuery.RdfType)
-      .unionByName(typesFromDom).unionByName(typesFromRng)
-    val derived9 = allTypes.join(
+    val typesFromDom = ruleTypes(effDom, "subj")
+    val typesFromRng = ruleTypes(effRng, "obj")
+    // rdfs9 over the ASSERTED types (derived types are pre-lifted in eff*)
+    val derived9 = t.filter(col("pred") === KgQuery.RdfType).join(
         broadcast(scPlus.select(col("g").as("__g"), col("src").as("__sub"),
           col("dst").as("__sup"))),
         col("g") === col("__g") && col("obj") === col("__sub"))

@@ -51,6 +51,21 @@ class KgQuerySpec extends SparkTestBase {
     assert(closure(Nil).isEmpty)
   }
 
+  test("distributed doubling path (smallCap = 0) matches the driver fast path") {
+    // the size gate routes TBox-scale inputs through driver-side BFS; pin
+    // the distributed loop on the same fixtures by disabling the gate
+    import spark.implicits._
+    val edges = Seq(
+      ("d", "a", "b"), ("d", "b", "c"), ("d", "c", "e"), // chain
+      ("d", "1", "2"), ("d", "2", "3"), ("d", "3", "1"), // cycle
+      ("B", "b", "c")) // second graph
+    def run(cap: Long) =
+      KgQuery.transitiveClosure(edges.toDF("g", "src", "dst"),
+          graph = Seq("g"), smallCap = cap)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(run(0L) == run(100000L))
+  }
+
   // ------------------------------------------------------------ bgp
 
   private val rdfType = KgQuery.RdfType
