@@ -33,12 +33,20 @@ object SparqlResults {
   private def kindOf(df: DataFrame, n: String): Column =
     if (df.columns.contains(KgQuery.metaCol(n, "kind"))) col(KgQuery.metaCol(n, "kind"))
     else lit("literal")
-  private def dtOf(df: DataFrame, n: String): Column =
-    if (df.columns.contains(KgQuery.metaCol(n, "datatype"))) col(KgQuery.metaCol(n, "datatype"))
-    else lit("")
-  private def langOf(df: DataFrame, n: String): Column =
-    if (df.columns.contains(KgQuery.metaCol(n, "lang"))) col(KgQuery.metaCol(n, "lang"))
-    else lit("")
+  // datatype/lang companions are OPTIONAL: an absent column means "no such
+  // metadata" and its render branch is dropped at BUILD time — threading a
+  // lit("") placeholder instead would plan a constant-false compare per
+  // term and spam Spark's trivially-true-equals warning on every render
+  private def dtOf(df: DataFrame, n: String): Option[Column] =
+    if (df.columns.contains(KgQuery.metaCol(n, "datatype")))
+      Some(col(KgQuery.metaCol(n, "datatype"))) else None
+  private def langOf(df: DataFrame, n: String): Option[Column] =
+    if (df.columns.contains(KgQuery.metaCol(n, "lang")))
+      Some(col(KgQuery.metaCol(n, "lang"))) else None
+
+  /** first-match when-chain over the present branches; `dflt` when none */
+  private def chain(branches: Seq[(Column, Column)], dflt: Column): Column =
+    branches.foldRight(dflt) { case ((c, v), acc) => when(c, v).otherwise(acc) }
 
   // ------------------------------------------------------------------ CSV
 
@@ -74,15 +82,15 @@ object SparqlResults {
     // cast up front: typed result columns (aggregates, xsd casts) render
     // their lexical form, and CaseWhen branch unification stays STRING
     val v = col(n).cast("string")
-    val dt = dtOf(df, n)
-    val lang = langOf(df, n)
+    val suffix = chain(
+      langOf(df, n).map(l => (l =!= "", concat(lit("@"), l))).toSeq ++
+        dtOf(df, n).map(d => (d =!= "" && d =!= XsdString,
+          concat(lit("^^<"), d, lit(">")))).toSeq,
+      lit(""))
     when(v.isNull, lit(""))
       .when(kindOf(df, n) === "iri", concat(lit("<"), v, lit(">")))
       .when(kindOf(df, n) === "bnode", v)
-      .otherwise(concat(lit("\""), tsvEscape(v), lit("\""),
-        when(lang =!= "", concat(lit("@"), lang))
-          .when(dt =!= "" && dt =!= XsdString, concat(lit("^^<"), dt, lit(">")))
-          .otherwise(lit(""))))
+      .otherwise(concat(lit("\""), tsvEscape(v), lit("\""), suffix))
   }
 
   /** one `(ord, line)` row per solution plus the `?var` header (ord 0) */
@@ -107,15 +115,15 @@ object SparqlResults {
     * variables are omitted from a JSON binding per the spec) */
   private def jsonBinding(df: DataFrame, n: String): Column = {
     val v = col(n).cast("string")
-    val dt = dtOf(df, n)
-    val lang = langOf(df, n)
     val tpe = when(kindOf(df, n) === "iri", lit("uri"))
       .when(kindOf(df, n) === "bnode", lit("bnode"))
       .otherwise(lit("literal"))
-    val suffix = when(tpe =!= "literal", lit(""))
-      .when(lang =!= "", concat(lit("\",\"xml:lang\":\""), lang))
-      .when(dt =!= "" && dt =!= XsdString, concat(lit("\",\"datatype\":\""), jsonEscape(dt)))
-      .otherwise(lit(""))
+    val litSuffix = chain(
+      langOf(df, n).map(l => (l =!= "", concat(lit("\",\"xml:lang\":\""), l))).toSeq ++
+        dtOf(df, n).map(d => (d =!= "" && d =!= XsdString,
+          concat(lit("\",\"datatype\":\""), jsonEscape(d)))).toSeq,
+      lit(""))
+    val suffix = when(tpe =!= "literal", lit("")).otherwise(litSuffix)
     // bnode JSON values drop the `_:` prefix (the label alone is the value)
     val value = when(tpe === "bnode", v.substr(lit(3), length(v))).otherwise(v)
     when(v.isNull, lit(null).cast("string"))
@@ -143,18 +151,17 @@ object SparqlResults {
     * variables are omitted from a result element per the XML results spec) */
   private def xmlBinding(df: DataFrame, n: String): Column = {
     val v = col(n).cast("string")
-    val dt = dtOf(df, n)
-    val lang = langOf(df, n)
     val kind = kindOf(df, n)
+    val openTag = chain(
+      langOf(df, n).map(l => (l =!= "",
+        concat(lit("<literal xml:lang=\""), xmlAttrEscape(l), lit("\">")))).toSeq ++
+        dtOf(df, n).map(d => (d =!= "" && d =!= XsdString,
+          concat(lit("<literal datatype=\""), xmlAttrEscape(d), lit("\">")))).toSeq,
+      lit("<literal>"))
     val term = when(kind === "iri", concat(lit("<uri>"), xmlEscape(v), lit("</uri>")))
       .when(kind === "bnode",
         concat(lit("<bnode>"), xmlEscape(v.substr(lit(3), length(v))), lit("</bnode>")))
-      .otherwise(concat(
-        when(lang =!= "", concat(lit("<literal xml:lang=\""), xmlAttrEscape(lang), lit("\">")))
-          .when(dt =!= "" && dt =!= XsdString,
-            concat(lit("<literal datatype=\""), xmlAttrEscape(dt), lit("\">")))
-          .otherwise(lit("<literal>")),
-        xmlEscape(v), lit("</literal>")))
+      .otherwise(concat(openTag, xmlEscape(v), lit("</literal>")))
     when(v.isNull, lit(null).cast("string"))
       .otherwise(concat(lit("<binding name=\"" + n + "\">"), term, lit("</binding>")))
   }

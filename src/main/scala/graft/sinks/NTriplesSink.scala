@@ -44,13 +44,17 @@ object NTriplesSink {
   /** The `<s> <p> o` term chain without the terminator — shared with the
     * N-Quads serializer, which appends a graph label before the '.'. */
   private[graft] def tripleTerms(withLang: Boolean): Column = {
-    val lang = if (withLang) coalesce(col("obj_lang"), lit("")) else lit("")
-    val litTerm = concat(
-      lit("\""), esc(col("obj")), lit("\""),
-      when(lang =!= "", concat(lit("@"), lang))
-        // xsd:string is the implicit datatype in RDF 1.1 — canonical N-Triples omits it
-        .when(col("obj_datatype") === "" || col("obj_datatype") === XsdString, lit(""))
-        .otherwise(concat(lit("^^<"), col("obj_datatype"), lit(">"))))
+    // xsd:string is the implicit datatype in RDF 1.1 — canonical N-Triples omits it
+    val dtSuffix =
+      when(col("obj_datatype") === "" || col("obj_datatype") === XsdString, lit(""))
+        .otherwise(concat(lit("^^<"), col("obj_datatype"), lit(">")))
+    val suffix =
+      if (!withLang) dtSuffix // no lang column: no dead `lit("")` comparison
+      else {
+        val lang = coalesce(col("obj_lang"), lit(""))
+        when(lang =!= "", concat(lit("@"), lang)).otherwise(dtSuffix)
+      }
+    val litTerm = concat(lit("\""), esc(col("obj")), lit("\""), suffix)
     val objTerm = when(col("obj_kind") === "iri", concat(lit("<"), col("obj"), lit(">")))
       .when(col("obj_kind") === "bnode", col("obj"))
       .otherwise(litTerm)
