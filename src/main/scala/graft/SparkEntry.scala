@@ -411,6 +411,40 @@ object SparkEntry {
               lit("urn:graft:rev").as("pred"), lit("2").as("obj")))
         graft.analytics.RdfDiff.diff(a, b)
       }),
+      // entity property table: the KG→feature-frame bridge (one row per
+      // typed entity, one column per selected predicate — what an ML
+      // pipeline consumes). Conditional aggregation, NOT pivot: an explicit
+      // column list keeps the schema static and the pass one map-side-
+      // combinable (doc_id, subj)-keyed aggregate; value = min (the
+      // deterministic representative), plus the total out-degree.
+      "q87_entity_table" -> ((s, _) => {
+        import org.apache.spark.sql.functions.{col, count, lit, min, when, sum}
+        val preds = Seq(
+          ("type_of", graft.analytics.KgQuery.RdfType),
+          ("contents", graft.analytics.KgQuery.ListHasContents),
+          ("next_cell", graft.analytics.KgQuery.ListHasNext))
+        goldenTriples(s)
+          .groupBy(col("doc_id"), col("subj"))
+          .agg(
+            count(lit(1)).as("out_degree"),
+            preds.map { case (alias, p) =>
+              min(when(col("pred") === p, col("obj"))).as(alias) }: _*)
+      }),
+      // characteristic sets (Neumann & Moerkotte, ICDE 2011): the RDF
+      // statistic planners estimate star joins with — group subjects by
+      // their exact predicate SET. Two map-side-combinable aggregates:
+      // (graph, subj) → sorted distinct pred list, then the set string →
+      // (n_entities, sum of out-degrees). sort_array makes collect_set's
+      // arbitrary order deterministic and cross-engine.
+      "q88_char_sets" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        goldenTriples(s)
+          .groupBy(col("doc_id"), col("subj"))
+          .agg(count(lit(1)).as("deg"),
+            concat_ws(",", sort_array(collect_set(col("pred")))).as("cset"))
+          .groupBy(col("doc_id"), col("cset"))
+          .agg(count(lit(1)).as("n_entities"), sum(col("deg")).as("n_triples"))
+      }),
       // SHACL-lite validation: three shapes over the golden store — one
       // fully conforming (express:INTEGER, exercising the zero-violation
       // path of four constraint kinds) and two violating (ontology nodes
@@ -996,5 +1030,23 @@ object SparkEntry {
        UNION ALL SELECT v.doc_id, v.focus, 's_cell',
               'https://w3id.org/list#hasContents', 'pattern', v.obj
          FROM f3 f JOIN v3c v ON v.doc_id = f.doc_id AND v.focus = f.focus
-         WHERE NOT regexp_matches(v.obj, '^urn:')""")
+         WHERE NOT regexp_matches(v.obj, '^urn:')""",
+    "q87_entity_table" ->
+      s"""SELECT doc_id, subj, CAST(count(*) AS BIGINT) AS out_degree,
+              MIN(CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                  THEN obj END) AS type_of,
+              MIN(CASE WHEN pred = 'https://w3id.org/list#hasContents'
+                  THEN obj END) AS contents,
+              MIN(CASE WHEN pred = 'https://w3id.org/list#hasNext'
+                  THEN obj END) AS next_cell
+       FROM read_parquet('${ExpectedGen.TriplesFile}')
+       GROUP BY 1, 2""",
+    "q88_char_sets" ->
+      s"""WITH per AS (SELECT doc_id, subj, CAST(count(*) AS BIGINT) AS deg,
+                array_to_string(list_sort(list(DISTINCT pred)), ',') AS cset
+              FROM read_parquet('${ExpectedGen.TriplesFile}')
+              GROUP BY 1, 2)
+       SELECT doc_id, cset, CAST(count(*) AS BIGINT) AS n_entities,
+              CAST(SUM(deg) AS BIGINT) AS n_triples
+       FROM per GROUP BY 1, 2""")
 }

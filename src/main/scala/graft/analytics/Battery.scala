@@ -671,6 +671,40 @@ object Battery {
         .select(col("doc_id"), col("ntok"),
           expr("rsum div ntok").as("w_score"),
           (col("doc_id") % 7 === 0).as("is_target"))
+    }),
+    "q89_seq_pack" -> ((s, d) => {
+      // sequence packing (the pretraining prep step): concatenate the
+      // corpus in doc_id order and chunk into L=256-token training
+      // sequences; per doc report its start offset, start/end bin and
+      // whether it crosses a bin boundary. The exclusive prefix sum is
+      // computed SCALE-SAFELY as a two-level sum — a global
+      // Window.orderBy would drag the whole corpus through ONE partition:
+      // shard = doc_id div 1000; intra-shard exclusive cumsum (windows
+      // partitioned by shard), shard totals rolled into per-shard offsets
+      // on a SHARD-COUNT-sized frame (the only unpartitioned window runs
+      // there), broadcast back. The oracle is the single global window —
+      // agreement proves the decomposition.
+      val L = 256
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+        .withColumn("shard", expr("doc_id div 1000"))
+      val intraW = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val shardTotals = docs.groupBy(col("shard")).agg(sum(col("ntok")).as("stot"))
+      val offW = Window.orderBy(col("shard").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = shardTotals
+        .withColumn("soff", coalesce(sum(col("stot")).over(offW), lit(0L)))
+        .select(col("shard"), col("soff"))
+      docs
+        .withColumn("intra", coalesce(sum(col("ntok")).over(intraW), lit(0L)))
+        .join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("ntok"),
+          (col("soff") + col("intra")).as("start_off"))
+        .withColumn("start_bin", expr(s"start_off div $L"))
+        .withColumn("end_bin", expr(s"(start_off + ntok - 1) div $L"))
+        .withColumn("crosses", col("start_bin") =!= col("end_bin"))
     })
   )
 
@@ -1332,7 +1366,21 @@ object Battery {
        SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
               CAST(SUM(ratio) AS BIGINT) // CAST(count(*) AS BIGINT) AS w_score,
               doc_id % 7 = 0 AS is_target
-       FROM tb JOIN m2 USING (b) GROUP BY doc_id"""
+       FROM tb JOIN m2 USING (b) GROUP BY doc_id""",
+    "q89_seq_pack" ->
+      """WITH tk AS (SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+            FROM documents),
+       nz AS (SELECT doc_id, ntok FROM tk WHERE ntok > 0),
+       c AS (SELECT doc_id, ntok,
+                CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             FROM nz)
+       SELECT doc_id, ntok, start_off,
+              CAST(start_off // 256 AS BIGINT) AS start_bin,
+              CAST((start_off + ntok - 1) // 256 AS BIGINT) AS end_bin,
+              start_off // 256 <> (start_off + ntok - 1) // 256 AS crosses
+       FROM c"""
   )
 
   /** one unrolled Lloyd round as DuckDB CTEs (el/seeds/a0/c1/a1) — mirrors

@@ -187,4 +187,27 @@ class CurationSpec extends SparkTestBase {
       (2L, "s1 s2 s3", "en", "s", 1L)))
     assert(spans(d).isEmpty)
   }
+
+  test("q89: bin boundaries, multi-bin spans, empty-doc drop, cross-shard prefix") {
+    // L = 256. doc 0: 256 tokens -> exactly bin 0 (end_bin = (255)//256 = 0,
+    // no cross). doc 1: 300 tokens from offset 256 -> bins 1..2, crosses.
+    // doc 2: empty -> dropped. doc 999 (shard 0) and doc 1000 (shard 1)
+    // pin the two-level prefix sum across the shard seam: 1000's offset
+    // must include ALL of shard 0 (256+300+10 = 566).
+    def w(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val d = docsDir(Seq(
+      (0L, w(256), "en", "s", 1L),
+      (1L, w(300), "en", "s", 1L),
+      (2L, "", "en", "s", 0L),
+      (999L, w(10), "en", "s", 1L),
+      (1000L, w(5), "en", "s", 1L)))
+    val got = run("q89_seq_pack", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 256L, 0L, 0L, 0L, false),
+      (1L, 300L, 256L, 1L, 2L, true),
+      (999L, 10L, 556L, 2L, 2L, false),
+      (1000L, 5L, 566L, 2L, 2L, false)))
+  }
 }
