@@ -430,6 +430,13 @@ object SparkEntry {
             preds.map { case (alias, p) =>
               min(when(col("pred") === p, col("obj"))).as(alias) }: _*)
       }),
+      // GROUP BY expression keys (§18.2.4 GroupCondition): group the whole
+      // golden store by the subject's IRI scheme prefix — the alias is
+      // projected and drives HAVING
+      "q90_sparql_groupexpr" -> ((s, _) => graft.analytics.Sparql.query(
+        goldenTriples(s),
+        """SELECT ?k (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY (STRLEN(STR(?s)) AS ?k) HAVING (COUNT(*) > 2)""")),
       // characteristic sets (Neumann & Moerkotte, ICDE 2011): the RDF
       // statistic planners estimate star joins with — group subjects by
       // their exact predicate SET. Two map-side-combinable aggregates:
@@ -1048,5 +1055,9 @@ object SparkEntry {
               GROUP BY 1, 2)
        SELECT doc_id, cset, CAST(count(*) AS BIGINT) AS n_entities,
               CAST(SUM(deg) AS BIGINT) AS n_triples
-       FROM per GROUP BY 1, 2""")
+       FROM per GROUP BY 1, 2""",
+    "q90_sparql_groupexpr" ->
+      s"""SELECT CAST(length(subj) AS INT) AS k, CAST(count(*) AS BIGINT) AS n
+       FROM read_parquet('${ExpectedGen.TriplesFile}')
+       GROUP BY 1 HAVING count(*) > 2""")
 }

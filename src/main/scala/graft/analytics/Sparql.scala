@@ -65,7 +65,9 @@ import org.apache.spark.sql.functions._
   *    graph-column membership filters (absent clauses leave all graphs
   *    visible; this store has no default/named dataset split — delta).
   *    Top-level queries only, as the SPARQL grammar requires.
-  *  - Solution modifiers: GROUP BY, HAVING, ORDER BY (vars, ASC/DESC(expr),
+  *  - Solution modifiers: GROUP BY (vars, `(expr AS ?v)` — the alias is
+  *    projectable/HAVING-visible — and bare BuiltInCall conditions),
+  *    HAVING, ORDER BY (vars, ASC/DESC(expr),
   *    bare constraints; non-grouped queries may order by NON-projected
   *    variables — the sort runs on the pre-projection frame, as SPARQL
   *    evaluates OrderBy before Project — except under DISTINCT, where the
@@ -257,9 +259,14 @@ object Sparql {
   private[analytics] final case class PExpr(e: Expr) extends ProjValue
   private[analytics] final case class Projection(alias: String, value: ProjValue)
 
+  /** one GROUP BY key: a plain variable (expr None) or a GroupCondition
+    * expression — `(expr AS ?v)` / bare builtin — materialized as a column
+    * named `name` before aggregation (§18.2.4 Group(exprlist)). */
+  private[analytics] final case class GroupKey(name: String, expr: Option[Expr] = None)
+
   private[analytics] sealed trait Query
   private[analytics] final case class QSelect(distinct: Boolean, star: Boolean,
-      projs: Seq[Projection], where: Group, groupBy: Seq[String], having: Seq[Expr],
+      projs: Seq[Projection], where: Group, groupBy: Seq[GroupKey], having: Seq[Expr],
       orderBy: Seq[(Expr, Boolean)], limit: Option[Int], offset: Option[Int],
       postValues: Option[EValues] = None) extends Query
   private[analytics] final case class QAsk(where: Group) extends Query
@@ -875,12 +882,26 @@ object Sparql {
       datasetClauses(allowed = top)
       takeWord("WHERE")
       val where = group()
-      val groupBy = Seq.newBuilder[String]
+      // GroupCondition ::= Var | '(' Expression ('AS' Var)? ')' | BuiltInCall
+      val groupBy = Seq.newBuilder[GroupKey]
       if (takeWord("GROUP")) {
         expectWord("BY")
         var m = true
+        var k = 0
         while (m) peek match {
-          case TVar(n, _) => i += 1; groupBy += n
+          case TVar(n, _) => i += 1; groupBy += GroupKey(n)
+          case TPunct("(", _) =>
+            i += 1
+            val e = exprOr()
+            val alias =
+              if (takeWord("AS")) next() match {
+                case TVar(n, _) => n
+                case t => fail("expected a variable after AS", text, t.pos)
+              } else { k += 1; s"__gk$k" }
+            expectPunct(")")
+            groupBy += GroupKey(alias, Some(e))
+          case TWord(w, _) if FnNames.contains(w.toUpperCase) =>
+            k += 1; groupBy += GroupKey(s"__gk$k", Some(exprPrimary()))
           case _ => m = false
         }
       }
@@ -1820,7 +1841,20 @@ object Sparql {
             aggColumn(fn, arg, d, sep).as(alias)
           }
           require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
-          val keys = groupBy.map(col)
+          // expression group keys (GroupCondition ::= '(' expr [AS ?v] ')' |
+          // BuiltInCall) materialize as columns BEFORE aggregation —
+          // §18.2.4's Group(exprlist) — and are then plain keys; an alias
+          // must not shadow a bound variable
+          groupBy.foreach {
+            case GroupKey(name, Some(e)) =>
+              require(!df.columns.contains(name),
+                s"GROUP BY alias ?$name collides with a bound variable")
+              df = df.withColumn(name, compileExpr(e, df))
+            case GroupKey(name, None) =>
+              require(df.columns.contains(name),
+                s"GROUP BY variable ?$name is not bound")
+          }
+          val keys = groupBy.map(g => col(g.name))
           // retainMeta (the serializer entry): group-key term metadata rides
           // the aggregate as a deterministic min — grouping itself stays
           // LEXICAL (the engine's documented matching delta), so a key whose
@@ -1828,7 +1862,7 @@ object Sparql {
           val metaAggs =
             if (!retainMeta) Nil
             else groupBy.flatMap(g => Seq("kind", "datatype", "lang")
-              .map(KgQuery.metaCol(g, _)).filter(df.columns.contains)
+              .map(KgQuery.metaCol(g.name, _)).filter(df.columns.contains)
               .map(m => min(col(m)).as(m)))
           val allAggs = aggs ++ metaAggs
           df = df.groupBy(keys: _*).agg(allAggs.head, allAggs.tail: _*)
@@ -1838,7 +1872,7 @@ object Sparql {
           postValues.foreach(ev => df = joinValues(df, ev))
           projSub.foreach {
             case Projection(_, PVar(n)) =>
-              require(groupBy.contains(n) || postValues.exists(_.vars.contains(n)),
+              require(groupBy.exists(_.name == n) || postValues.exists(_.vars.contains(n)),
                 s"projected ?$n is neither grouped nor aggregated")
             case _ => ()
           }

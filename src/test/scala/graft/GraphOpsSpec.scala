@@ -128,6 +128,39 @@ class GraphOpsSpec extends SparkTestBase {
       ("g2", "b", 150000L), ("g2", "a", 277500L)))
   }
 
+  test("pageRank matches a brute-force evaluator on random multigraphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def brute(edges: Seq[(String, String, String)], iters: Int): Set[(String, String, Long)] = {
+      edges.groupBy(_._1).flatMap { case (g, es) =>
+        val e = es.map(t => (t._2, t._3)).distinct
+        val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+        val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var pr = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 0 until iters) {
+          val m = e.groupBy(_._2).view.mapValues(
+            _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+          pr = nodes.map(n => n -> (150000L + 85L * m.getOrElse(n, 0L) / 100L)).toMap
+        }
+        pr.map { case (n, v) => (g, n, v) }
+      }.toSet
+    }
+    val edgeGen = for {
+      g <- Gen.oneOf("g1", "g2")
+      s <- Gen.choose(0, 6); d <- Gen.choose(0, 6) // self-loops + dups allowed
+    } yield (g, s"n$s", s"n$d")
+    val prop = Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      val got = graft.functions.GraphOps.pageRank(
+          edges.toDF("g", "s", "d"), "g", "s", "d", 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = brute(edges, 2)
+      if (got != want) { println(s"PR MISMATCH\nEDGES: $edges\nGOT: $got\nWANT: $want"); false }
+      else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("RdfDiff: set semantics, both directions, identical stores diff empty") {
     import spark.implicits._
     val a = Seq(

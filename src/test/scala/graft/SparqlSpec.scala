@@ -256,6 +256,30 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(avg, "m") == Set(Seq(7.75)))
   }
 
+  test("GROUP BY expressions: (expr AS ?v) projectable, bare builtin, loud errors") {
+    // group Walls and Doors by the last path segment's FIRST letter:
+    // w1/w2 -> "w" (x3 incl. d2's w1), s1/s9 -> "s", d7 -> "d"
+    val got = q(P + """SELECT ?k (COUNT(*) AS ?n) WHERE { ?x a ?c }
+      GROUP BY (SUBSTR(STR(?x), 1, 1) AS ?k)""")
+    assert(rows(got, "k", "n") == Set(Seq("w", 3L), Seq("s", 2L), Seq("d", 1L)))
+    // a bare BuiltInCall group condition has no name — only aggregates project
+    val bare = q(P + """SELECT (COUNT(*) AS ?n) WHERE { ?x a ?c }
+      GROUP BY STRLEN(?x)""") // lengths 2 -> one group of 6
+    assert(rows(bare, "n") == Set(Seq(6L)))
+    // HAVING sees the expression key through its alias
+    val hav = q(P + """SELECT ?k (COUNT(*) AS ?n) WHERE { ?x a ?c }
+      GROUP BY (SUBSTR(STR(?x), 1, 1) AS ?k) HAVING (COUNT(*) > 1)""")
+    assert(rows(hav, "k", "n") == Set(Seq("w", 3L), Seq("s", 2L)))
+    def bad(text: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](q(P + text).collect())
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !contains '$frag'")
+    }
+    bad("""SELECT (COUNT(*) AS ?n) WHERE { ?x a ?c } GROUP BY (STR(?x) AS ?c)""",
+      "collides with a bound variable")
+    bad("""SELECT (COUNT(*) AS ?n) WHERE { ?x a ?c } GROUP BY ?nope""",
+      "is not bound")
+  }
+
   test("COUNT(DISTINCT ?x) and COUNT(*)") {
     val got = q(P + """SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?w) AS ?walls)
       WHERE { ?w a ifc:Wall }""")
