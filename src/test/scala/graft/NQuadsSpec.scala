@@ -74,6 +74,22 @@ class NQuadsSpec extends SparkTestBase {
       && r.getString(1) != r.getString(3)) // b1 vs b2 stay distinct
   }
 
+  test("streaming NQ ingest: readStream text -> parse -> quads table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nqstream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.nq"),
+      ("<urn:s1> <urn:p> \"1\" <urn:gA> .\n" +
+       "<urn:s2> <urn:p> \"2\" <urn:gB> .\n").getBytes("UTF-8"))
+    // continuous NQ ingest is the same one-liner as batch
+    val q = NQuadsSource.parse(spark.readStream.text(dir).as[String])
+      .writeStream.format("memory").queryName("nq_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("nq_stream").count() == 2)
+    assert(spark.table("nq_stream").select("doc_id").as[String].collect().toSet
+      == Set("urn:gA", "urn:gB"))
+  }
+
   test("the parsed quads drop straight into the SPARQL layer as named graphs") {
     import spark.implicits._
     val lines = Seq(

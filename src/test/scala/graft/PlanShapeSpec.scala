@@ -194,4 +194,24 @@ class PlanShapeSpec extends SparkTestBase {
           "(each map task ships at most 3 rows per doc, not the whole tf frame)")
     }
   }
+
+  test("q89: the only single-partition exchange feeds off the shard AGGREGATE") {
+    // the two-level prefix sum's contract: the corpus cumsum runs in
+    // shard-partitioned windows; the one unpartitioned window (per-shard
+    // offsets) may only consume the shard-totals aggregate — a
+    // SinglePartition exchange over the raw docs frame would be the naive
+    // global sort this decomposition exists to avoid
+    val p = plan("q89_seq_pack")
+    withClue(p) {
+      val singles = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start).toList
+      assert(singles.nonEmpty, "the per-shard offset window needs its tiny exchange")
+      singles.foreach { i =>
+        val below = p.substring(i, math.min(p.length, i + 400))
+        assert(below.contains("HashAggregate"),
+          "a SinglePartition exchange must sit above the shard-totals aggregate, " +
+            "never above the raw docs scan")
+      }
+      assert(p.contains("Window ["), "intra-shard cumsum must be a Window")
+    }
+  }
 }
