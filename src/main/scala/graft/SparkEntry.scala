@@ -430,6 +430,24 @@ object SparkEntry {
             preds.map { case (alias, p) =>
               min(when(col("pred") === p, col("obj"))).as(alias) }: _*)
       }),
+      // OWL property-characteristics materialization: hasNext declared
+      // transitive (list cells close into full reachability) and prevCell
+      // declared its inverse (every closed chain inverts) — per graph; the
+      // oracle recomputes the fixpoint as one recursive CTE + inversions
+      "q91_owl" -> ((s, _) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val store = goldenTriples(s).select("doc_id", "subj", "pred", "obj")
+        val graphs = store.select(col("doc_id")).distinct()
+        val decls = graphs.select(col("doc_id"),
+            lit(graft.analytics.KgQuery.ListHasNext).as("subj"),
+            lit(graft.analytics.KgQuery.RdfType).as("pred"),
+            lit(graft.analytics.Owl.TransitiveProperty).as("obj"))
+          .unionByName(graphs.select(col("doc_id"),
+            lit("urn:graft:prevCell").as("subj"),
+            lit(graft.analytics.Owl.InverseOf).as("pred"),
+            lit(graft.analytics.KgQuery.ListHasNext).as("obj")))
+        graft.analytics.Owl.entail(store.unionByName(decls))
+      }),
       // GROUP BY expression keys (§18.2.4 GroupCondition): group the whole
       // golden store by the subject's IRI scheme prefix — the alias is
       // projected and drives HAVING
@@ -1059,5 +1077,28 @@ object SparkEntry {
     "q90_sparql_groupexpr" ->
       s"""SELECT CAST(length(subj) AS INT) AS k, CAST(count(*) AS BIGINT) AS n
        FROM read_parquet('${ExpectedGen.TriplesFile}')
-       GROUP BY 1 HAVING count(*) > 2""")
+       GROUP BY 1 HAVING count(*) > 2""",
+    "q91_owl" ->
+      s"""WITH RECURSIVE
+       trip AS (SELECT doc_id, subj, pred, obj
+                FROM read_parquet('${ExpectedGen.TriplesFile}')),
+       graphs AS (SELECT DISTINCT doc_id FROM trip),
+       decls AS (SELECT doc_id, 'https://w3id.org/list#hasNext' AS subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                   'http://www.w3.org/2002/07/owl#TransitiveProperty' AS obj
+                 FROM graphs
+         UNION ALL SELECT doc_id, 'urn:graft:prevCell',
+                   'http://www.w3.org/2002/07/owl#inverseOf',
+                   'https://w3id.org/list#hasNext' FROM graphs),
+       base AS (SELECT * FROM trip UNION ALL SELECT * FROM decls),
+       nxt AS (SELECT doc_id, subj, obj FROM base
+               WHERE pred = 'https://w3id.org/list#hasNext'),
+       cl AS (SELECT doc_id, subj AS src, obj AS dst FROM nxt
+         UNION
+         SELECT c.doc_id, c.src, n.obj FROM cl c
+         JOIN nxt n ON n.doc_id = c.doc_id AND n.subj = c.dst)
+       SELECT DISTINCT doc_id, subj, pred, obj FROM (
+         SELECT doc_id, subj, pred, obj FROM base
+         UNION ALL SELECT doc_id, src, 'https://w3id.org/list#hasNext', dst FROM cl
+         UNION ALL SELECT doc_id, dst, 'urn:graft:prevCell', src FROM cl)""")
 }
