@@ -11,9 +11,9 @@ import java.nio.file.{Files, Path, Paths}
 
 /** CLI with the reference's surface (IfcSpfReader.main, IfcSpfReader.java:79-161):
   *
-  *   runMain graft.IfcToRdf [flags] <in.ifc> <out.{ttl,nt}>
+  *   runMain graft.IfcToRdf [flags] <in.ifc> <out.{ttl,nt,nq}>
   *   runMain graft.IfcToRdf [flags] --dir <directory>
-  *   flags: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt]
+  *   flags: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt|nq]
   *
   * `--schema` mirrors the reference's explicit-schema convert overload
   * (IfcSpfReader.java:243-245) and reaches the 4 non-sniffable compiled
@@ -52,7 +52,7 @@ object IfcToRdf {
       /** explicit EXPRESS version (reference's convert(path,out,schema)
         * overload) — reaches the 4 non-sniffable compiled dictionaries */
       schema: Option[String] = None,
-      /** "ttl" (default, reference parity) or "nt" (scale-grade line export) */
+      /** "ttl" (default, reference parity), "nt" or "nq" (scale-grade line exports) */
       format: String = "ttl",
       pos: Seq[String] = Nil)
 
@@ -74,7 +74,8 @@ object IfcToRdf {
         case "--schema" => a = a.copy(schema = Some(value("--schema")))
         case "--format" =>
           val f = value("--format")
-          require(f == "ttl" || f == "nt", s"--format must be ttl or nt, got $f")
+          require(f == "ttl" || f == "nt" || f == "nq",
+            s"--format must be ttl, nt or nq, got $f")
           a = a.copy(format = f)
         case other => pos += other
       }
@@ -94,7 +95,7 @@ object IfcToRdf {
         (ins, ins.map(p => Paths.get(p.toString.stripSuffix(".ifc") + ext)))
       case None =>
         require(pos.length >= 2,
-          "usage: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt] <in.ifc> <out>")
+          "usage: [--baseURI <uri>] [--keep-duplicates] [--schema <ver>] [--format ttl|nt|nq] <in.ifc> <out>")
         (Seq(Paths.get(pos(0))), Seq(Paths.get(pos(1))))
     }
     require(inputs.nonEmpty, "no .ifc inputs found")
@@ -200,10 +201,11 @@ object IfcToRdf {
               dest = Paths.get(out)
               tmp = dest.resolveSibling(s"${dest.getFileName}.inprogress-$attempt")
               w = Files.newBufferedWriter(tmp)
-              ttl = if (fmt == "nt") null else new TurtleSink.Streamed(w, base, ontNS)
+              ttl = if (fmt == "ttl") new TurtleSink.Streamed(w, base, ontNS) else null
               n = 0
             }
             if (fmt == "nt") graft.sinks.NTriplesSink.writeOne(t, w)
+            else if (fmt == "nq") graft.sinks.NQuadsSink.writeOne(t, w)
             else ttl.write(t)
             n += 1
           }

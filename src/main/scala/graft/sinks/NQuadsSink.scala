@@ -35,4 +35,15 @@ object NQuadsSink {
   def write(quads: DataFrame, path: String): Unit =
     quads.select(line(withLang = quads.columns.contains("obj_lang")).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** doc_id → graph label, driver-side (same convention as [[graphTerm]]) */
+  def graphTermStr(docId: String): String =
+    if (docId.startsWith("_:")) docId
+    else if (docId.contains(":")) s"<$docId>"
+    else s"<urn:graft:graph:$docId>"
+
+  /** One N-Quads line in caller-supplied order — the O(1)-state streaming
+    * unit (the CLI's per-doc export loop). */
+  def writeOne(t: graft.model.FinalTriple, w: java.io.Writer): Unit =
+    w.write(s"${NTriplesSink.termsOf(t)} ${graphTermStr(t.doc_id)} .\n")
 }

@@ -85,7 +85,11 @@ object NTriplesSink {
 
   /** One line in caller-supplied order — the O(1)-state streaming unit the
     * corpus export loops over (same bytes as `writeTo`, which sorts first). */
-  def writeOne(t: graft.model.FinalTriple, w: java.io.Writer): Unit = {
+  def writeOne(t: graft.model.FinalTriple, w: java.io.Writer): Unit =
+    w.write(s"${termsOf(t)} .\n")
+
+  /** the `<s> <p> o` term chain, shared with the N-Quads driver-side writer */
+  private[sinks] def termsOf(t: graft.model.FinalTriple): String = {
     def escS(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -98,6 +102,6 @@ object NTriplesSink {
       if (t.obj_kind == "iri") s"<${t.obj}>"
       else if (t.obj_datatype.isEmpty || t.obj_datatype == XsdString) s""""${escS(t.obj)}""""
       else s""""${escS(t.obj)}"^^<${t.obj_datatype}>"""
-    w.write(s"<${t.subj}> <${t.pred}> $o .\n")
+    s"<${t.subj}> <${t.pred}> $o"
   }
 }

@@ -39,6 +39,27 @@ class CliSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("CLI --format nq emits quads carrying the document's graph label") {
+    assume(graft.sources.FixtureDocs.available())
+    val tmp = Files.createTempDirectory("graft-cli-nq")
+    val in = tmp.resolve("in.ifc")
+    Files.copy(fixture(1), in)
+    val outNq = tmp.resolve("out.nq")
+    IfcToRdf.execute(IfcToRdf.CliArgs(format = "nq"), Seq(in), Seq(outNq))(spark)
+    val nq = Files.readString(outNq)
+    // every line parses as a quad whose graph is the namespaced doc id,
+    // and stripping the graph term yields exactly the NT serialization
+    val rows = nq.linesIterator.map(l =>
+      graft.sources.NQuadsSource.parseLine(l).get).toSeq
+    assert(rows.nonEmpty && rows.forall(_.doc_id.startsWith("urn:graft:graph:")))
+    val outNt = tmp.resolve("out.nt")
+    IfcToRdf.execute(IfcToRdf.CliArgs(format = "nt"), Seq(in), Seq(outNt))(spark)
+    val ntRows = Files.readString(outNt).linesIterator.map(l =>
+      graft.sources.NTriplesSource.parseLine(l).get).toSeq
+    assert(rows.map(r => (r.subj, r.pred, r.obj, r.obj_kind, r.obj_datatype))
+      == ntRows.map(r => (r.subj, r.pred, r.obj, r.obj_kind, r.obj_datatype)))
+  }
+
   test("CLI writes nothing for an aborted document (dangling ref)") {
     assume(graft.sources.FixtureDocs.available())
     val tmp = Files.createTempDirectory("graft-cli-abort")
