@@ -446,7 +446,10 @@ object SparkEntry {
             lit("urn:graft:prevCell").as("subj"),
             lit(graft.analytics.Owl.InverseOf).as("pred"),
             lit(graft.analytics.KgQuery.ListHasNext).as("obj")))
-        graft.analytics.Owl.entail(store.unionByName(decls))
+        // staged before entailment for the same reason as q78: the entail
+        // input is a materialized table in production, not a lazy
+        // distinct+union the rule branches would each re-derive
+        graft.analytics.Owl.entail(store.unionByName(decls).localCheckpoint(true))
       }),
       // GROUP BY expression keys (§18.2.4 GroupCondition): group the whole
       // golden store by the subject's IRI scheme prefix — the alias is
