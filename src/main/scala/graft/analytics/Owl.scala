@@ -29,8 +29,23 @@ object Owl {
   val TransitiveProperty = "http://www.w3.org/2002/07/owl#TransitiveProperty"
 
   /** The entailed graph: input ∪ inverse/symmetric/transitive derivations,
-    * distinct per (graph, subj, pred, obj). */
-  def entail(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
+    * distinct per (graph, subj, pred, obj).
+    *
+    * The rule pass (inverse/symmetric over the stream, closure of the
+    * declared-transitive edge sets, inverse/symmetric of the closed
+    * chains) is ITERATED to a counted fixpoint: one pass is complete when
+    * declarations don't compose (the common ontology — each property has
+    * its own characteristics), but a declaration WEB (inverse chains
+    * p inv q, q inv r; a symmetric inverse of a transitive property; …)
+    * keeps routing derived edges into further rules, so each round
+    * re-fires the pass over the previous round's output until the distinct
+    * quad count stops growing (localCheckpoint per round — the same
+    * convergence machinery as the closure loop; `maxIter` backstops with a
+    * loud error, never a silent partial entailment). Property
+    * characteristics are read from the INPUT's declarations once — these
+    * rules never derive new declarations. */
+  def entail(triples: DataFrame, graphCol: String = "doc_id",
+      maxIter: Int = 10): DataFrame = {
     val t = triples.select(col(graphCol).as("g"),
       col("subj"), col("pred"), col("obj"))
 
@@ -60,25 +75,38 @@ object Owl {
           col("g") === col("__g") && col("pred") === col("__p"))
         .select(col("g"), col("obj").as("subj"), col("pred"), col("subj").as("obj"))
 
-    // stratification to the declared-semantics fixpoint in one pass:
-    // (1) inverse/symmetric over the asserted stream ENLARGE the edge sets
-    // the closure sees (a transitive q fed by `q inverseOf p` closes over
-    // its inverse-derived edges); (2) the per-(graph, property) closure —
-    // the property rides the closure's graph key, so every declared-
-    // transitive property closes independently in ONE call; (3) inverse/
-    // symmetric re-applied to the CLOSED chains (closure(inv(E)) =
-    // inv(closure(E)), so no re-closure is ever needed).
-    val d1 = invOf(t).unionByName(symmOf(t))
-    val b2 = t.unionByName(d1)
-    val transEdges = b2.join(broadcast(trans.select(col("g").as("__g"), col("p").as("__p"))),
-        col("g") === col("__g") && col("pred") === col("__p"))
-      .select(col("g"), col("pred"), col("subj").as("src"), col("obj").as("dst"))
-    val closed = KgQuery.transitiveClosure(transEdges, graph = Seq("g", "pred"))
-      .select(col("g"), col("src").as("subj"), col("pred"), col("dst").as("obj"))
-    val d2 = invOf(closed).unionByName(symmOf(closed))
+    // one rule pass: inverse/symmetric over the stream enlarge the edge
+    // sets the per-(graph, property) closure sees (the property rides the
+    // closure's graph key, so every declared-transitive property closes
+    // independently in ONE call), then inverse/symmetric re-apply to the
+    // CLOSED chains (closure(inv(E)) = inv(closure(E)) — no re-closure
+    // inside a pass)
+    def pass(cur: DataFrame): DataFrame = {
+      val d1 = invOf(cur).unionByName(symmOf(cur))
+      val b2 = cur.unionByName(d1)
+      val transEdges = b2.join(broadcast(trans.select(col("g").as("__g"), col("p").as("__p"))),
+          col("g") === col("__g") && col("pred") === col("__p"))
+        .select(col("g"), col("pred"), col("subj").as("src"), col("obj").as("dst"))
+      val closed = KgQuery.transitiveClosure(transEdges, graph = Seq("g", "pred"))
+        .select(col("g"), col("src").as("subj"), col("pred"), col("dst").as("obj"))
+      val d2 = invOf(closed).unionByName(symmOf(closed))
+      b2.unionByName(closed).unionByName(d2).distinct()
+    }
 
-    b2.unionByName(closed).unionByName(d2)
-      .distinct()
-      .withColumnRenamed("g", graphCol)
+    var cur = t.distinct().localCheckpoint(true)
+    var n = cur.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = pass(cur).localCheckpoint(true)
+      val m = next.count()
+      converged = m == n // the pass is monotone ∪-only: count fixpoint = set fixpoint
+      n = m
+      cur = next
+      iter += 1
+    }
+    require(converged, s"Owl.entail did not reach the fixpoint in $maxIter rounds " +
+      "(pathologically composing declaration web?) — raise maxIter")
+    cur.withColumnRenamed("g", graphCol)
   }
 }
