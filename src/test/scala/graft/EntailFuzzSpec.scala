@@ -104,6 +104,46 @@ class EntailFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("SameAs.resolve equals a brute-force union-find smush on random graphs") {
+    val SA = graft.analytics.SameAs.OwlSameAs
+    def brute(in: Set[Quad]): Set[Quad] = {
+      in.groupBy(_._1).flatMap { case (g, qs) =>
+        val edges = qs.collect { case (_, s, SA, o) => (s, o) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2))
+        // union-find by repeated min-label sweep
+        var canon = nodes.map(n => n -> n).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          edges.foreach { case (a, b) =>
+            val m = Seq(canon(a), canon(b)).min
+            if (canon(a) != m) { canon += a -> m; changed = true }
+            if (canon(b) != m) { canon += b -> m; changed = true }
+          }
+          // path-compress through representatives
+          canon.foreach { case (n, c) =>
+            if (canon.getOrElse(c, c) != c) { canon += n -> canon(c); changed = true } }
+        }
+        def c(n: String) = canon.getOrElse(n, n)
+        qs.collect { case (_, s, p, o) if p != SA => (g, c(s), p, c(o)) } ++
+          canon.collect { case (n, m) if n != m => (g, n, SA, m) }
+      }.toSet
+    }
+    val saQuad: Gen[Quad] = Gen.frequency(
+      2 -> (for { g <- gr; x <- ind; y <- ind } yield (g, x, SA, y)),
+      3 -> (for { g <- gr; x <- ind; p <- prp; y <- ind } yield (g, x, p, y)))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(saQuad).map(_.toSet)) { in =>
+      val got = runOp(graft.analytics.SameAs.resolve(_), in)
+      val want = brute(in)
+      if (got != want) {
+        println(s"SAMEAS MISMATCH\nIN: $in\nONLY-GOT: ${got -- want}\nONLY-WANT: ${want -- got}")
+        false
+      } else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Owl.entail equals the naive rule fixpoint on random graphs") {
     val prop = Prop.forAll(Gen.nonEmptyListOf(owlQuad).map(_.toSet)) { in =>
       val got = runOp(graft.analytics.Owl.entail(_), in)
