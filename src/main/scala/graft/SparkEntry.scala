@@ -451,6 +451,15 @@ object SparkEntry {
         // distinct+union the rule branches would each re-derive
         graft.analytics.Owl.entail(store.unionByName(decls).localCheckpoint(true))
       }),
+      // exact triangle count over the store's undirected iri→iri entity
+      // graph, per document — the a<b<c ordered two-hop join; graphs with
+      // no triangle produce no row (inner aggregate) in both engines
+      "q92_triangles" -> ((s, _) => {
+        import org.apache.spark.sql.functions.col
+        graft.functions.GraphOps.triangleCount(
+          goldenTriples(s).filter(col("obj_kind") === "iri")
+            .select(col("doc_id").as("g"), col("subj").as("s"), col("obj").as("d")))
+      }),
       // GROUP BY expression keys (§18.2.4 GroupCondition): group the whole
       // golden store by the subject's IRI scheme prefix — the alias is
       // projected and drives HAVING
@@ -1103,5 +1112,15 @@ object SparkEntry {
        SELECT DISTINCT doc_id, subj, pred, obj FROM (
          SELECT doc_id, subj, pred, obj FROM base
          UNION ALL SELECT doc_id, src, 'https://w3id.org/list#hasNext', dst FROM cl
-         UNION ALL SELECT doc_id, dst, 'urn:graft:prevCell', src FROM cl)""")
+         UNION ALL SELECT doc_id, dst, 'urn:graft:prevCell', src FROM cl)""",
+    "q92_triangles" ->
+      s"""WITH e AS (SELECT DISTINCT doc_id AS g,
+                LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+              FROM read_parquet('${ExpectedGen.TriplesFile}')
+              WHERE obj_kind = 'iri' AND subj <> obj)
+       SELECT e1.g, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM e e1
+       JOIN e e2 ON e2.g = e1.g AND e2.a = e1.b
+       JOIN e e3 ON e3.g = e1.g AND e3.a = e1.a AND e3.b = e2.b
+       GROUP BY 1""")
 }

@@ -141,4 +141,35 @@ object GraphOps {
     }
     pr.select(col("g"), col("node"), col("pr"))
   }
+
+  /** Exact triangle count per graph over an undirected edge list (clustering
+    * structure of the KG's entity graph — the standard cohesion statistic).
+    *
+    * Edges are canonicalized (self-loops dropped, both directions collapse
+    * into src < dst), then triangles enumerate as the two-hop join
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle counted
+    * exactly once by the ordering. 100-TB posture: the ordering IS the
+    * classic orientation bound — every wedge (a<b<c) is generated once
+    * from its smallest vertex and closed by one keyed hash join probe; both
+    * joins are keyed on (graph, node) pairs, map-side combinable count at
+    * the end, no driver involvement. For power-law graphs replace the
+    * lexicographic order with a degree order (fewer wedges at hubs) — same
+    * plan shape, one extra degree join.
+    */
+  def triangleCount(edges: DataFrame, g: String = "g", src: String = "s",
+      dst: String = "d"): DataFrame = {
+    val e = edges.select(col(g).as("g"), col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("g"), least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.g") === col("e2.g") && col("e1.b") === col("e2.a"))
+      .select(col("e1.g").as("g"), col("e1.a").as("a"),
+        col("e1.b").as("b"), col("e2.b").as("c"))
+    wedges.join(e.select(col("g").as("__g"), col("a").as("__a"), col("b").as("__c")),
+        col("g") === col("__g") && col("a") === col("__a") && col("c") === col("__c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

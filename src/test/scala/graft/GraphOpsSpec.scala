@@ -161,6 +161,23 @@ class GraphOpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("triangleCount: direction/duplicate collapse, self-loop drop, graph isolation") {
+    import spark.implicits._
+    val edges = Seq(
+      // g1: triangle a-b-c asserted with mixed directions and a duplicate,
+      // plus a self-loop and a dangling edge — exactly ONE triangle
+      ("g1", "a", "b"), ("g1", "c", "b"), ("g1", "a", "c"), ("g1", "b", "a"),
+      ("g1", "x", "x"), ("g1", "c", "d"),
+      // g2: a 4-cycle has no triangle
+      ("g2", "a", "b"), ("g2", "b", "c"), ("g2", "c", "d"), ("g2", "d", "a"),
+      // g3: K4 = 4 triangles
+      ("g3", "1", "2"), ("g3", "1", "3"), ("g3", "1", "4"),
+      ("g3", "2", "3"), ("g3", "2", "4"), ("g3", "3", "4")).toDF("g", "s", "d")
+    val got = graft.functions.GraphOps.triangleCount(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g1" -> 1L, "g3" -> 4L)) // g2 absent: no row, not 0
+  }
+
   test("RdfDiff: set semantics, both directions, identical stores diff empty") {
     import spark.implicits._
     val a = Seq(
