@@ -460,6 +460,28 @@ object SparkEntry {
           goldenTriples(s).filter(col("obj_kind") === "iri")
             .select(col("doc_id").as("g"), col("subj").as("s"), col("obj").as("d")))
       }),
+      // k-hop neighborhood aggregation (the GNN feature-engineering
+      // primitive): per node, distinct out-neighbor count at exactly 1 hop
+      // and distinct nodes reachable within 2 directed hops (start node
+      // excluded) plus the lexicographic min 2-hop neighbor — one self-join
+      // of the (graph, node)-keyed edge list, two combinable aggregates
+      "q93_khop" -> ((s, _) => {
+        import org.apache.spark.sql.functions._
+        val e = goldenTriples(s).filter(col("obj_kind") === "iri")
+          .select(col("doc_id").as("g"), col("subj").as("a"), col("obj").as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val two = e.as("e1").join(e.as("e2"),
+            col("e1.g") === col("e2.g") && col("e1.b") === col("e2.a"))
+          .select(col("e1.g").as("g"), col("e1.a").as("a"), col("e2.b").as("n"))
+        val reach = e.select(col("g"), col("a"), col("b").as("n"))
+          .unionByName(two)
+          .filter(col("a") =!= col("n")).distinct()
+        val h1 = e.groupBy(col("g"), col("a"))
+          .agg(countDistinct(col("b")).as("n_1hop"))
+        h1.join(reach.groupBy(col("g"), col("a"))
+            .agg(countDistinct(col("n")).as("n_2hop"), min(col("n")).as("min_2hop")),
+          Seq("g", "a"))
+      }),
       // GROUP BY expression keys (§18.2.4 GroupCondition): group the whole
       // golden store by the subject's IRI scheme prefix — the alias is
       // projected and drives HAVING
@@ -1122,5 +1144,21 @@ object SparkEntry {
        FROM e e1
        JOIN e e2 ON e2.g = e1.g AND e2.a = e1.b
        JOIN e e3 ON e3.g = e1.g AND e3.a = e1.a AND e3.b = e2.b
-       GROUP BY 1""")
+       GROUP BY 1""",
+    "q93_khop" ->
+      s"""WITH e AS (SELECT DISTINCT doc_id AS g, subj AS a, obj AS b
+              FROM read_parquet('${ExpectedGen.TriplesFile}')
+              WHERE obj_kind = 'iri' AND subj <> obj),
+       two AS (SELECT e1.g, e1.a, e2.b AS n FROM e e1
+               JOIN e e2 ON e2.g = e1.g AND e2.a = e1.b),
+       reach AS (SELECT DISTINCT g, a, n FROM (
+           SELECT g, a, b AS n FROM e UNION ALL SELECT g, a, n FROM two)
+         WHERE a <> n),
+       h1 AS (SELECT g, a, CAST(count(DISTINCT b) AS BIGINT) AS n_1hop
+              FROM e GROUP BY 1, 2),
+       h2 AS (SELECT g, a, CAST(count(DISTINCT n) AS BIGINT) AS n_2hop,
+                     MIN(n) AS min_2hop
+              FROM reach GROUP BY 1, 2)
+       SELECT h1.g, h1.a, h1.n_1hop, h2.n_2hop, h2.min_2hop
+       FROM h1 JOIN h2 ON h2.g = h1.g AND h2.a = h1.a""")
 }
