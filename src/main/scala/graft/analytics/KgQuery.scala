@@ -428,9 +428,16 @@ object KgQuery {
     // semantics: BFS shortest hop-count = the min-plus doubling's minimal
     // dist on unit edges. Larger relations run the distributed loop below.
     if (prev._1 > 0 && prev._1 <= smallCap) {
-      val closed = smallClosure(r, graph) // collects eagerly — safe to free base after
-      rRdd.foreach(_.unpersist(false))
-      return closed
+      smallClosure(r, graph) match { // collects eagerly — safe to free base after
+        case Some(closed) =>
+          rRdd.foreach(_.unpersist(false))
+          return closed
+        case None => () // closure blew the driver pair budget mid-BFS
+          // (ADVICE r5: a 100k-edge chain closes to ~5e9 pairs — quadratic
+          // in the worst case, far beyond driver heap even when the BASE
+          // passed the gate) — fall through to the distributed loop, whose
+          // per-round pairs live in executors and spill
+      }
     }
     var iter = 0
     var converged = prev._1 == 0
@@ -460,18 +467,30 @@ object KgQuery {
     r
   }
 
+  /** The closure-PAIR budget of the driver fast path. The base-edge gate
+    * (smallCap) bounds the input, but the closure itself is O(n²) pairs in
+    * the worst case (ADVICE r5: a single 100k-edge chain closes to ~5e9
+    * pairs); the BFS aborts once the emitted pair count crosses this bound
+    * and [[transitiveClosure]] falls back to the distributed loop. 2M pairs
+    * of small Rows is comfortably driver-sized. */
+  private val MaxDriverClosurePairs = 2000000L
+
   /** Driver-side closure of a small edge frame (graph…, src, dst, dist=1):
-    * per-graph adjacency + BFS from every source; one collect in, one
-    * single-partition frame out, schema preserved. Only reachable through
-    * [[transitiveClosure]]'s measured-count gate. */
-  private def smallClosure(r: DataFrame, graph: Seq[String]): DataFrame = {
+    * per-graph adjacency + BFS from every source; one collect in, schema
+    * preserved, output slice count scaled to the row count (a fixed 1 slice
+    * would single-task every downstream join over an all-pairs-sized
+    * closure — ADVICE r5). Only reachable through [[transitiveClosure]]'s
+    * measured-count gate; returns None when the emitted pair count exceeds
+    * [[MaxDriverClosurePairs]] (caller then runs the distributed loop). */
+  private def smallClosure(r: DataFrame, graph: Seq[String]): Option[DataFrame] = {
     import scala.collection.mutable
     val schema = r.schema
     val g = graph.size
     val byGraph = r.collect().groupBy(row => (0 until g).map(row.get(_)).toSeq)
-    val out = byGraph.iterator.flatMap { case (gk, rows) =>
+    val out = mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    byGraph.foreach { case (gk, rows) =>
       val adj = rows.groupMap(_.get(g))(_.get(g + 1))
-      adj.keysIterator.flatMap { s =>
+      adj.keysIterator.foreach { s =>
         val dist = mutable.LinkedHashMap[Any, Int]() // insertion-ordered, deterministic
         var frontier: List[Any] = List(s)
         var d = 0
@@ -486,12 +505,14 @@ object KgQuery {
           }
           frontier = next.toList
         }
-        dist.iterator.map { case (t, dd) =>
-          org.apache.spark.sql.Row.fromSeq(gk ++ Seq(s, t, dd)) }
+        if (out.length + dist.size > MaxDriverClosurePairs) return None
+        dist.foreach { case (t, dd) =>
+          out += org.apache.spark.sql.Row.fromSeq(gk ++ Seq(s, t, dd)) }
       }
-    }.toSeq
-    r.sparkSession.createDataFrame(
-      r.sparkSession.sparkContext.parallelize(out, 1), schema)
+    }
+    Some(r.sparkSession.createDataFrame(
+      r.sparkSession.sparkContext.parallelize(out.toIndexedSeq,
+        graft.functions.GraphOps.sliceCount(out.length, r.sparkSession)), schema))
   }
 
   /** Flatten the RDF linked lists the emitter expands STEP aggregates into

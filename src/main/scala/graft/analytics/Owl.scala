@@ -46,8 +46,11 @@ object Owl {
     * rules never derive new declarations. */
   def entail(triples: DataFrame, graphCol: String = "doc_id",
       maxIter: Int = 10): DataFrame = {
+    // one eager cut of the input: the declaration scans/collect below and
+    // every rule branch read the materialized blocks, not the caller's
+    // arbitrary lineage (the entail input is a staged table in production)
     val t = triples.select(col(graphCol).as("g"),
-      col("subj"), col("pred"), col("obj"))
+      col("subj"), col("pred"), col("obj")).localCheckpoint(true)
 
     // schema side (TBox-sized by contract): inverse pairs BOTH ways, and
     // the declared symmetric / transitive property sets
@@ -92,6 +95,36 @@ object Owl {
       val d2 = invOf(closed).unionByName(symmOf(closed))
       b2.unionByName(closed).unionByName(d2).distinct()
     }
+
+    // Round 6 (guide §1.2 "the distributed algorithm"): ONE rule pass is the
+    // fixpoint unless the declarations COMPOSE in a way d1/d2's single
+    // application cannot cover. The only escapes are
+    //  (a) a property with >= 2 DISTINCT inverse partners (p inv q1,
+    //      p inv q2): inv of a pass-derived q1-edge lands back on p, but
+    //      p's other pair never sees that derived edge within the pass;
+    //  (b) a property both symmetric and an inverse-pair member: sym
+    //      applies to `cur` only, so the pass misses sym(inv(cur)).
+    // Everything else is closed in one pass by construction: d1 runs BEFORE
+    // the closure (both directions of an inverse pair merge pre-closure, so
+    // inv pairs where either or both sides are transitive close correctly),
+    // closure∘inv = inv∘closure covers d2, sym+transitive chains stay
+    // symmetric under closure. The declaration sets are TBox-sized by
+    // contract (they already broadcast into every rule join), so the test
+    // is one driver collect; a genuinely composing web keeps the counted
+    // fixpoint loop below. Replaces 2+ full passes + per-round eager
+    // checkpoint/count with one lazy pass for the common ontology.
+    val declRows = t.filter(col("pred") === InverseOf ||
+        (col("pred") === KgQuery.RdfType && col("obj") === SymmetricProperty))
+      .select(col("g"), col("subj"), col("pred"), col("obj")).collect()
+    val partners = scala.collection.mutable.Map[(Any, Any), scala.collection.mutable.Set[Any]]()
+    declRows.iterator.filter(_.getString(2) == InverseOf).foreach { r =>
+      partners.getOrElseUpdate((r.get(0), r.get(1)), scala.collection.mutable.Set()) += r.get(3)
+      partners.getOrElseUpdate((r.get(0), r.get(3)), scala.collection.mutable.Set()) += r.get(1)
+    }
+    val composes = partners.values.exists(_.size > 1) ||
+      declRows.iterator.filter(_.getString(2) != InverseOf)
+        .exists(r => partners.contains((r.get(0), r.get(1))))
+    if (!composes) return pass(t).withColumnRenamed("g", graphCol)
 
     var cur = t.distinct().localCheckpoint(true)
     var n = cur.count()

@@ -35,12 +35,25 @@ object VoidStats {
 
   /** VoID description triples (doc_id, subj, pred, obj) for a store with
     * columns (doc_id, subj, pred, obj). Counts are emitted as decimal
-    * lexical forms (the store's untyped-lexical model). */
+    * lexical forms (the store's untyped-lexical model).
+    *
+    * Round 6 (guide §2.4 "remove shuffles outright"): each aggregate used to
+    * fan out into one union branch PER EMITTED TRIPLE (6 core + 4 property +
+    * 3 class = 13 branches re-reading 3 aggregate subtrees — Catalyst reuses
+    * the exchanges but still runs every final-aggregation + projection
+    * branch). Each aggregate now runs ONCE and emits its triples through a
+    * single inline-array explode — 13 aggregate branches → 3 aggregates +
+    * 3 generates, identical output bag (sf0.1 bench: q81 2.42 s → see
+    * OPTIMIZATION_r06.md). */
   def describe(store: DataFrame): DataFrame = {
     val t = store.select(col("doc_id"), col("subj"), col("pred"), col("obj"))
 
-    def row(s: org.apache.spark.sql.Column, p: String, o: org.apache.spark.sql.Column) =
-      Seq(s.as("subj"), lit(p).as("pred"), o.as("obj"))
+    def kv(s: org.apache.spark.sql.Column, p: String, o: org.apache.spark.sql.Column) =
+      struct(s.as("subj"), lit(p).as("pred"), o.as("obj"))
+    def emit(df: DataFrame, rows: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.select(col("doc_id"), explode(array(rows: _*)).as("kv"))
+        .select(col("doc_id"), col("kv.subj").as("subj"),
+          col("kv.pred").as("pred"), col("kv.obj").as("obj"))
 
     val core = t.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n"),
@@ -48,39 +61,34 @@ object VoidStats {
         countDistinct(col("pred")).as("np"),
         countDistinct(col("obj")).as("no"),
         countDistinct(when(col("pred") === KgQuery.RdfType, col("obj"))).as("nc"))
-    val coreTriples = Seq(
-      ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", lit(DatasetCls)),
-      (VoidNs + "triples", col("n").cast("string")),
-      (VoidNs + "distinctSubjects", col("ns").cast("string")),
-      (VoidNs + "properties", col("np").cast("string")),
-      (VoidNs + "distinctObjects", col("no").cast("string")),
-      (VoidNs + "classes", col("nc").cast("string"))
-    ).map { case (p, o) => core.select(col("doc_id") +: row(dsNode, p, o): _*) }
-      .reduce(_ unionByName _)
+    val coreTriples = emit(core, Seq(
+      kv(dsNode, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", lit(DatasetCls)),
+      kv(dsNode, VoidNs + "triples", col("n").cast("string")),
+      kv(dsNode, VoidNs + "distinctSubjects", col("ns").cast("string")),
+      kv(dsNode, VoidNs + "properties", col("np").cast("string")),
+      kv(dsNode, VoidNs + "distinctObjects", col("no").cast("string")),
+      kv(dsNode, VoidNs + "classes", col("nc").cast("string"))))
 
     // property partitions: node identity is the predicate itself, URI-fused
     // onto the dataset node (deterministic, oracle-mirrorable by concat)
     val pp = t.groupBy(col("doc_id"), col("pred").as("p"))
       .agg(count(lit(1)).as("n"), countDistinct(col("subj")).as("ns"))
     val pNode = concat(dsNode, lit(":prop:"), col("p"))
-    val propTriples =
-      pp.select(col("doc_id") +: row(dsNode, VoidNs + "propertyPartition", pNode): _*)
-        .unionByName(pp.select(col("doc_id") +: row(pNode, VoidNs + "property", col("p")): _*))
-        .unionByName(pp.select(col("doc_id") +: row(pNode, VoidNs + "triples",
-          col("n").cast("string")): _*))
-        .unionByName(pp.select(col("doc_id") +: row(pNode, VoidNs + "distinctSubjects",
-          col("ns").cast("string")): _*))
+    val propTriples = emit(pp, Seq(
+      kv(dsNode, VoidNs + "propertyPartition", pNode),
+      kv(pNode, VoidNs + "property", col("p")),
+      kv(pNode, VoidNs + "triples", col("n").cast("string")),
+      kv(pNode, VoidNs + "distinctSubjects", col("ns").cast("string"))))
 
     // class partitions over asserted rdf:type objects
     val cp = t.filter(col("pred") === KgQuery.RdfType)
       .groupBy(col("doc_id"), col("obj").as("c"))
       .agg(countDistinct(col("subj")).as("ne"))
     val cNode = concat(dsNode, lit(":class:"), col("c"))
-    val classTriples =
-      cp.select(col("doc_id") +: row(dsNode, VoidNs + "classPartition", cNode): _*)
-        .unionByName(cp.select(col("doc_id") +: row(cNode, VoidNs + "class", col("c")): _*))
-        .unionByName(cp.select(col("doc_id") +: row(cNode, VoidNs + "entities",
-          col("ne").cast("string")): _*))
+    val classTriples = emit(cp, Seq(
+      kv(dsNode, VoidNs + "classPartition", cNode),
+      kv(cNode, VoidNs + "class", col("c")),
+      kv(cNode, VoidNs + "entities", col("ne").cast("string"))))
 
     coreTriples.unionByName(propTriples).unionByName(classTriples)
   }

@@ -46,8 +46,29 @@ object GraphOps {
     * any sum of 10^12 node ids, where a raw long sum could wrap.
     */
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, smallCap: Long = 100000L): DataFrame = {
     val e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .persist()
+    // Measured-count gate, the transitiveClosure.smallClosure pattern (and
+    // the same size envelope a broadcast join would ship anyway): an edge
+    // list at or under `smallCap` rows closes on the driver with union-find
+    // — ONE collect instead of ~4 driver-synchronized jobs per propagation
+    // round. Unlike a closure, the output is one (node, component-min) row
+    // per edge endpoint — O(nodes), never quadratic, so the gate has no
+    // blow-up mode. Near-dup pair lists are exactly this scale: every
+    // upstream candidate generator is per-bucket capped. The count also
+    // materializes the cache, so the big path's symmetrized edge build reads
+    // the cache twice instead of recomputing the pair generator twice.
+    val nEdges = e.count()
+    if (nEdges <= smallCap) {
+      val rows = e.collect()
+      e.unpersist()
+      // rows with a NULL endpoint cannot carry labels (SQL join semantics
+      // never match them) — only the distributed loop defines their
+      // behavior, so fall back loudly rather than diverge silently
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return smallComponents(edges.sparkSession, rows)
+    }
     // The edge list is the largest table in the loop and every round joins it
     // on u. Hash-partition it by u ONCE before caching: the cached relation
     // reports that partitioning, so each round's propagation join exchanges
@@ -98,8 +119,54 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
+
+  /** Driver-side components of a small collected edge list (long u, long v):
+    * union-find with path compression, then each node labeled with its
+    * component's MINIMUM id — exactly the distributed loop's fixpoint.
+    * Only reachable through [[connectedComponents]]'s measured-count gate.
+    * Output partition count scales with the row count (never the fixed 1
+    * slice smallClosure used to emit — a downstream join over a larger
+    * frame would otherwise run one-task). */
+  private def smallComponents(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val u = row.getLong(0); val v = row.getLong(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(ru, rv)
+    }
+    import scala.jdk.CollectionConverters._
+    val nodes = parent.keySet().asScala.toArray
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    nodes.foreach { n =>
+      val r = find(n)
+      if (!minOfRoot.containsKey(r) || n < minOfRoot.get(r)) minOfRoot.put(r, n)
+    }
+    val out = nodes.map(n => org.apache.spark.sql.Row(n, minOfRoot.get(find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lbl", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, sliceCount(out.length, spark)), schema)
+  }
+
+  /** Partition count for a driver-built result: ~10k rows per slice, at
+    * least 1, at most defaultParallelism (ADVICE r5: a fixed 1 slice makes
+    * every downstream join over the frame single-task). */
+  private[graft] def sliceCount(n: Int, spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000 + 1))
 
   /** Integer-exact PageRank over a per-graph directed edge list, a fixed
     * number of unrolled iterations (link-analysis centrality for KG nodes —
@@ -145,31 +212,122 @@ object GraphOps {
   /** Exact triangle count per graph over an undirected edge list (clustering
     * structure of the KG's entity graph — the standard cohesion statistic).
     *
-    * Edges are canonicalized (self-loops dropped, both directions collapse
-    * into src < dst), then triangles enumerate as the two-hop join
-    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle counted
-    * exactly once by the ordering. 100-TB posture: the ordering IS the
-    * classic orientation bound — every wedge (a<b<c) is generated once
-    * from its smallest vertex and closed by one keyed hash join probe; both
-    * joins are keyed on (graph, node) pairs, map-side combinable count at
-    * the end, no driver involvement. For power-law graphs replace the
-    * lexicographic order with a degree order (fewer wedges at hubs) — same
-    * plan shape, one extra degree join.
+    * Edges are canonicalized (self-loops dropped, both directions collapse),
+    * then oriented by DEGREE order (round 6, VERDICT r5 #2): each edge
+    * points from its lower-(degree, id) endpoint to the higher, and
+    * triangles enumerate as oriented wedges closed by one keyed hash join —
+    * each triangle counted exactly once at its (degree, id)-minimal vertex.
+    * The degree orientation is the classic power-law guard: a hub of degree
+    * d generates wedges only from its LOW-degree neighbors, bounding wedge
+    * rows at O(E·√E) total instead of O(hub-deg²) under one key (the
+    * lexicographic orientation this replaces generated deg² wedges whenever
+    * a hub happened to sort low). Same plan shape plus one degree aggregate
+    * and one (graph, node)-keyed join to attach it; the count is
+    * orientation-invariant, so results are unchanged.
     */
   def triangleCount(edges: DataFrame, g: String = "g", src: String = "s",
-      dst: String = "d"): DataFrame = {
-    val e = edges.select(col(g).as("g"), col(src).as("a"), col(dst).as("b"))
+      dst: String = "d", smallCap: Long = 100000L): DataFrame = {
+    val und = canonicalEdges(edges, g, src, dst).persist()
+    // measured-count gate (the connectedComponents / smallClosure pattern):
+    // a canonical edge list at or under `smallCap` rows counts exactly on
+    // the driver in one collect — per-edge common-neighbor intersection,
+    // O(Σ min(deg)) ≤ O(E^1.5) work, no join plan, no shuffle
+    val n = und.count()
+    if (n <= smallCap) {
+      val rows = und.collect()
+      und.unpersist()
+      return smallTriangles(edges.sparkSession, und.schema.head, rows)
+    }
+    orientedWedgesCanonical(und) match { case (wedges, e) =>
+      wedges.join(e.select(col("g").as("__g"), col("x").as("__x"), col("y").as("__y")),
+          col("g") === col("__g") && col("y") === col("__x") && col("z") === col("__y"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
+  }
+
+  /** canonicalized undirected edge list: self-loops dropped, both directions
+    * collapsed into (g, a <= b), distinct */
+  private def canonicalEdges(edges: DataFrame, g: String, src: String,
+      dst: String): DataFrame =
+    edges.select(col(g).as("g"), col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
       .select(col("g"), least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+
+  /** Driver-side exact triangle count of a small collected canonical edge
+    * list: per graph, each edge contributes |N(a) ∩ N(b)| closing vertices
+    * and every triangle is counted once per edge — total div 3. Graphs
+    * without triangles emit no row (inner-aggregate semantics, as the
+    * distributed plan). Only reachable through [[triangleCount]]'s
+    * measured-count gate. */
+  private def smallTriangles(spark: org.apache.spark.sql.SparkSession,
+      gField: org.apache.spark.sql.types.StructField,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.collection.mutable
+    val out = rows.groupBy(_.get(0)).iterator.flatMap { case (gk, es) =>
+      val adj = mutable.HashMap[Any, mutable.HashSet[Any]]()
+      es.foreach { r =>
+        adj.getOrElseUpdate(r.get(1), mutable.HashSet()) += r.get(2)
+        adj.getOrElseUpdate(r.get(2), mutable.HashSet()) += r.get(1)
+      }
+      var tri3 = 0L
+      es.foreach { r =>
+        val (na, nb) = (adj(r.get(1)), adj(r.get(2)))
+        val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+        small.foreach(x => if (big.contains(x)) tri3 += 1)
+      }
+      if (tri3 > 0) Some(org.apache.spark.sql.Row(gk, tri3 / 3)) else None
+    }.toIndexedSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(name = "g"),
+      org.apache.spark.sql.types.StructField("n_triangles",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, sliceCount(out.length, spark)), schema)
+  }
+
+  /** Degree-oriented wedge enumeration (x→y, x→z with y before z in the
+    * (degree, id) total order) plus the oriented edge list it joins against.
+    * Factored out so the star-graph spec can pin the wedge bound directly. */
+  private[graft] def orientedWedges(edges: DataFrame, g: String, src: String,
+      dst: String): (DataFrame, DataFrame) =
+    orientedWedgesCanonical(canonicalEdges(edges, g, src, dst))
+
+  /** [[orientedWedges]] over an already-canonical (g, a, b) edge list. */
+  private def orientedWedgesCanonical(und: DataFrame): (DataFrame, DataFrame) = {
+    // undirected degree per (graph, node) — one map-side-combinable aggregate
+    val deg = und.select(col("g"), col("a").as("n"))
+      .unionByName(und.select(col("g"), col("b").as("n")))
+      .groupBy(col("g"), col("n")).agg(count(lit(1)).as("deg"))
+    // total order key (degree, id); orient every edge low → high
+    val withKeys = und
+      .join(deg.select(col("g"), col("n").as("a"), col("deg").as("da")), Seq("g", "a"))
+      .join(deg.select(col("g"), col("n").as("b"), col("deg").as("db")), Seq("g", "b"))
+      .select(col("g"),
+        struct(col("da").as("deg"), col("a").as("n")).as("ka"),
+        struct(col("db").as("deg"), col("b").as("n")).as("kb"),
+        col("a"), col("b"))
+    // LAZY localCheckpoint: the oriented list is consumed three times (two
+    // wedge sides + the closing probe, each under a DIFFERENT join key, so
+    // exchange reuse cannot cover them) — without the cut the und+deg
+    // subtree replicates ~15x through the plan (measured: 216 Exchange
+    // nodes and 0.85 s -> 3.8 s on the golden store from planning alone).
+    // Lazy (eager = false): no extra job, the first action materializes the
+    // RDD once and the other consumers read its blocks.
+    val e = withKeys.select(col("g"),
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("x"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("y"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("ky"))
+      .localCheckpoint(false)
+    // wedges at the minimal vertex: two out-edges of x, ordered so each
+    // unordered {y, z} pair appears once
     val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.g") === col("e2.g") && col("e1.b") === col("e2.a"))
-      .select(col("e1.g").as("g"), col("e1.a").as("a"),
-        col("e1.b").as("b"), col("e2.b").as("c"))
-    wedges.join(e.select(col("g").as("__g"), col("a").as("__a"), col("b").as("__c")),
-        col("g") === col("__g") && col("a") === col("__a") && col("c") === col("__c"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_triangles"))
+        col("e1.g") === col("e2.g") && col("e1.x") === col("e2.x") &&
+          col("e1.ky") < col("e2.ky"))
+      .select(col("e1.g").as("g"), col("e1.x").as("x"),
+        col("e1.y").as("y"), col("e2.y").as("z"))
+    (wedges, e)
   }
 }
