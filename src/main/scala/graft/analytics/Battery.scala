@@ -170,9 +170,17 @@ object Battery {
       // exchange, which Catalyst then REUSES for the sizes aggregate and
       // BOTH sides of the pair self-join (identical subtrees => one
       // ReusedExchange instead of three recomputations of the hash pass)
+      // LAZY localCheckpoint after the df-cap filter (round 6, guide §5):
+      // the windowed subtree has three consumers (sizes, both self-join
+      // sides) — the shared exchange kept the SCAN single-execution, but
+      // the post-exchange sort+window still ran once per consumer; the cut
+      // runs it once and consumers read the (much smaller, post-cap)
+      // blocks. The self-join's h-exchange over the checkpointed rows is
+      // still one reused exchange (PlanShapeSpec pin).
       val sh = shAll
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= JaccardDfCap).drop("df")
+        .localCheckpoint(false)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       // SHUFFLE_HASH everywhere a broadcast build side would RECOMPUTE the
       // scan+shingle+md5+window subtree to fill its hashed relation (the

@@ -417,8 +417,6 @@ object KgQuery {
           .getOrElse(java.math.BigDecimal.ZERO))
     }
 
-    var (r, rRdd) = cut(base)
-    var prev = sig(r)
     // Stats-gated small-relation fast path — the closure analogue of the
     // broadcast-join decision: a base relation at or under `smallCap`
     // measured pairs (schema/TBox/list-chain scale — the size envelope a
@@ -427,6 +425,12 @@ object KgQuery {
     // (eager checkpoint + convergence probe) with ONE collect. Identical
     // semantics: BFS shortest hop-count = the min-plus doubling's minimal
     // dist on unit edges. Larger relations run the distributed loop below.
+    // (An alternative probe — persist + plain count before the checkpoint —
+    // was measured SLOWER on the golden-store battery despite one fewer
+    // job: the columnar cache build costs more than the saved job. The
+    // eager-checkpoint probe stays.)
+    var (r, rRdd) = cut(base)
+    var prev = sig(r)
     if (prev._1 > 0 && prev._1 <= smallCap) {
       smallClosure(r, graph) match { // collects eagerly — safe to free base after
         case Some(closed) =>

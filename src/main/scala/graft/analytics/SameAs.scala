@@ -62,6 +62,12 @@ object SameAs {
     * the canonical clique member, plus one `member owl:sameAs canon` triple
     * per merged alias, distinct per (graph, subj, pred, obj). */
   def resolve(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
+    // (A lazy localCheckpoint of the dict — consumed 3x below — was measured
+    // SLOWER on the golden-store battery: the closure's driver fast path
+    // already returns a materialized LogicalRDD, so the re-derived subtree
+    // is one groupBy over it and the cut's extra stage barrier costs more.
+    // At corpus scale, where the dict descends from the distributed loop,
+    // the loop's own per-round checkpoint plays that role.)
     val dict = canonicalMap(triples, graphCol)
       .select(col(graphCol).as("__g"), col("member"), col("canon"))
     val t = triples.filter(col("pred") =!= OwlSameAs)

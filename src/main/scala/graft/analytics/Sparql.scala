@@ -2152,8 +2152,17 @@ object Sparql {
     * (the store is a union of named graphs, one per document — there is no
     * default graph to insert into); extra non-quad columns survive deletes
     * and NULL-fill on inserted rows. */
-  def update(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame =
-    new Parser(text).updateRequest().foldLeft(triples) { (store, op) =>
+  def update(triples: DataFrame, text: String, graphCol: String = "doc_id"): DataFrame = {
+    val ops = new Parser(text).updateRequest()
+    ops.zipWithIndex.foldLeft(triples) { case (store0, (op, i)) =>
+      // An intermediate store (op 2+ of a `;` sequence) is consumed several
+      // times by the next op (WHERE compile, delete anti join, insert anti
+      // join + union) — a LAZY localCheckpoint computes it once and lets
+      // every consumer read the blocks, instead of stacking op k-1's whole
+      // plan into op k three times (round 6, guide §5; no extra job — the
+      // first action materializes). The input store and the final result
+      // stay untouched (callers own their lineage).
+      val store = if (i == 0) store0 else store0.localCheckpoint(false)
       // WITH/USING shape the WHERE clause's dataset exactly like FROM /
       // FROM NAMED shape a query's: USING graphs (when any) are the default
       // graph, else the WITH graph, else the whole store; USING NAMED
@@ -2166,4 +2175,5 @@ object Sparql {
       }
       new Compiler(store, graphCol, from, named, updateMeta(op)).applyUpdate(op)
     }
+  }
 }

@@ -198,9 +198,17 @@ object GraphOps {
       .unionByName(e.select(col("g"), col("d").as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 0 until iters) {
-      val contrib = e.join(out, Seq("g", "s"))
-        .join(pr.select(col("g"), col("node").as("s"), col("pr")), Seq("g", "s"))
-        .select(col("g"), col("d").as("node"), expr("pr div deg").as("c"))
+      // round 6 (guide §3.3): join the NODE-sized rank and degree tables
+      // first, then attach the result to the edge list — one edge-table
+      // join per round instead of two (the written order (e⋈out)⋈pr made
+      // the corpus-sized edge stream cross two joins; Catalyst does not
+      // reorder it). Identical per-edge arithmetic.
+      val prc = pr.join(
+          out.select(col("g").as("__og"), col("s").as("__os"), col("deg")),
+          col("node") === col("__os") && col("g") === col("__og"))
+        .select(col("g"), col("node").as("s"), expr("pr div deg").as("c"))
+      val contrib = e.join(prc, Seq("g", "s"))
+        .select(col("g"), col("d").as("node"), col("c"))
         .groupBy(col("g"), col("node")).agg(sum(col("c")).as("m"))
       pr = nodes.join(contrib, Seq("g", "node"), "left")
         .select(col("g"), col("node"),

@@ -178,49 +178,59 @@ object Pipeline {
 
   /** IRI restoration over the deduped encoded rows (columns doc_id, subj,
     * stg, subj_val, pred_id, is_wtype, og, otg, ov, kd, m): subj = baseURI +
-    * decoded local; obj = wrapper class IRI (classDim), static-vocab IRI
-    * (vocabDim), baseURI + decoded instance local, or the literal lexical
-    * form as-is. The Named/Mint locals decode through shifts + two tiny
-    * broadcast local-name dims; `n` + lower(hex()) reproduces
+    * decoded local; obj = wrapper class IRI (classArr), static-vocab IRI
+    * (vocabArr), baseURI + decoded instance local, or the literal lexical
+    * form as-is. `n` + lower(hex()) reproduces
     * Long.toUnsignedString(h, 16) exactly (no zero-padding on positives, 16
-    * digits on negatives — pinned by StageDSpec). All dims broadcast: this
-    * pass is narrow regardless of which dedup produced its input. */
+    * digits on negatives — pinned by StageDSpec).
+    *
+    * Round 6 (guide §2.4/§4): the five dictionary decodes are FOLDABLE
+    * LITERAL-ARRAY lookups (`element_at` over a constant array, like the kd
+    * datatype decode always was), not broadcast hash joins. The universes
+    * are compile-time constants of a few MB — exactly what was broadcast
+    * anyway — but as expressions the flagship path keeps ZERO join
+    * operators after the fused map stage: no broadcast exchanges, no
+    * driver-side relation builds, no per-row probe/copy through five BHJ
+    * operators, and consumers that don't read the decoded strings (counts,
+    * filters on doc_id, …) prune the lookup entirely. Out-of-universe ids
+    * decode to NULL exactly like the former left joins (bounds-guarded —
+    * ANSI would otherwise abort on a garbage id from a caller-built frame);
+    * an unmapped pred_id still raises loudly below. */
   private[graft] def decode(deduped: DataFrame, baseURI: String)
                            (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     import graft.model.{TripleRow => TR}
     import graft.schema.{ClassIds, PredIds, VocabIds}
-    val classDim = broadcast(
-      ClassIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
-        .toDF("w_cls", "w_iri"))
-    val predDim = broadcast(
-      PredIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
-        .toDF("p_id", "p_iri"))
-    val vocabDim = broadcast(
-      VocabIds.idToIri.zipWithIndex.map { case (iri, i) => (i, iri) }.toSeq
-        .toDF("v_id", "v_iri"))
-    // Named-tag decode dims: VocabIds id -> IRI local name. The Named
-    // encoding packs (id of ontNS#CamelName, line); the local after '#'/'/'
-    // IS that CamelName, so one static dim serves both sides of the triple.
-    val localPairs = VocabIds.idToIri.zipWithIndex.map { case (iri, i) =>
-      val cut = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1
-      (i, iri.substring(cut))
-    }.toSeq
-    val subjLocalDim = broadcast(localPairs.toDF("sl_id", "sl_local"))
-    val objLocalDim = broadcast(localPairs.toDF("olm_id", "olm_local"))
+    val classArr = typedlit(ClassIds.idToIri.toSeq)
+    val predArr = typedlit(PredIds.idToIri.toSeq)
+    val vocabArr = typedlit(VocabIds.idToIri.toSeq)
+    // Named-tag decode: VocabIds id -> IRI local name. The Named encoding
+    // packs (id of ontNS#CamelName, line); the local after '#'/'/' IS that
+    // CamelName, so one static array serves both sides of the triple.
+    val localArr = typedlit(VocabIds.idToIri.toSeq.map { iri =>
+      iri.substring(math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1)
+    })
+    // NULL-on-miss lookup (the left-join contract): guard the 1-based index
+    // into [1, len] so ANSI element_at can never abort on garbage ids
+    def dim(arr: org.apache.spark.sql.Column, len: Int,
+            idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(idx >= 0 && idx < len, element_at(arr, (idx + 1).cast("int")))
+    val wIri = dim(classArr, ClassIds.idToIri.length, ($"m" % 16384).cast("int"))
+    // loud decode: an unmapped pred_id must SURFACE (this is a public seam
+    // fed caller-built frames), consistent with PredIds.id's loud-on-miss
+    // posture — a silent null would drop the IRI, not the row
+    val pIri = dim(predArr, PredIds.idToIri.length, $"pred_id")
+    val vIri = dim(vocabArr, VocabIds.idToIri.length, $"ov")
+    val slLocal = dim(localArr, VocabIds.idToIri.length, shiftright($"subj_val", TR.LineBits))
+    val olmLocal = dim(localArr, VocabIds.idToIri.length, shiftright($"ov", TR.LineBits))
     // kd decode is a pure expression (6-entry closed datatype universe)
     val dtArr = array(PredIds.Datatypes.map(lit): _*)
     deduped
-      .join(classDim, $"is_wtype" && ($"m" % 16384).cast("int") === $"w_cls", "left")
-      // LEFT join + loud decode: an unmapped pred_id must SURFACE (this is a
-      // public seam fed caller-built frames), consistent with PredIds.id's
-      // loud-on-miss posture — an inner join would silently drop the row
-      .join(predDim, $"pred_id" === $"p_id", "left")
-      .join(vocabDim, $"otg" === TR.Vocab && $"ov" === $"v_id", "left")
-      .join(subjLocalDim,
-        $"stg" === TR.Named && shiftright($"subj_val", TR.LineBits).cast("int") === $"sl_id", "left")
-      .join(objLocalDim,
-        $"otg" === TR.Named && shiftright($"ov", TR.LineBits).cast("int") === $"olm_id", "left")
+      .withColumn("w_iri", when($"is_wtype", wIri))
+      .withColumn("p_iri", pIri)
+      .withColumn("v_iri", when($"otg" === TR.Vocab, vIri))
+      .withColumn("sl_local", when($"stg" === TR.Named, slLocal))
+      .withColumn("olm_local", when($"otg" === TR.Named, olmLocal))
       .select($"doc_id",
         concat(lit(baseURI),
           when($"stg" === TR.Named,

@@ -138,12 +138,14 @@ class StageDSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     r.unpersist()
     withClue(plan) {
-      // docs in, triples out, no wide edge anywhere: the only joins are the
-      // broadcast IRI-decode dims over the per-doc fused stage's output
+      // docs in, triples out, no wide edge anywhere — and since round 6 the
+      // IRI decode is foldable literal-array lookups, so the fused plan has
+      // no join operators (and no broadcast exchanges) at all
       assert(!plan.contains("ShuffleQueryStage") && !plan.contains("Exchange hashpartitioning"),
         "the fused pipeline must plan without any shuffle")
       assert(!plan.contains("Sort"), "and without any sort")
-      assert(plan.contains("BroadcastHashJoin"), "IRI decode dims broadcast")
+      assert(!plan.contains("Join"),
+        "IRI decode must be pure expressions — no join operators on the fused path")
     }
   }
 
