@@ -50,9 +50,13 @@ object SparkEntry {
     * triples table, not a fresh pipeline invocation per query. */
   def goldenTriples(spark: SparkSession): DataFrame =
     goldenCache.computeIfAbsent(spark, s => {
-      val df = entry(s).persist()
-      df.count() // materialize so the first timed query is not the pipeline
-      df
+      // localCheckpoint, not persist (round 6): the materialized store is a
+      // LogicalRDD LEAF, so the ~90 queries planned over it carry a tiny
+      // plan. A persisted frame kept the full pipeline lineage (now
+      // including the decode stage's ~5 MB dictionary literals) inside the
+      // cached relation, and CacheManager's per-query plan matching against
+      // it measurably taxed EVERY golden-store query (~+0.3-0.6 s each).
+      entry(s).localCheckpoint(true) // eager: first timed query is not the pipeline
     })
 
   /** One entry per implemented operator (SURVEY.md §2 and the training-data

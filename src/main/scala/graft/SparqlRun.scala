@@ -88,7 +88,15 @@ object SparqlRun {
           .select(org.apache.spark.sql.functions.lit(1L).as("ord"),
             org.apache.spark.sql.functions.col("line"))
       }
-      lines.coalesce(1).sortWithinPartitions("ord").select("line")
+      // ADVICE r5: equal-ord rows must not rely on sort STABILITY (Spark
+      // does not contractually guarantee it; a spill during the single-
+      // partition sort could interleave them and silently break an ordered
+      // result document). A monotonically increasing id taken BEFORE the
+      // coalesce (partition-major, ascending within partitions — i.e. the
+      // query's own output order) is the explicit secondary key.
+      lines
+        .withColumn("seq", org.apache.spark.sql.functions.monotonically_increasing_id())
+        .coalesce(1).sortWithinPartitions("ord", "seq").select("line")
         .write.mode("overwrite").text(outDir)
       return
     }

@@ -97,8 +97,20 @@ object Rdfs {
       schemaEdges.filter(col("pred") === predIri)
         .select(col("g"), col("subj").as("src"), col("obj").as("dst"))
 
-    val scPlus = KgQuery.transitiveClosure(edgesOf(SubClassOf), graph = Seq("g")).drop("dist")
-    val spPlus = KgQuery.transitiveClosure(edgesOf(SubPropertyOf), graph = Seq("g")).drop("dist")
+    // ONE closure call for both hierarchies (round 6): the closing pred
+    // rides the closure's graph key — per-(g, pred) groups close
+    // independently, exactly like Owl's per-property closure — so sc⁺ and
+    // sp⁺ share a single gate probe + collect instead of paying the
+    // closure's fixed jobs twice. Identical result per hierarchy.
+    val hierPlus = KgQuery.transitiveClosure(
+      schemaEdges.filter(col("pred").isin(SubClassOf, SubPropertyOf))
+        .select(col("g"), col("pred"),
+          col("subj").as("src"), col("obj").as("dst")),
+      graph = Seq("g", "pred"))
+    val scPlus = hierPlus.filter(col("pred") === SubClassOf)
+      .select(col("g"), col("src"), col("dst"))
+    val spPlus = hierPlus.filter(col("pred") === SubPropertyOf)
+      .select(col("g"), col("src"), col("dst"))
 
     // rdfs5/11: the closures themselves are entailed schema triples
     val schemaDerived =

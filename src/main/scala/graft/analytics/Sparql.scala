@@ -2060,11 +2060,15 @@ object Sparql {
               .withColumnRenamed("doc_id", graphCol)
             if (g.nonEmpty) q.withColumn(graphCol, lit(g))
             else {
-              val dflt = q.filter(col(graphCol) === "").count()
+              // ADVICE r5: without the cut, the default-graph check and the
+              // insert union each re-read and re-parse the whole file — the
+              // lazy localCheckpoint parses once (the count materializes it)
+              val qc = q.localCheckpoint(false)
+              val dflt = qc.filter(col(graphCol) === "").count()
               require(dflt == 0, s"LOAD <$path>: $dflt default-graph line(s) — " +
                 "this store is named-graphs-only; use LOAD ... INTO GRAPH <g> " +
                 "to assign them")
-              q
+              qc
             }
           } else throw new IllegalArgumentException(
             s"LOAD supports .nt, .nq and .ttl sources, got: $path")
