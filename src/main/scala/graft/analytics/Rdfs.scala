@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * (rdfs2/3), and dom/rng-derived types can enable rdfs9, so one pass in
   * that order reaches the fixpoint (no rule re-fires; this is the standard
   * ρdf stratification, no iteration needed beyond the two closures).
+  * Scope note (ADVICE r5): a TBox that declares rdf:type ITSELF a
+  * super-property (`p rdfs:subPropertyOf rdf:type`) is outside this
+  * completeness claim — rdfs7 would then derive rdf:type triples that
+  * rdfs2/3/9 never revisit. Such TBoxes are degenerate (they make every
+  * p-object a class); a full-fixpoint reasoner (Jena InfModel) is the
+  * right tool there.
   * Reflexivity rules (rdfs6/8/10) and the axiomatic-triple rules are
   * intentionally out of scope — they add `x sc x` noise, not information;
   * Jena's RDFS-simple configuration omits them too.
