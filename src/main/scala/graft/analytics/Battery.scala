@@ -637,13 +637,23 @@ object Battery {
       val grams = tk.select(col("doc_id"), size(col("tk")).cast("long").as("ntok"),
           posexplode(graft.functions.TextOps.shingles(col("tk"), k)))
         .toDF("doc_id", "ntok", "p", "g")
-      val dup = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("g")
+      // "seen in >= 2 distinct docs" as a WINDOW over g, the q12 df-cap
+      // house pattern (round 6, guide §2.4): countDistinct(doc_id) >= 2
+      // ⟺ min(doc_id) ≠ max(doc_id) over the gram's rows (min/max skip
+      // NULLs exactly like countDistinct; an all-NULL group compares
+      // NULL ≠ NULL → filtered, matching nd = 0). The former
+      // groupBy + left_semi ran the tokenize/shingle/posexplode pass TWICE
+      // (once into the aggregate, once into the join side) with two
+      // g-keyed exchanges; the window computes the mark in place on one
+      // g-partitioned sort — one explode pass, one g exchange.
+      // Equivalence proven by CurationFuzzSpec's brute-force evaluator.
+      val gw = Window.partitionBy(col("g"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
       // intervals [p, p+k-1] of equal length merge iff p <= prev_p + k
       // (adjacency included), so a plain lag decides the island break
-      grams.join(dup, Seq("g"), "left_semi")
+      grams
+        .withColumn("multi", min(col("doc_id")).over(gw) =!= max(col("doc_id")).over(gw))
+        .filter(col("multi")).drop("multi")
         .withColumn("pp", lag(col("p"), 1).over(w))
         .withColumn("brk",
           when(col("pp").isNull || col("p") > col("pp") + k, 1L).otherwise(0L))

@@ -293,12 +293,39 @@ object AnnOps {
     * chain per consumer, exponentially in `iters`; the quantized input
     * is persisted for the loop's lifetime and released before return. */
   def kmeansAssign(df: DataFrame, id: String, emb: String,
-                   seedStride: Int, iters: Int): DataFrame = {
+                   seedStride: Int, iters: Int, smallCap: Long = 10000L,
+                   driverWorkBudget: Long = 200000000L): DataFrame = {
     val e = df.filter(size(col(emb)) > 0).select(col(id).as("vid"),
       expr(s"transform($emb, x -> CAST(FLOOR(x * 1000) AS BIGINT))").as("q"))
       .persist()
+    // Measured-count gate (round 6; the GraphOps.connectedComponents /
+    // smallTriangles / smallClosure house pattern, guide §1.2 "the
+    // distributed algorithm" + §5 driver rules): a corpus at or under
+    // `smallCap` rows (default 10k — ~10 MB of quantized arrays at d=1k,
+    // the same envelope the default broadcast-join threshold ships) runs
+    // Lloyd on the driver in ONE collect instead of ~3 driver-synchronized
+    // jobs per round (centroid aggregate, assignment window, eager
+    // checkpoint cut). The driver replica is arithmetic-identical to the
+    // distributed plan (see [[smallKmeans]]); inputs it cannot faithfully
+    // replicate (null/duplicate/non-integral vids) fall through to the
+    // distributed loop, as does an estimated n·K·d distance workload above
+    // `driverWorkBudget` (the smallClosure pair-budget pattern — a small
+    // corpus with a dense seed stride must not pin the driver). The count
+    // also materializes the persisted cache for the distributed path, whose
+    // loop is untouched above the gate (its 100-TB posture is unchanged).
+    if (smallCap >= 0 && e.count() <= smallCap) {
+      smallKmeans(e, seedStride, iters, driverWorkBudget) match {
+        case Some(out) => e.unpersist(); return out
+        case None => // fall through to the distributed loop
+      }
+    }
     def assign(cents: DataFrame): DataFrame = {
-      val d2 = expr("aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      // native codegen distance (guide §4): the composed
+      // aggregate(zip_with(...)) form is an interpreted CodegenFallback
+      // tree allocating a zipped array per (row, centroid) pair — QuantL2Q
+      // is its exact-semantics fused-loop replacement (length mismatch or
+      // any null element → NULL; wrapping long arithmetic)
+      val d2 = QuantL2Q(col("q"), col("c"))
       // NULLS LAST for the same reason as ivfAssign: DuckDB's default
       val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc_nulls_last, col("cid").asc)
       e.crossJoin(broadcast(cents))
@@ -329,6 +356,124 @@ object AnnOps {
     }
     e.unpersist()
     asg
+  }
+
+  /** Driver-side Lloyd over a small collected (vid, q) frame — only
+    * reachable through [[kmeansAssign]]'s measured-count gate. Replicates
+    * the distributed plan's arithmetic EXACTLY, row for row:
+    *   - seeds: `vid % seedStride == 0` (sign-preserving remainder, like
+    *     SQL `%` on integral types);
+    *   - distance: the zip_with/aggregate fold — NULL on length mismatch or
+    *     any null element, wrapping long arithmetic, 0 for two empties;
+    *   - assignment: rank-1 of ORDER BY d2 ASC NULLS LAST, cid ASC;
+    *   - centroid update: per (cid, pos) `sum(ei) div count(*)` — sum skips
+    *     null elements and is NULL when all are null; count counts every
+    *     member covering the position; `div` truncates toward zero (Java /);
+    *     positions sorted ascending into the next round's array.
+    * Returns None (caller falls back to the distributed loop) for inputs
+    * whose plan-level behavior a per-vid driver map cannot reproduce:
+    * non-integral vid types, NULL vids (the assignment window would pool
+    * them into one rank-1 partition), duplicate vids (ditto), or an
+    * n·K·d workload above the driver budget. */
+  private def smallKmeans(e: DataFrame, seedStride: Int, iters: Int,
+                          workBudget: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val vidType = e.schema("vid").dataType
+    val integral = vidType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!integral) return None
+    val rows = e.collect()
+    if (rows.exists(_.isNullAt(0))) return None
+    def vidL(r: org.apache.spark.sql.Row): Long = r.get(0) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case s: java.lang.Short => s.toLong
+      case b: java.lang.Byte => b.toLong
+    }
+    // (orig vid value, vid as long, quantized elements with nulls kept)
+    val vecs = rows.map { r =>
+      (r.get(0), vidL(r), r.getSeq[java.lang.Long](1).toArray)
+    }
+    if (vecs.map(_._2).distinct.length != vecs.length) return None
+    val seeds = vecs.filter(v => v._2 % seedStride == 0)
+      .map { case (orig, l, q) => (orig, l, q) }
+    val maxDim = if (vecs.isEmpty) 0 else vecs.map(_._3.length).max
+    if (vecs.length.toLong * seeds.length * math.max(maxDim, 1) *
+        (iters + 1L) > workBudget) return None
+
+    def d2(a: Array[java.lang.Long], b: Array[java.lang.Long]): java.lang.Long = {
+      if (a.length != b.length) return null
+      var s = 0L
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        if (x == null || y == null) return null
+        val d = x.longValue - y.longValue
+        s += d * d
+        i += 1
+      }
+      java.lang.Long.valueOf(s)
+    }
+    // rank-1 of (d2 ASC NULLS LAST, cid ASC) per vector
+    def assign(cents: Array[(Any, Long, Array[java.lang.Long])])
+        : Array[((Any, Long, Array[java.lang.Long]), (Any, Long))] =
+      vecs.flatMap { v =>
+        var bestC: (Any, Long) = null
+        var bestD: java.lang.Long = null
+        cents.foreach { case (corig, cl, cq) =>
+          val d = d2(v._3, cq)
+          val better =
+            if (bestC == null) true
+            else if (d == null && bestD == null) cl < bestC._2
+            else if (d == null) false
+            else if (bestD == null) true
+            else if (d.longValue != bestD.longValue) d.longValue < bestD.longValue
+            else cl < bestC._2
+          if (better) { bestC = (corig, cl); bestD = d }
+        }
+        if (bestC == null) None else Some((v, bestC))
+      }
+    def update(asg: Array[((Any, Long, Array[java.lang.Long]), (Any, Long))])
+        : Array[(Any, Long, Array[java.lang.Long])] =
+      asg.groupBy(_._2._2).toArray.sortBy(_._1).map { case (_, members) =>
+        val (corig, cl) = members.head._2
+        val qs = members.map(_._1._3)
+        val len = qs.map(_.length).max
+        val c = new Array[java.lang.Long](len)
+        var p = 0
+        while (p < len) {
+          var sm = 0L
+          var any = false
+          var cnt = 0L
+          qs.foreach { q =>
+            if (p < q.length) {
+              cnt += 1
+              // addExact: the distributed plan's ANSI sum aborts loudly on
+              // long overflow; the driver replica must not silently wrap
+              // where the plan it stands in for would have thrown
+              if (q(p) != null) { any = true; sm = Math.addExact(sm, q(p).longValue) }
+            }
+          }
+          c(p) = if (!any) null else java.lang.Long.valueOf(sm / cnt)
+          p += 1
+        }
+        (corig, cl, c)
+      }
+
+    var asg = assign(seeds)
+    for (_ <- 0 until iters) asg = assign(update(asg))
+    val spark = e.sparkSession
+    val out = asg.map { case (v, (corig, _)) =>
+      org.apache.spark.sql.Row(v._1, corig)
+    }
+    val schema = StructType(Seq(
+      StructField("vid", vidType, nullable = true),
+      StructField("cid", vidType, nullable = true)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq,
+        GraphOps.sliceCount(out.length, spark)), schema))
   }
 
   /** SemDeDup semantic dedup: k-means cluster the corpus, score only

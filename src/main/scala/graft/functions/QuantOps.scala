@@ -192,6 +192,81 @@ object QuantL2 {
     GraftBridge.column(QuantL2(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
+/** graft_quant_l2q(a ARRAY<BIGINT>, b ARRAY<BIGINT>) → BIGINT (nullable):
+  * squared L2 over two PRE-quantized element arrays — the k-means assignment
+  * distance, where the quantized array is kept per row for the centroid
+  * update and the composed form
+  * `aggregate(zip_with(q, c, (x,y) -> (x-y)*(x-y)), 0L, (acc,v) -> acc+v)`
+  * evaluated as an interpreted CodegenFallback tree allocating a zipped
+  * array per (row, centroid) pair. Exact semantics of that composed form,
+  * which differ from [[QuantL2]]'s skip-nulls rule:
+  *   - zip_with pads the shorter array with nulls, and the fold poisons on
+  *     the first null product, so a LENGTH MISMATCH or ANY null element
+  *     yields NULL (QuantL2 instead skips unusable positions);
+  *   - two empty arrays yield 0 (the fold's seed), not NULL;
+  *   - long overflow WRAPS like Java — the house posture of QuantDot /
+  *     QuantL2 (it cannot abort a job, unlike an ANSI-mode overflow in the
+  *     composed form; quantized element magnitudes keep real inputs far
+  *     from the boundary).
+  * Pinned against the composed form by CodegenPinSpec under CODEGEN_ONLY. */
+case class QuantL2Q(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_quant_l2q expects ARRAY<BIGINT> x2, got $l, $r")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quant_l2q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var ss = 0L
+    var p = 0
+    while (p < n) {
+      if (x.isNullAt(p) || y.isNullAt(p)) return null
+      val d = x.getLong(p) - y.getLong(p)
+      ss += d * d
+      p += 1
+    }
+    java.lang.Long.valueOf(ss)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val p = ctx.freshName("p")
+      val diff = ctx.freshName("diff")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  long $ss = 0L;
+         |  for (int $p = 0; $p < $n && !${ev.isNull}; $p++) {
+         |    if ($a.isNullAt($p) || $b.isNullAt($p)) { ${ev.isNull} = true; }
+         |    else {
+         |      long $diff = $a.getLong($p) - $b.getLong($p);
+         |      $ss += $diff * $diff;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $ss; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantL2Q =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantL2Q {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(QuantL2Q(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
 /** graft_quant_norm(a ARRAY<FLOAT>) → BIGINT (nullable):
   * floor(sqrt(Σ qz(a_p)²)) over non-null positions; NULL if none. */
 case class QuantNorm(child: Expression) extends UnaryExpression {

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.model.{LinkedStmt, RefTarget}
+import graft.schema.SchemaDict
+import graft.sources.SynthCorpus
+
+/** Diagnostic microbench for the FUSED per-doc loop (round 6): single-
+  * threaded tokenize → doc-local link → emit → DocDedup over synthetic docs,
+  * NO Spark — the phase split of the kg flagship's per-task work, free of
+  * plan/scheduler overhead and 32-thread memory contention. Unlike
+  * [[graft.EmitProbe]] it reuses emitters across documents (the fused
+  * mapPartitions does), runs warm-up reps before measuring, and includes the
+  * DocDedup accumulator. Not part of the driver contract.
+  *
+  * Usage: runMain graft.operators.FusedProbe [nDocs] [lines] [reps]
+  */
+object FusedProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 2000
+    val lines = if (args.length > 1) args(1).toInt else 100
+    val reps = if (args.length > 2) args(2).toInt else 5
+
+    val docs = (0 until nDocs).map(i =>
+      SynthCorpus.genDoc(i.toLong, lines, skew = false, seed = 42L)).toArray
+
+    var tokNs, linkNs, emitNs, dedupNs = 0L
+    var nStmts, nTriples, nDedup = 0L
+    for (rep <- 1 to reps) {
+      tokNs = 0L; linkNs = 0L; emitNs = 0L; dedupNs = 0L
+      nStmts = 0L; nTriples = 0L; nDedup = 0L
+      val emitters = scala.collection.mutable.HashMap[String, Emitter]()
+      docs.foreach { doc =>
+        val t0 = System.nanoTime()
+        val stmts = Tokenizer.tokenizeDoc(doc, None).toVector
+        val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.size
+        val kw = stmts.iterator.filter(_.line_id >= 0)
+          .map(s => s.line_id -> s.keyword).toMap
+        val linked = stmts.map { s =>
+          val targets = s.refs.map { r =>
+            kw.get(r) match {
+              case Some(k) => RefTarget(r, r, k)
+              case None => RefTarget(r, -1L, null)
+            }
+          }
+          LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword, s.body,
+            s.abort, s.bad_line, targets)
+        }
+        val t2 = System.nanoTime(); linkNs += t2 - t1
+        val dedup = new Pipeline.DocDedup
+        linked.foreach { ls =>
+          val e0 = System.nanoTime()
+          val em = emitters.getOrElseUpdate(ls.schema,
+            new Emitter(SchemaDict.load(if (ls.schema.isEmpty) "IFC2X3_TC1" else ls.schema), SynthCorpus.BaseURI))
+          val (ts, _) = em.emit(ls)
+          val e1 = System.nanoTime(); emitNs += e1 - e0; nTriples += ts.size
+          ts.foreach(dedup.add)
+          dedupNs += System.nanoTime() - e1
+        }
+        val d0 = System.nanoTime()
+        nDedup += dedup.flush(doc.doc_id).size
+        dedupNs += System.nanoTime() - d0
+      }
+      println(f"[rep $rep] stmts=$nStmts triples=$nTriples deduped=$nDedup  " +
+        f"tok=${tokNs / 1e9}%6.2fs link=${linkNs / 1e9}%5.2fs " +
+        f"emit=${emitNs / 1e9}%6.2fs dedup=${dedupNs / 1e9}%6.2fs  " +
+        f"(${tokNs / 1000.0 / nStmts}%.2f/${emitNs / 1000.0 / nStmts}%.2f us/stmt tok/emit, " +
+        f"${dedupNs / 1000.0 / nTriples}%.3f us/triple dedup)")
+    }
+  }
+}

@@ -90,4 +90,47 @@ class CodegenPinSpec extends SparkTestBase {
       }
     }
   }
+
+  test("QuantL2Q matches the composed zip_with/aggregate fold (codegen + interpreted)") {
+    import spark.implicits._
+    // pre-quantized long arrays: equal/unequal lengths, per-element nulls,
+    // empties, null arrays — the composed form's NULL rules must carry over
+    // (length mismatch or ANY null element → NULL; two empties → 0)
+    val rows = Seq(
+      (1L, Some(Seq[java.lang.Long](900L, -400L, 200L)), Some(Seq[java.lang.Long](100L, 0L, -300L))),
+      (2L, Some(Seq[java.lang.Long](900L, -400L)), Some(Seq[java.lang.Long](100L, 0L, -300L))),
+      (3L, Some(Seq[java.lang.Long](900L, null, 200L)), Some(Seq[java.lang.Long](100L, 0L, -300L))),
+      (4L, Some(Seq.empty[java.lang.Long]), Some(Seq.empty[java.lang.Long])),
+      (5L, None: Option[Seq[java.lang.Long]], Some(Seq[java.lang.Long](1L))))
+      .toDF("id", "qa", "qb")
+      .select(col("id"), col("qa").cast("array<bigint>").as("qa"),
+        col("qb").cast("array<bigint>").as("qb"))
+    def run(): Array[(Long, Any, Any)] = rows.select(col("id"),
+        graft.functions.QuantL2Q(col("qa"), col("qb")).as("n"),
+        expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("c"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).sortBy(_._1)
+    val compiled = withCodegenOnly(run())
+    val interpreted = withInterpretedOnly(run())
+    compiled.zip(interpreted).foreach { case (c, i) =>
+      assert(c == i, s"codegen/interpreted divergence: $c vs $i")
+    }
+    compiled.foreach { case (id, native, composed) =>
+      assert(native == composed, s"id=$id: QuantL2Q=$native but composed fold=$composed")
+    }
+    val byId = compiled.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 != null && byId(4L)._2 == 0L, "equal-length and empty rows must score")
+    assert(byId(2L)._2 == null && byId(3L)._2 == null && byId(5L)._2 == null,
+      "mismatch/null-element/null-array rows must be NULL")
+  }
+
+  test("distributed k-means assignment executes fully codegen'd") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    withCodegenOnly {
+      val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      val n = graft.functions.AnnOps.kmeansAssign(df, "vec_id", "embedding",
+        50, 1, smallCap = -1L).collect().length
+      assert(n >= 0, "distributed kmeansAssign must run under CODEGEN_ONLY")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.AnnOps
+import org.apache.spark.sql.functions.col
 
 /** Hand-computed pins for the k-means (Lloyd) assignment and SemDeDup
   * (q67/q68): the update round must MOVE a centroid enough to flip a
@@ -70,5 +71,66 @@ class KmeansSpec extends SparkTestBase {
     val df = emb(0L -> Seq(0.5f), 1L -> Seq.empty[Float])
     val asg = AnnOps.kmeansAssign(df, "vec_id", "embedding", 100, 1).collect()
     assert(asg.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  // ---- round 6: measured-count driver gate (the GraphOps house pattern) ----
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("driver gate ≡ distributed loop on a random corpus (both paths)") {
+    // deterministic pseudo-random corpus: mixed signs, a few null elements,
+    // one short row (length mismatch → NULL distance in both plans)
+    val rnd = new scala.util.Random(20260822L)
+    val rows = (0L until 61L).map { i =>
+      val dim = if (i == 17L) 3 else 4
+      i -> Seq.tabulate(dim)(_ => (rnd.nextFloat() - 0.5f) * 4.0f)
+    }
+    val df = emb(rows: _*)
+    for (iters <- Seq(0, 1, 2)) {
+      val gated = AnnOps.kmeansAssign(df, "vec_id", "embedding", 7, iters)
+      // gate must actually fire: the result is a parallelized driver frame,
+      // no Window / join in its plan
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        s"gate did not fire for iters=$iters:\n$plan")
+      val dist = AnnOps.kmeansAssign(df, "vec_id", "embedding", 7, iters,
+        smallCap = -1L)
+      assert(asMap(gated) == asMap(dist), s"gate/distributed divergence at iters=$iters")
+    }
+  }
+
+  test("driver gate ≡ distributed loop with null elements and negative vids") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (-6L, Some(Seq[java.lang.Float](0.5f, null))),
+      (-3L, Some(Seq[java.lang.Float](0.4f, 0.1f))),
+      (0L, Some(Seq[java.lang.Float](0.0f, 0.0f))),
+      (2L, Some(Seq[java.lang.Float](1.5f, -1.5f))),
+      (3L, Some(Seq[java.lang.Float](null, null))),
+      (9L, Some(Seq[java.lang.Float](1.6f, -1.4f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    for (iters <- Seq(0, 1)) {
+      val gated = AnnOps.kmeansAssign(df, "vec_id", "embedding", 3, iters)
+      val dist = AnnOps.kmeansAssign(df, "vec_id", "embedding", 3, iters, smallCap = -1L)
+      assert(asMap(gated) == asMap(dist), s"divergence at iters=$iters")
+    }
+  }
+
+  test("gate refuses duplicate vids and falls back to the distributed plan") {
+    val s = spark
+    import s.implicits._
+    // two rows share vid 0: the assignment window pools their candidates
+    // into one rank-1 partition — only the distributed plan defines that,
+    // so the gate must decline (both calls below take the distributed path
+    // and agree by construction; the pin is that the GATED call matches)
+    val df = Seq((0L, Seq(0.1f)), (0L, Seq(1.4f)), (5L, Seq(0.6f)))
+      .toDF("vec_id", "embedding")
+    val gated = AnnOps.kmeansAssign(df, "vec_id", "embedding", 5, 1)
+    val dist = AnnOps.kmeansAssign(df, "vec_id", "embedding", 5, 1, smallCap = -1L)
+    assert(gated.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      dist.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 }
