@@ -23,10 +23,10 @@ object FusedProbe {
     val docs = (0 until nDocs).map(i =>
       SynthCorpus.genDoc(i.toLong, lines, skew = false, seed = 42L)).toArray
 
-    var tokNs, linkNs, emitNs, dedupNs = 0L
+    var tokNs, linkNs, emitNs, dedupNs, parseNs = 0L
     var nStmts, nTriples, nDedup = 0L
     for (rep <- 1 to reps) {
-      tokNs = 0L; linkNs = 0L; emitNs = 0L; dedupNs = 0L
+      tokNs = 0L; linkNs = 0L; emitNs = 0L; dedupNs = 0L; parseNs = 0L
       nStmts = 0L; nTriples = 0L; nDedup = 0L
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       docs.foreach { doc =>
@@ -59,10 +59,18 @@ object FusedProbe {
         val d0 = System.nanoTime()
         nDedup += dedup.flush(doc.doc_id).size
         dedupNs += System.nanoTime() - d0
+        // parse-only column (extra pass, not counted in emit): how much of
+        // the emit phase is Stage C's parseArgs re-tokenization
+        val p0 = System.nanoTime()
+        linked.foreach { ls =>
+          if (ls.keyword != Tokenizer.DocSentinel) Tokenizer.parseArgs(ls.body)
+        }
+        parseNs += System.nanoTime() - p0
       }
       println(f"[rep $rep] stmts=$nStmts triples=$nTriples deduped=$nDedup  " +
         f"tok=${tokNs / 1e9}%6.2fs link=${linkNs / 1e9}%5.2fs " +
-        f"emit=${emitNs / 1e9}%6.2fs dedup=${dedupNs / 1e9}%6.2fs  " +
+        f"emit=${emitNs / 1e9}%6.2fs dedup=${dedupNs / 1e9}%6.2fs " +
+        f"parseOnly=${parseNs / 1e9}%5.2fs  " +
         f"(${tokNs / 1000.0 / nStmts}%.2f/${emitNs / 1000.0 / nStmts}%.2f us/stmt tok/emit, " +
         f"${dedupNs / 1000.0 / nTriples}%.3f us/triple dedup)")
     }

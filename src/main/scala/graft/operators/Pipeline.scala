@@ -275,33 +275,67 @@ object Pipeline {
     * instead of encoded triples. Memory: one document's deduped triples per
     * task (same whole-doc envelope as the tokenizer); a corpus of mega-docs
     * should keep the spill-safe aggregate instead. */
+  /** One [[dedupAgg]] group key as a single primitive-field object with a
+    * precomputed hash and the min priority stored IN-PLACE (`m` var). The
+    * former `Tuple9` key boxed three longs + three ints + a boolean per
+    * emitted row and paid Scala `LinkedHashMap`'s entry overhead plus a
+    * boxed `Long` value per update — measured 42% of the fused per-doc loop
+    * (FusedProbe); this is one allocation per candidate row and one
+    * java.util.LinkedHashMap node per SURVIVING group, same insertion-order
+    * iteration, identical key equality (null-safe on the string fields). */
+  private[operators] final class DKey(val subj: String, val stg: Int, val sv: Long,
+      val pid: Int, val w: Boolean, val og: String, val otg: Int, val ov: Long,
+      val kd: Int) {
+    var m: Long = Long.MaxValue
+    private val h: Int = {
+      var x = if (subj == null) 0 else subj.hashCode
+      x = x * 31 + (if (og == null) 0 else og.hashCode)
+      x = x * 31 + java.lang.Long.hashCode(sv)
+      x = x * 31 + java.lang.Long.hashCode(ov)
+      x = x * 31 + ((stg * 31 + pid) * 31 + otg) * 31 + kd
+      x * 2 + (if (w) 1 else 0)
+    }
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: DKey =>
+        k.sv == sv && k.ov == ov && k.pid == pid && k.stg == stg &&
+          k.otg == otg && k.kd == kd && k.w == w &&
+          (if (subj == null) k.subj == null else subj == k.subj) &&
+          (if (og == null) k.og == null else og == k.og)
+      case _ => false
+    }
+  }
+
   /** One document's dedup/E6 accumulator — the in-memory equivalent of one
     * [[dedupAgg]] group-set (the doc_id prefix of every key is implicit). */
   private[operators] final class DocDedup {
-    private type Key = (String, Int, Long, Int, Boolean, String, Int, Long, Int)
-    private val acc = scala.collection.mutable.LinkedHashMap[Key, Long]()
+    private val acc = new java.util.LinkedHashMap[DKey, DKey]()
     def add(r: TripleRow): Unit = {
       val w = r.wcls >= 0
-      val key: Key = (r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
+      val key = new DKey(r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
         if (w) "" else r.obj, if (w) 0 else r.so_tag % 8,
         if (w) -1L else r.obj_val, r.kd)
       // identical clamps to dedupAgg's `prio` column
       val lineC = math.min(math.max(r.src_line, -1L) + 2L, (1L << 36) - 1)
       val slotC = math.min(math.max(r.slot, -1) + 1, 4095).toLong
       val p = (lineC * 4096L + slotC) * 16384L + (if (w) r.wcls.toLong else 0L)
-      acc.get(key) match {
-        case Some(m) => if (p < m) acc(key) = p
-        case None => acc(key) = p
-      }
+      val prev = acc.putIfAbsent(key, key)
+      if (prev == null) key.m = p
+      else if (p < prev.m) prev.m = p
     }
-    def nonEmpty: Boolean = acc.nonEmpty
+    def nonEmpty: Boolean = !acc.isEmpty
     /** surviving (post-dedup) group count accumulated so far */
     def size: Int = acc.size
     /** drain: one DedupedRow per surviving group, then reset for the next doc */
     def flush(doc: String): Iterator[DedupedRow] = {
-      val rows = acc.iterator.map { case ((subj, stg, sv, pid, w, og, otg, ov, kd), m) =>
-        DedupedRow(doc, subj, stg, sv, pid, w, og, otg, ov, kd, m)
-      }.toVector
+      val rows = new Array[DedupedRow](acc.size)
+      var i = 0
+      val it = acc.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        rows(i) = DedupedRow(doc, k.subj, k.stg, k.sv, k.pid, k.w, k.og, k.otg, k.ov, k.kd, k.m)
+        i += 1
+      }
       acc.clear()
       rows.iterator
     }

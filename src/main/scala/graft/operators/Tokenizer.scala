@@ -279,6 +279,106 @@ object Tokenizer {
     }
   }
 
+  /** Allocation-lean Stage-A scan: keyword + ordered ref ids of a statement
+    * body, NO node tree, no per-token strings (round 6, guide §1.2 step 2:
+    * Stage A only needs the refs for the dangling-doc decision and the
+    * keyword for the line→keyword map; the full parse tree is built once,
+    * in Stage C, by [[parseArgs]]). Replicates the parseArgs automaton
+    * EXACTLY — same states, same flush points, same depth rule (refs at
+    * stack depth 0..2 only), same trim — but tracks each token as a
+    * [start, end) span of `body` and materializes nothing unless the token
+    * both starts with '#' and contains a quote (the collapsed-quote content
+    * then rebuilds through the same append rules). Equivalence with
+    * parseArgs + ref collection is property-pinned by TokenizerSpec. */
+  private[operators] def scanRefs(body: String): (String, ArrayBuffer[Long]) = {
+    val refs = ArrayBuffer[Long]()
+    var keyword = ""
+    val n = body.length
+    var state = 1
+    var depth = 0
+    // keyword accumulator: contiguous fast path + builder fallback for
+    // whitespace-split keywords (parseArgs appends every non-ws char)
+    var kwStart = -1
+    var kwEnd = -1
+    var kwSb: java.lang.StringBuilder = null
+    // current token span (state 2/3); hasQuote forces the exact rebuild
+    var tokStart = -1
+    var tokEnd = -1
+    var hasQuote = false
+    @inline def trimStart(from: Int, to: Int): Int = {
+      var a = from; while (a < to && body.charAt(a) <= ' ') a += 1; a
+    }
+    @inline def trimEnd(from: Int, to: Int): Int = {
+      var b = to; while (b > from && body.charAt(b - 1) <= ' ') b -= 1; b
+    }
+    /** the parseArgs sb content of span [from, to): every char except each
+      * quote section's CLOSING quote (opening kept, '' collapses) */
+    def rebuilt(from: Int, to: Int): String = {
+      val sb = new java.lang.StringBuilder(to - from)
+      var i = from
+      var inQ = false
+      while (i < to) {
+        val ch = body.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false else sb.append(ch) }
+        else { sb.append(ch); if (ch == '\'') inQ = true }
+        i += 1
+      }
+      sb.toString
+    }
+    def flushTok(): Unit = {
+      if (tokStart >= 0) {
+        if (!hasQuote) {
+          val a = trimStart(tokStart, tokEnd)
+          val b = trimEnd(a, tokEnd)
+          if (b > a && body.charAt(a) == '#' && depth <= 2)
+            refs += (try java.lang.Long.parseLong(body, a + 1, b, 10)
+                     catch { case _: NumberFormatException => Long.MinValue })
+        } else {
+          val t = rebuilt(tokStart, tokEnd).trim
+          if (t.nonEmpty && t.charAt(0) == '#' && depth <= 2)
+            refs += toLong(t.substring(1))
+        }
+        tokStart = -1; hasQuote = false
+      }
+    }
+    def kwDone(): Unit = {
+      keyword =
+        if (kwSb != null) kwSb.toString
+        else if (kwStart >= 0) body.substring(kwStart, kwEnd)
+        else ""
+    }
+    var i = 0
+    var end = false
+    while (i < n && !end) {
+      val ch = body.charAt(i)
+      state match {
+        case 1 =>
+          if (ch == '(') { kwDone(); state = 2 }
+          else if (ch == ';') { kwDone(); end = true }
+          else if (!ch.isWhitespace) {
+            if (kwSb != null) kwSb.append(ch)
+            else if (kwStart < 0) { kwStart = i; kwEnd = i + 1 }
+            else if (kwEnd == i) kwEnd = i + 1
+            else { kwSb = new java.lang.StringBuilder(); kwSb.append(body, kwStart, kwEnd); kwSb.append(ch) }
+          }
+        case 2 =>
+          if (ch == '\'') {
+            if (tokStart < 0) tokStart = i
+            tokEnd = i + 1; hasQuote = true; state = 3
+          } else if (ch == '(') { flushTok(); depth += 1 }
+          else if (ch == ')') { flushTok(); if (depth == 0) end = true else depth -= 1 }
+          else if (ch == ',') flushTok()
+          else { if (tokStart < 0) tokStart = i; tokEnd = i + 1 }
+        case _ => // 3: inside quotes — closing quote skipped in content,
+          // but the span still covers it (rebuilt() drops it again)
+          tokEnd = i + 1
+          if (ch == '\'') state = 2
+      }
+      i += 1
+    }
+    (keyword, refs)
+  }
+
   /** digits before the first '=' (the reference collects every digit it sees
     * in line-number state, IfcSpfParser.java:73); Long.MinValue when
     * unparseable (IfcSpfParser.java:261-267) */
@@ -289,15 +389,15 @@ object Tokenizer {
     toLong(sb.toString)
   }
 
-  /** Stage-A statement scan: the flat [[Stmt]] only — no Tok tree copy. */
+  /** Stage-A statement scan: the flat [[Stmt]] only — no Tok tree copy, and
+    * (round 6) no node tree at all: [[scanRefs]] extracts keyword + refs
+    * span-wise, so the full parse happens exactly once, in Stage C. */
   private def scanStatement(docId: String, schema: String, seq: Long, line: String): Stmt = {
     val eqIdx = line.indexOf('=')
     if (eqIdx < 0) // no '=': the automaton never leaves line-number state
       return Stmt(docId, schema, seq, Long.MinValue, "", line, Nil, abort = false, bad_line = -1L)
     val body = line.substring(eqIdx + 1)
-    val (keyword, nodes) = parseArgs(body)
-    val refs = ArrayBuffer[Long]()
-    collectRefs(nodes, refs)
+    val (keyword, refs) = scanRefs(body)
     Stmt(docId, schema, seq, scanLineNum(line, eqIdx), keyword, body,
       refs.distinct.toSeq, abort = false, bad_line = -1L)
   }

@@ -149,4 +149,38 @@ class TokenizerSpec extends SparkTestBase {
       st.stmt.line_id == id && st.stmt.keyword == "IFCWALL" && st.args.length == els.length
     })
   }
+
+  // round 6: Stage A's allocation-lean scanRefs must agree with the full
+  // parse tree (parseStatement still builds it) on keyword and ordered refs
+  // — compared through the public surfaces (tokenizeDoc vs parseStatement)
+  private def scanVsTree(id: Long, body: String): Prop = {
+    val stmtText = s"$id=$body"
+    val doc = Doc("d", Seq(Span("text", "#" + stmtText, "", 0)))
+    val scanned = Tokenizer.tokenizeDoc(doc).filter(_.line_id != -1L).toList
+    val tree = Tokenizer.parseStatement("d", "", 0, stmtText).stmt
+    Prop(scanned.length == 1 &&
+      scanned.head.keyword == tree.keyword &&
+      scanned.head.refs == tree.refs) :| s"body=<$body> scanned=${scanned.headOption
+        .map(s => (s.keyword, s.refs))} tree=${(tree.keyword, tree.refs)}"
+  }
+
+  test("property: scanRefs ≡ parse tree on well-formed statements") {
+    check(Prop.forAll(listGen(1), Gen.choose(1L, 9999L)) { (els, id) =>
+      scanVsTree(id, s" IFCWALL(${els.mkString(",")});")
+    })
+  }
+
+  test("property: scanRefs ≡ parse tree on adversarial bodies") {
+    // hostile alphabet: quotes, refs, unbalanced parens, stray semicolons,
+    // whitespace runs, '=' and '#' in odd places, unparseable ref ids
+    val hostile = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("#12", "#", "#x", "# 3", "'a'", "''", "'#7'", "ab", "1",
+        ".T.", "$", " ", "\t", "-", "+9"),
+      3 -> Gen.oneOf("(", ")", ",", ";", "'", "="),
+      1 -> Gen.oneOf("#92233720368547758079", "#-4", "(#8", "))", "( '", "#1'z'")))
+      .map(_.mkString)
+    check(Prop.forAll(hostile, Gen.choose(1L, 9999L)) { (body, id) =>
+      scanVsTree(id, body)
+    })
+  }
 }
