@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** portable 32-bit token hash (non-negative, fits a long) */
-  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** portable 32-bit token hash (non-negative, fits a long): the native
+    * [[H32]] expression — bit-identical to [[h32Composed]], which the DuckDB
+    * oracles mirror, without the per-call hex/substring/conv allocations */
+  def h32(c: Column): Column = H32(c)
+
+  /** the composed built-in form of [[h32]] — kept as the cross-engine
+    * definition of record and the equivalence pin's reference side */
+  def h32Composed(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** whitespace tokens, empties dropped */
   def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
