@@ -41,12 +41,14 @@ object TextOps {
 
   /** distinct (id, shingle-hash) pairs for docs with >= n tokens. Deduped
     * NARROWLY (array_distinct before the explode): (doc, sh) duplicates only
-    * arise within one document, so no global distinct shuffle is needed. */
+    * arise within one document, so no global distinct shuffle is needed.
+    * Round 6: the dedup + hash pass is the native [[ShingleHashes]] fused
+    * loop (one pass, byte-level shingles) — bit-identical to
+    * `explode(shingleSet(tk, n))` + [[h32Composed]], property-pinned. */
   def shingleHashes(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
     df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("doc"), explode(shingleSet(col("tk"), n)).as("sh"))
-      .select(col("doc"), h32(col("sh")).as("h"))
+      .select(col("doc"), explode(ShingleHashes(col("tk"), n)).as("h"))
 
   /** Per-row MinHash signature over word n-gram shingles: (doc, mh0..mh{k-1})
     * computed in ONE narrow pass — the shingle array is built, deduped and
@@ -61,10 +63,13 @@ object TextOps {
                  params: Seq[(Long, Long)], n: Int = 3): DataFrame = {
     val base = df.select(col(id).as("doc"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= n)
-    val hs = transform(shingleSet(col("tk"), n), s => h32(s))
-    base.select(col("doc"), hs.as("hs"))
+    // round 6: native fused loops ([[ShingleHashes]] / [[AffineMinMod]])
+    // replace the interpreted HOF trees — k+4 boxed array passes per row
+    // become one shingle pass + k plain-long min loops; values unchanged
+    // (property-pinned vs the composed forms)
+    base.select(col("doc"), ShingleHashes(col("tk"), n).as("hs"))
       .select(col("doc") +: params.zipWithIndex.map { case ((a, b), i) =>
-        expr(s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % 4294967291))").as(s"mh$i")
+        AffineMinMod(col("hs"), a, b, 4294967291L).as(s"mh$i")
       }: _*)
   }
 

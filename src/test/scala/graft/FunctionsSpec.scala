@@ -160,6 +160,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(narrow == rel)
   }
 
+  test("ShingleHashes/AffineMinMod match the composed HOF forms (incl null tokens)") {
+    import spark.implicits._
+    // adversarial token arrays (size >= n contract): null tokens (concat_ws
+    // skips them), duplicate shingles (first-occurrence dedup), unicode,
+    // single-char and empty-ish windows; plus a null array row
+    val rows = Seq(
+      (1L, Some(Seq[String]("a", "b", "c", "a", "b", "c", "a", "b", "c"))),
+      (2L, Some(Seq[String]("x", null, "y", "z", null, "x", "y"))),
+      (3L, Some(Seq[String](null, null, null, "q"))),
+      (4L, Some(Seq[String]("ü", "中", "é", "ü", "中", "é"))),
+      (5L, Some(Seq[String]("t1", "t2", "t3"))),
+      (6L, None: Option[Seq[String]]))
+      .toDF("id", "tk").select(col("id"), col("tk").cast("array<string>").as("tk"))
+      .filter(col("tk").isNull || size(col("tk")) >= 3)
+    val composedHs = transform(TextOps.shingleSet(col("tk"), 3), s => TextOps.h32Composed(s))
+    val params = Seq((1000003L, 17L), (998244353L, 5L), (3L, 0L))
+    val got = rows.select(col("id") +: (graft.functions.ShingleHashes(col("tk"), 3).as("hs") +:
+        params.map { case (a, b) => graft.functions.AffineMinMod(
+          graft.functions.ShingleHashes(col("tk"), 3), a, b, 4294967291L) }): _*)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+    val want = rows.select(col("id") +: (composedHs.as("hs") +:
+        params.map { case (a, b) =>
+          array_min(transform(composedHs, h => (lit(a) * h + lit(b)) % lit(4294967291L))) }): _*)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
+  }
+
   test("BandedSig narrow signature is bit-identical to the relational build") {
     // the real sf embeddings exercise quantization edge cases (negative
     // values, float rounding near integers) far better than synthetic rows
