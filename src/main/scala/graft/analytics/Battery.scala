@@ -169,18 +169,16 @@ object Battery {
       // shingle + md5 subtree is computed once into a single h-partitioned
       // exchange, which Catalyst then REUSES for the sizes aggregate and
       // BOTH sides of the pair self-join (identical subtrees => one
-      // ReusedExchange instead of three recomputations of the hash pass)
-      // LAZY localCheckpoint after the df-cap filter (round 6, guide §5):
-      // the windowed subtree has three consumers (sizes, both self-join
-      // sides) — the shared exchange kept the SCAN single-execution, but
-      // the post-exchange sort+window still ran once per consumer; the cut
-      // runs it once and consumers read the (much smaller, post-cap)
-      // blocks. The self-join's h-exchange over the checkpointed rows is
-      // still one reused exchange (PlanShapeSpec pin).
+      // ReusedExchange instead of three recomputations of the hash pass).
+      // A lazy localCheckpoint after the df-cap filter was tried twice
+      // (round 6): with the interpreted shingle pass it measured inside
+      // noise; after ShingleHashes made the subtree cheap it measured ~10%
+      // SLOWER (1.35 vs 1.21 s, QueryTime min-of-5) — materializing the
+      // post-cap rows costs more than re-running the post-exchange window
+      // per consumer. Not kept; the exchange reuse is the pin that matters.
       val sh = shAll
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= JaccardDfCap).drop("df")
-        .localCheckpoint(false)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       // SHUFFLE_HASH everywhere a broadcast build side would RECOMPUTE the
       // scan+shingle+md5+window subtree to fill its hashed relation (the

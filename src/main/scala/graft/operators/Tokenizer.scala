@@ -221,11 +221,17 @@ object Tokenizer {
     var current = root
     val stack = ArrayBuffer[LNode]()
     var state = 1
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
 
     def flush(): Unit = {
-      val t = sb.toString.trim
-      if (t.nonEmpty) {
+      // trim inside the builder bounds: ONE substring per token instead of
+      // toString + trim (two copies when padded)
+      var a = 0
+      var b = sb.length
+      while (a < b && sb.charAt(a) <= ' ') a += 1
+      while (b > a && sb.charAt(b - 1) <= ' ') b -= 1
+      if (b > a) {
+        val t = sb.substring(a, b)
         // refs resolve at depths 0..2 (top-level, list, list-of-list) only
         if (t.charAt(0) == '#' && stack.length <= 2)
           current.children += RNode(toLong(t.substring(1)), t)
