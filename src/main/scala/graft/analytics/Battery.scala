@@ -408,7 +408,7 @@ object Battery {
       val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 5)
       val grams = tk.select(col("doc_id"),
-        explode(graft.functions.TextOps.shingles(col("tk"), 5)).as("gram"))
+        explode(graft.functions.ShingleArray(col("tk"), 5)).as("gram"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
       val contam = grams.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalGrams), Seq("gram"), "left_semi")
@@ -429,7 +429,7 @@ object Battery {
       val docs = t(s, d, "documents")
       val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
       val d2 = tk.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(graft.functions.TextOps.shingles(col("tk"), 2)).as("g"))
+        .select(col("doc_id"), explode(graft.functions.ShingleArray(col("tk"), 2)).as("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("n2d"))
       val tc = tk.select(col("doc_id"), explode(col("tk")).as("w"))
@@ -633,7 +633,7 @@ object Battery {
       val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= k)
       val grams = tk.select(col("doc_id"), size(col("tk")).cast("long").as("ntok"),
-          posexplode(graft.functions.TextOps.shingles(col("tk"), k)))
+          posexplode(graft.functions.ShingleArray(col("tk"), k)))
         .toDF("doc_id", "ntok", "p", "g")
       // "seen in >= 2 distinct docs" as a WINDOW over g, the q12 df-cap
       // house pattern (round 6, guide §2.4): countDistinct(doc_id) >= 2

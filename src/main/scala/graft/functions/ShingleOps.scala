@@ -72,6 +72,48 @@ object ShingleOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[ShingleArray]] kernel: the raw word n-gram shingle STRINGS —
+    * duplicates and empties preserved, exactly `transform(sequence(0,
+    * size(tk)-n), i -> concat_ws(' ', tk[i], .., tk[i+n-1]))` for arrays
+    * with size >= n (every caller's guard; shorter arrays yield an empty
+    * result instead of the composed form's ANSI index error). */
+  def computeStrings(tk: ArrayData, n: Int): ArrayData = {
+    val m = tk.numElements()
+    val count = m - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var len = 0
+      var parts = 0
+      var j = 0
+      while (j < n) {
+        if (!tk.isNullAt(i + j)) {
+          len += tk.getUTF8String(i + j).numBytes()
+          parts += 1
+        }
+        j += 1
+      }
+      val bytes = new Array[Byte](if (parts == 0) 0 else len + (parts - 1))
+      var off = 0
+      var first = true
+      j = 0
+      while (j < n) {
+        if (!tk.isNullAt(i + j)) {
+          if (!first) { bytes(off) = ' '; off += 1 }
+          val s = tk.getUTF8String(i + j)
+          s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+          off += s.numBytes()
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(bytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[AffineMinMod]] kernel: min over non-null elements of
     * (a*h + b) % mod — Java remainder (the sign rule of Spark's `%`),
     * wrapping long arithmetic (the house posture; the affine image of a
@@ -121,6 +163,35 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   def apply(tk: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tk), n))
+}
+
+/** graft_shingle_array(tk ARRAY<STRING>, n) → ARRAY<STRING>: exactly
+  * [[TextOps.shingles]] (duplicates and empty shingles preserved — the
+  * positional q80/q63/q64 gram streams) for size(tk) >= n, as one fused
+  * byte-level loop. */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_array expects ARRAY<STRING> and n >= 1, got $t, n=$n")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_array"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.computeStrings(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.computeStrings($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  def apply(tk: Column, n: Int): Column =
+    GraftBridge.column(ShingleArray(GraftBridge.expression(tk), n))
 }
 
 /** graft_affine_min_mod(hs ARRAY<BIGINT>, a, b, mod) → BIGINT: exactly

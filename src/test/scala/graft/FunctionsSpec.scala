@@ -185,6 +185,13 @@ class FunctionsSpec extends SparkTestBase {
           array_min(transform(composedHs, h => (lit(a) * h + lit(b)) % lit(4294967291L))) }): _*)
       .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
     got.zip(want).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
+    // ShingleArray (raw gram strings, duplicates + empties preserved) vs the
+    // composed shingles() HOF chain on the same adversarial arrays
+    val gotArr = rows.select(col("id"), graft.functions.ShingleArray(col("tk"), 3))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    val wantArr = rows.select(col("id"), TextOps.shingles(col("tk"), 3))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    gotArr.zip(wantArr).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
   }
 
   test("BandedSig narrow signature is bit-identical to the relational build") {
