@@ -72,6 +72,38 @@ object ShingleOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[Tokens]] kernel: maximal non-space byte runs of a string, in order —
+    * exactly `filter(split(s, ' '), x -> x != '')` (split on the
+    * single-space regex keeps empty segments incl. trailing ones; the
+    * filter drops them all, leaving the non-empty runs). Space is a single
+    * UTF-8 byte and never part of a multi-byte sequence, so the byte scan
+    * is charset-exact; token UTF8Strings share the scanned byte array
+    * (fromBytes with offset — no per-token copy). */
+  def computeTokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var count = 0
+    var i = 0
+    var in = false
+    while (i < n) {
+      if (b(i) == ' ') in = false
+      else if (!in) { in = true; count += 1 }
+      i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (b(i) != ' ') {
+        val start = i
+        while (i < n && b(i) != ' ') i += 1
+        out(k) = UTF8String.fromBytes(b, start, i - start)
+        k += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[ShingleArray]] kernel: the raw word n-gram shingle STRINGS —
     * duplicates and empties preserved, exactly `transform(sequence(0,
     * size(tk)-n), i -> concat_ws(' ', tk[i], .., tk[i+n-1]))` for arrays
@@ -163,6 +195,32 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   def apply(tk: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tk), n))
+}
+
+/** graft_tokens(s STRING) → ARRAY<STRING>: exactly
+  * `filter(split(s, ' '), x -> x != '')` — the corpus tokenizer — as one
+  * byte scan (the composed form is a regex split building empty segments
+  * plus an interpreted ArrayFilter pass over them). */
+case class Tokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_tokens expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.computeTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.computeTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+object Tokens {
+  def apply(c: Column): Column = GraftBridge.column(Tokens(GraftBridge.expression(c)))
 }
 
 /** graft_shingle_array(tk ARRAY<STRING>, n) → ARRAY<STRING>: exactly

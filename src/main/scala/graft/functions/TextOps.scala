@@ -19,8 +19,13 @@ object TextOps {
     * definition of record and the equivalence pin's reference side */
   def h32Composed(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** whitespace tokens, empties dropped */
-  def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
+  /** whitespace tokens, empties dropped: the native [[Tokens]] byte scan —
+    * identical to [[tokensComposed]] (property-pinned) */
+  def tokens(c: Column): Column = Tokens(c)
+
+  /** the composed built-in form of [[tokens]] — the oracle-mirrored
+    * definition of record and the equivalence pin's reference side */
+  def tokensComposed(c: Column): Column = filter(split(c, " "), x => x =!= "")
 
   /** word n-gram shingles of a token-array column (rows with < n tokens drop) */
   def shingles(tk: Column, n: Int = 3): Column =

@@ -194,6 +194,21 @@ class FunctionsSpec extends SparkTestBase {
     gotArr.zip(wantArr).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
   }
 
+  test("Tokens byte scan matches the composed split+filter chain") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("a b c")), (2L, Some("  leading  and   runs ")), (3L, Some("")),
+      (4L, Some("   ")), (5L, Some("one")), (6L, Some("ü 中文  é")),
+      (7L, None: Option[String]), (8L, Some("tab\tstays one token")),
+      (9L, Some("x " * 5000)))
+      .toDF("id", "s")
+    val got = rows.select(col("id"), TextOps.tokens(col("s")))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    val want = rows.select(col("id"), TextOps.tokensComposed(col("s")))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
+  }
+
   test("BandedSig narrow signature is bit-identical to the relational build") {
     // the real sf embeddings exercise quantization edge cases (negative
     // values, float rounding near integers) far better than synthetic rows
