@@ -554,9 +554,12 @@ object Battery {
       val docs = t(s, d, "documents")
       val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 10)
+      // round 6: the chunker is ShingleArray at stride = width — the same
+      // fused byte loop as the gram streams; identical strings to the
+      // transform/array_join chain (property-pinned), which remains the
+      // oracle-mirrored definition
       val chunks = tk.select(col("doc_id"), posexplode(
-        expr("transform(sequence(0, size(tk) div 10 - 1), " +
-          "i -> array_join(slice(tk, i*10+1, 10), ' '))")))
+          graft.functions.ShingleArray(col("tk"), 10, 10)))
         .toDF("doc_id", "idx", "chunk")
       chunks
         .groupBy(col("chunk"))

@@ -109,19 +109,26 @@ object ShingleOps {
     * size(tk)-n), i -> concat_ws(' ', tk[i], .., tk[i+n-1]))` for arrays
     * with size >= n (every caller's guard; shorter arrays yield an empty
     * result instead of the composed form's ANSI index error). */
-  def computeStrings(tk: ArrayData, n: Int): ArrayData = {
+  def computeStrings(tk: ArrayData, n: Int): ArrayData = computeStrings(tk, n, 1)
+
+  /** strided variant: window i covers positions [i*stride, i*stride + n).
+    * stride 1 = the shingle stream; stride n = the q71 fixed-chunk split
+    * (`transform(sequence(0, size div n - 1), i -> array_join(slice(tk,
+    * i*n+1, n), ' '))` — array_join skips null elements like concat_ws). */
+  def computeStrings(tk: ArrayData, n: Int, stride: Int): ArrayData = {
     val m = tk.numElements()
-    val count = m - n + 1
+    val count = if (m < n) 0 else (m - n) / stride + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
     var i = 0
     while (i < count) {
+      val base = i * stride
       var len = 0
       var parts = 0
       var j = 0
       while (j < n) {
-        if (!tk.isNullAt(i + j)) {
-          len += tk.getUTF8String(i + j).numBytes()
+        if (!tk.isNullAt(base + j)) {
+          len += tk.getUTF8String(base + j).numBytes()
           parts += 1
         }
         j += 1
@@ -131,9 +138,9 @@ object ShingleOps {
       var first = true
       j = 0
       while (j < n) {
-        if (!tk.isNullAt(i + j)) {
+        if (!tk.isNullAt(base + j)) {
           if (!first) { bytes(off) = ' '; off += 1 }
-          val s = tk.getUTF8String(i + j)
+          val s = tk.getUTF8String(base + j)
           s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
           off += s.numBytes()
           first = false
@@ -223,25 +230,27 @@ object Tokens {
   def apply(c: Column): Column = GraftBridge.column(Tokens(GraftBridge.expression(c)))
 }
 
-/** graft_shingle_array(tk ARRAY<STRING>, n) → ARRAY<STRING>: exactly
-  * [[TextOps.shingles]] (duplicates and empty shingles preserved — the
-  * positional q80/q63/q64 gram streams) for size(tk) >= n, as one fused
-  * byte-level loop. */
-case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+/** graft_shingle_array(tk ARRAY<STRING>, n, stride) → ARRAY<STRING>:
+  * stride 1 is exactly [[TextOps.shingles]] (duplicates and empty shingles
+  * preserved — the positional q80/q63/q64 gram streams); stride n is the
+  * q71 fixed-chunk split. For size(tk) >= n, as one fused byte-level
+  * loop. */
+case class ShingleArray(child: Expression, n: Int, stride: Int = 1)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if n >= 1 && stride >= 1 => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_shingle_array expects ARRAY<STRING> and n >= 1, got $t, n=$n")
+      s"graft_shingle_array expects ARRAY<STRING>, n >= 1, stride >= 1, got $t, n=$n, stride=$stride")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingle_array"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleOps.computeStrings(input.asInstanceOf[ArrayData], n)
+    ShingleOps.computeStrings(input.asInstanceOf[ArrayData], n, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.computeStrings($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.computeStrings($c, $n, $stride)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
@@ -250,6 +259,8 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 object ShingleArray {
   def apply(tk: Column, n: Int): Column =
     GraftBridge.column(ShingleArray(GraftBridge.expression(tk), n))
+  def apply(tk: Column, n: Int, stride: Int): Column =
+    GraftBridge.column(ShingleArray(GraftBridge.expression(tk), n, stride))
 }
 
 /** graft_affine_min_mod(hs ARRAY<BIGINT>, a, b, mod) → BIGINT: exactly

@@ -192,6 +192,16 @@ class FunctionsSpec extends SparkTestBase {
     val wantArr = rows.select(col("id"), TextOps.shingles(col("tk"), 3))
       .collect().map(r => (r.getLong(0), r.get(1)))
     gotArr.zip(wantArr).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
+    // strided form (the q71 fixed-chunk split) vs the composed
+    // transform/sequence/slice/array_join chain, window width 2 / stride 2
+    val gotChunk = rows.filter(col("tk").isNotNull)
+      .select(col("id"), graft.functions.ShingleArray(col("tk"), 2, 2))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    val wantChunk = rows.filter(col("tk").isNotNull)
+      .select(col("id"), expr("transform(sequence(0, size(tk) div 2 - 1), " +
+        "i -> array_join(slice(tk, i*2+1, 2), ' '))"))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    gotChunk.zip(wantChunk).foreach { case (g, w) => assert(g == w, s"native $g != composed $w") }
   }
 
   test("Tokens byte scan matches the composed split+filter chain") {
