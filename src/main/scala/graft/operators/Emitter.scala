@@ -79,7 +79,13 @@ final class Emitter(dict: SchemaDict, baseURI: String,
 
   // ---------------------------------------------------------------- emit
 
-  def emit(ls: LinkedStmt): (Seq[TripleRow], Seq[Marker]) = {
+  def emit(ls: LinkedStmt): (Seq[TripleRow], Seq[Marker]) = emit(ls, null)
+
+  /** `preArgs`: pre-parsed top-level nodes from the fused single-parse path
+    * (identical to `parseArgs(ls.body)._2` — Tokenizer builds both from one
+    * automaton); null → parse here (staged Stage C, re-parse fallback). */
+  def emit(ls: LinkedStmt,
+           preArgs: scala.collection.Seq[Tokenizer.Node]): (Seq[TripleRow], Seq[Marker]) = {
     // per-document abort (dangling ref / unsupported schema, decided in
     // Stage A): nothing is emitted for the document at all — the reference's
     // file sink flushes nothing (goldens test6/test15); the sentinel carries
@@ -108,6 +114,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     // the Stage-C profile); the Tok view remains for tokenTable / tests.
     val st =
       if (ls.keyword == Tokenizer.DocSentinel) EmitStmt(ls, Nil)
+      else if (preArgs != null) EmitStmt(ls, preArgs)
       else EmitStmt(ls, Tokenizer.parseArgs(ls.body)._2)
     emitTokens(st)
   }
@@ -233,8 +240,12 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       else (TRaw, -1L, typeName + "_" + line)
     typeRow(typeName, line, -1)
 
-    val targets: Map[Long, RefTarget] =
-      st.targets.iterator.filter(_.keyword != null).map(t => t.ref -> t).toMap
+    // primitive-key lookup (round 6): the immutable Map boxed every Long ref
+    // per statement on the fused hot path; LongMap keeps toMap's last-wins
+    // duplicate semantics and the same Option-returning get
+    val targets = new scala.collection.mutable.LongMap[RefTarget](
+      math.max(8, st.targets.size))
+    st.targets.foreach(t => if (t.keyword != null) targets.update(t.ref, t))
 
     // per-line mutable walk state (the reference's typeRemembrance field,
     // RDFWriter.java:178, reset per line at :195/:219)

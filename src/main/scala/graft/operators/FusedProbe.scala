@@ -31,27 +31,29 @@ object FusedProbe {
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
       docs.foreach { doc =>
         val t0 = System.nanoTime()
-        val stmts = Tokenizer.tokenizeDoc(doc, None).toVector
-        val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.size
-        val kw = stmts.iterator.filter(_.line_id >= 0)
-          .map(s => s.line_id -> s.keyword).toMap
-        val linked = stmts.map { s =>
+        // single-parse path (round 6): statements arrive with their trees,
+        // mirroring Pipeline.runFused
+        val stmts = Tokenizer.tokenizeDocParsed(doc, None).toArray
+        val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.length
+        val kw = new scala.collection.mutable.LongMap[String](math.max(8, stmts.length))
+        stmts.foreach { case (s, _) => if (s.line_id >= 0) kw.update(s.line_id, s.keyword) }
+        val linked = stmts.map { case (s, tree) =>
           val targets = s.refs.map { r =>
             kw.get(r) match {
               case Some(k) => RefTarget(r, r, k)
               case None => RefTarget(r, -1L, null)
             }
           }
-          LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword, s.body,
-            s.abort, s.bad_line, targets)
+          (LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword, s.body,
+            s.abort, s.bad_line, targets), tree)
         }
         val t2 = System.nanoTime(); linkNs += t2 - t1
         val dedup = new Pipeline.DocDedup
-        linked.foreach { ls =>
+        linked.foreach { case (ls, tree) =>
           val e0 = System.nanoTime()
           val em = emitters.getOrElseUpdate(ls.schema,
             new Emitter(SchemaDict.load(if (ls.schema.isEmpty) "IFC2X3_TC1" else ls.schema), SynthCorpus.BaseURI))
-          val (ts, _) = em.emit(ls)
+          val (ts, _) = em.emit(ls, tree)
           val e1 = System.nanoTime(); emitNs += e1 - e0; nTriples += ts.size
           ts.foreach(dedup.add)
           dedupNs += System.nanoTime() - e1
@@ -59,10 +61,10 @@ object FusedProbe {
         val d0 = System.nanoTime()
         nDedup += dedup.flush(doc.doc_id).size
         dedupNs += System.nanoTime() - d0
-        // parse-only column (extra pass, not counted in emit): how much of
-        // the emit phase is Stage C's parseArgs re-tokenization
+        // parse-only column (extra pass, not counted in emit): what the
+        // single-parse path SAVES — the former Stage-C re-tokenization
         val p0 = System.nanoTime()
-        linked.foreach { ls =>
+        linked.foreach { case (ls, _) =>
           if (ls.keyword != Tokenizer.DocSentinel) Tokenizer.parseArgs(ls.body)
         }
         parseNs += System.nanoTime() - p0

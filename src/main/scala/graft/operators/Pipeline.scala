@@ -98,7 +98,8 @@ object Pipeline {
     * the marker surface for oversize/unsupported-schema docs, per-schema
     * Emitter reuse, and the in-band marker encoding. */
   private def emitOne(emitters: scala.collection.mutable.HashMap[String, Emitter],
-                      base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt): Iterator[TripleRow] = {
+                      base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt,
+                      preArgs: scala.collection.Seq[Tokenizer.Node] = null): Iterator[TripleRow] = {
     val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
     if (ls.schema.isEmpty) {
       // the oversize mega-doc guard fires BEFORE the FILE_SCHEMA sniff,
@@ -120,7 +121,7 @@ object Pipeline {
     } else {
       val em = emitters.getOrElseUpdate(ls.schema,
         new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
-      val (ts, ms) = em.emit(ls)
+      val (ts, ms) = em.emit(ls, preArgs)
       ts.iterator ++ ms.iterator.map(m =>
         TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
     }
@@ -464,30 +465,36 @@ object Pipeline {
         val out = docIt.flatMap { doc =>
           nDocs += 1
           val t0 = System.nanoTime()
-          val stmts = Tokenizer.tokenizeDoc(doc, schemaOv, maxChars).toVector
-          val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.size
+          // single-parse (round 6): each statement arrives WITH its parse
+          // tree, so the emitter never re-tokenizes the body (two automaton
+          // passes -> one); trees are null above the tokenizer's memory bound
+          // and the emitter re-parses those — identical output either way
+          val stmts = Tokenizer.tokenizeDocParsed(doc, schemaOv, maxChars).toArray
+          val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.length
           // D1 (opt-in): canonical line per body (min line_id; headers always
           // survive), refs to removed duplicates resolve to the canonical
           // line — the doc-local form of Linker's window + alias join
           val (kept, alias) =
             if (!rmDup) (stmts, Map.empty[Long, Long])
             else {
-              val canon = stmts.filter(_.line_id >= 0).groupBy(_.body)
+              val canon = stmts.filter(_._1.line_id >= 0).groupBy(_._1.body)
                 .iterator.flatMap { case (_, g) =>
-                  val m = g.iterator.map(_.line_id).min
-                  g.iterator.map(_.line_id -> m)
+                  val m = g.iterator.map(_._1.line_id).min
+                  g.iterator.map(_._1.line_id -> m)
                 }.toMap
-              (stmts.filter(s => s.line_id < 0 || canon(s.line_id) == s.line_id),
+              (stmts.filter(p => p._1.line_id < 0 || canon(p._1.line_id) == p._1.line_id),
                 canon.filter { case (l, c) => l != c })
             }
           // D2, doc-locally: the doc's own line -> keyword map IS the
-          // reference-resolution relation (documents are self-contained)
-          val kw = kept.iterator.filter(_.line_id >= 0)
-            .map(s => s.line_id -> s.keyword).toMap
-          val t2 = System.nanoTime(); linkNs += t2 - t1; nKept += kept.size
+          // reference-resolution relation (documents are self-contained);
+          // primitive-key LongMap — the immutable Map boxed every line id
+          val kw = new scala.collection.mutable.LongMap[String](
+            math.max(8, kept.length))
+          kept.foreach { case (s, _) => if (s.line_id >= 0) kw.update(s.line_id, s.keyword) }
+          val t2 = System.nanoTime(); linkNs += t2 - t1; nKept += kept.length
           val dedup = new DocDedup
           val markers = Vector.newBuilder[DedupedRow]
-          kept.foreach { s =>
+          kept.foreach { case (s, tree) =>
             val targets = s.refs.map { r =>
               val rr = alias.getOrElse(r, r)
               kw.get(rr) match {
@@ -497,7 +504,7 @@ object Pipeline {
             }
             val ls = LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword,
               s.body, s.abort, s.bad_line, targets)
-            emitOne(emitters, base, hdrOnAbort)(ls).foreach { tr =>
+            emitOne(emitters, base, hdrOnAbort)(ls, tree).foreach { tr =>
               nEmit += 1
               if (tr.kd == PredIds.MarkerKd) {
                 nMark += 1
@@ -603,7 +610,7 @@ object Pipeline {
     val emitted0: Dataset[TripleRow] = linked.mapPartitions(
       instrumented[LinkedStmt, TripleRow]("C_emit", lineageAcc, _.kd == PredIds.MarkerKd) { it =>
       val emitters = scala.collection.mutable.HashMap[String, Emitter]()
-      it.flatMap(emitOne(emitters, base, hdrOnAbort))
+      it.flatMap(ls => emitOne(emitters, base, hdrOnAbort)(ls))
     })
     // In checkpoint mode Stage C is additionally persisted as a stage table
     // (resume point); the hot path below never needs a second pass over it.

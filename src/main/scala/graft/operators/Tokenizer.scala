@@ -103,7 +103,32 @@ object Tokenizer {
     * the 4 non-sniffable versions IFC2X3_Final / IFC4 / IFC4_ADD1 / IFC4_ADD2
     * as well): when set, the FILE_SCHEMA sniff is bypassed entirely. */
   def tokenizeDoc(doc: Doc, schemaOverride: Option[String],
-                  maxDocChars: Long = DefaultMaxDocChars): Iterator[Stmt] = {
+                  maxDocChars: Long = DefaultMaxDocChars): Iterator[Stmt] =
+    tokenizeDocImpl(doc, schemaOverride, maxDocChars, keepTrees = false).map(_._1)
+
+  /** Fused-path memory bound for kept parse trees: above this many assembled
+    * chars a document's statements fall back to the re-parse path (tree
+    * null) — the tree is a small constant factor over the text, but the
+    * 512M-char oversize envelope times that factor is not a per-task
+    * allowance worth granting for one mega-doc. 16M chars ≈ tens of MB of
+    * tree per in-flight task at worst. */
+  private[operators] val TreeKeepMaxChars: Long = 16L * 1024 * 1024
+
+  /** Fused-path variant (round 6, guide §1.2 step 2): ONE automaton pass per
+    * statement — each Stmt arrives with its parsed top-level nodes, the SAME
+    * tree [[parseArgs]] would build in Stage C, so the fused loop never
+    * re-tokenizes the body (the staged path keeps the two-pass split: the
+    * tree is not shuffle-encodable, and Stage A only needs keyword + refs
+    * there). Tree is null for sentinels, no-'='-statements (whose keyword ""
+    * never reaches emission anyway — the emitter re-parses if asked) and
+    * every statement of a doc above [[TreeKeepMaxChars]]. Statement-level
+    * equivalence with [[tokenizeDoc]] is pinned by TokenizerSpec. */
+  private[operators] def tokenizeDocParsed(doc: Doc, schemaOverride: Option[String],
+      maxDocChars: Long = DefaultMaxDocChars): Iterator[(Stmt, ArrayBuffer[Node])] =
+    tokenizeDocImpl(doc, schemaOverride, maxDocChars, keepTrees = true)
+
+  private def tokenizeDocImpl(doc: Doc, schemaOverride: Option[String],
+      maxDocChars: Long, keepTrees: Boolean): Iterator[(Stmt, ArrayBuffer[Node])] = {
     // oversize guard BEFORE text assembly (the span sizes are already known;
     // assembling would double the heap first). The sentinel rides the normal
     // in-band abort channel; Stage C surfaces it as an `oversize_doc` marker.
@@ -112,8 +137,9 @@ object Tokenizer {
     val docChars = doc.spans.iterator.map(s =>
       (if (s.kind == "text" && s.text != null) s.text.length.toLong else 0L)).sum
     if (docChars > maxDocChars)
-      return Iterator.single(Stmt(doc.doc_id, "", -1L, -1L, DocSentinel,
-        s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L))
+      return Iterator.single((Stmt(doc.doc_id, "", -1L, -1L, DocSentinel,
+        s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L), null))
+    val keep = keepTrees && docChars <= TreeKeepMaxChars
     val text = assembleText(doc)
     val schema = schemaOverride.getOrElse(sniffSchema(text))
     // last-write-wins per line number, locally per doc — the whole document
@@ -122,7 +148,7 @@ object Tokenizer {
     // Index scan, not split("\n"): split copies every line and trim copies
     // each again — this walk allocates exactly ONE string per statement
     // (the scanStatement input), byte-identical to the split+trim result.
-    val linemap = scala.collection.mutable.LinkedHashMap[Long, Stmt]()
+    val linemap = scala.collection.mutable.LinkedHashMap[Long, (Stmt, ArrayBuffer[Node])]()
     val n = text.length
     var pos = 0
     var seq = 0L
@@ -164,8 +190,10 @@ object Tokenizer {
             }
             sb.toString
           }
-        val st = scanStatement(doc.doc_id, schema, seq, stmtText)
-        linemap(st.line_id) = st
+        val entry =
+          if (keep) parseStatementNodes(doc.doc_id, schema, seq, stmtText)
+          else (scanStatement(doc.doc_id, schema, seq, stmtText), null)
+        linemap(entry._1.line_id) = entry
         seq += 1L
       }
       pos = eol + 1
@@ -180,25 +208,27 @@ object Tokenizer {
     //  - the first unknown keyword (*ERROR 2*, RDFWriter.java:160-163) sets
     //    the truncation line: statements at/after it emit nothing while
     //    earlier lines (and the pre-parse header triples) survive.
-    val dangling = linemap.valuesIterator.flatMap(_.refs).find(r => !linemap.contains(r))
+    val dangling = linemap.valuesIterator.flatMap(_._1.refs).find(r => !linemap.contains(r))
     val unsupported = schema.nonEmpty && !SchemaDict.available(schema)
     val abort = dangling.isDefined || unsupported
     val badLine: Long =
       if (schema.isEmpty || unsupported) -1L
       else {
         val dict = SchemaDict.load(schema)
-        val bad = linemap.valuesIterator.filter { st =>
+        val bad = linemap.valuesIterator.filter { case (st, _) =>
           val k = SchemaDict.formatClassName(st.keyword)
           !dict.entities.contains(k) && !dict.types.contains(k)
-        }.map(_.line_id)
+        }.map(_._1.line_id)
         if (bad.isEmpty) -1L else bad.min
       }
     val detail =
       if (dangling.isDefined) "dangling_ref:#" + dangling.get
       else if (unsupported) "unsupported_schema:" + schema
       else ""
-    Iterator.single(Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, detail, Nil, abort, badLine)) ++
-      linemap.valuesIterator.map(st => if (abort || badLine >= 0) st.copy(abort = abort, bad_line = badLine) else st)
+    Iterator.single((Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, detail, Nil, abort, badLine), null: ArrayBuffer[Node])) ++
+      linemap.valuesIterator.map { case (st, tree) =>
+        (if (abort || badLine >= 0) st.copy(abort = abort, bad_line = badLine) else st, tree)
+      }
   }
 
   private def toLong(s: String): Long =
@@ -406,6 +436,27 @@ object Tokenizer {
     val (keyword, refs) = scanRefs(body)
     Stmt(docId, schema, seq, scanLineNum(line, eqIdx), keyword, body,
       refs.distinct.toSeq, abort = false, bad_line = -1L)
+  }
+
+  /** Single-parse Stage-A scan (fused path): the SAME flat [[Stmt]] as
+    * [[scanStatement]] — keyword/refs equivalence between [[scanRefs]] and
+    * [[parseArgs]]+collectRefs is property-pinned by TokenizerSpec — plus the
+    * parse tree the emitter would otherwise rebuild. The no-'=' statement
+    * keeps a null tree: its body was never split at '=' and its keyword ""
+    * only ever reaches the emitter's unknown-keyword marker arm, so the
+    * emitter's own parse (of the identical body) remains the source of truth
+    * there. */
+  private def parseStatementNodes(docId: String, schema: String, seq: Long,
+      line: String): (Stmt, ArrayBuffer[Node]) = {
+    val eqIdx = line.indexOf('=')
+    if (eqIdx < 0)
+      return (Stmt(docId, schema, seq, Long.MinValue, "", line, Nil, abort = false, bad_line = -1L), null)
+    val body = line.substring(eqIdx + 1)
+    val (keyword, nodes) = parseArgs(body)
+    val refs = ArrayBuffer[Long]()
+    collectRefs(nodes, refs)
+    (Stmt(docId, schema, seq, scanLineNum(line, eqIdx), keyword, body,
+      refs.distinct.toSeq, abort = false, bad_line = -1L), nodes)
   }
 
   def parseStatement(docId: String, schema: String, seq: Long, line: String): Parsed = {
