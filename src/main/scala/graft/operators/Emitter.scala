@@ -86,6 +86,19 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     * automaton); null → parse here (staged Stage C, re-parse fallback). */
   def emit(ls: LinkedStmt,
            preArgs: scala.collection.Seq[Tokenizer.Node]): (Seq[TripleRow], Seq[Marker]) = {
+    val buf = new Emitter.RowBuffer
+    val ms = emitInto(ls, preArgs, buf)
+    (buf.rows.toSeq, ms)
+  }
+
+  /** Sink form (round 6): candidate rows stream straight into `sink` — the
+    * fused path's DocDedup consumes the 11 fields without ever allocating a
+    * [[TripleRow]] (one short-lived object per candidate at ~13 rows per
+    * statement was a measured slice of the per-doc loop); the staged path
+    * collects through [[Emitter.RowBuffer]], restoring the old (rows,
+    * markers) pair byte-for-byte. Returns the statement's markers. */
+  def emitInto(ls: LinkedStmt, preArgs: scala.collection.Seq[Tokenizer.Node],
+               sink: Emitter.TripleSink): Seq[Marker] = {
     // per-document abort (dangling ref / unsupported schema, decided in
     // Stage A): nothing is emitted for the document at all — the reference's
     // file sink flushes nothing (goldens test6/test15); the sentinel carries
@@ -93,19 +106,19 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     if (ls.abort) {
       return if (ls.keyword == Tokenizer.DocSentinel) {
         val parts = ls.body.split(":", 2)
-        val marker = Seq(Marker(ls.doc_id, parts(0), -1L, if (parts.length > 1) parts(1) else ""))
         // graph-API parity option: the reference's parseModelToGraph has
         // already emitted the 2 ontology header triples when D2 fails
         // (RDFWriter.java:121-132), unlike its file sink which flushes nothing
-        (if (headerOnAbort) headerTriples(ls.doc_id) else Nil, marker)
-      } else (Nil, Nil)
+        if (headerOnAbort) headerTriplesInto(ls.doc_id, sink)
+        Seq(Marker(ls.doc_id, parts(0), -1L, if (parts.length > 1) parts(1) else ""))
+      } else Nil
     }
     // *ERROR 2* truncation: statements at/after the first unknown keyword
     // emit nothing (headers at line -1 survive)
     if (ls.bad_line >= 0 && ls.line_id >= ls.bad_line) {
       return if (ls.line_id == ls.bad_line)
-        (Nil, Seq(Marker(ls.doc_id, "unknown_entity", ls.line_id, ls.keyword)))
-      else (Nil, Nil)
+        Seq(Marker(ls.doc_id, "unknown_entity", ls.line_id, ls.keyword))
+      else Nil
     }
     // re-tokenize the flat body locally (the token tree is deliberately not
     // shuffled through Stage B; see LinkedStmt). The emitter walks the
@@ -116,16 +129,15 @@ final class Emitter(dict: SchemaDict, baseURI: String,
       if (ls.keyword == Tokenizer.DocSentinel) EmitStmt(ls, Nil)
       else if (preArgs != null) EmitStmt(ls, preArgs)
       else EmitStmt(ls, Tokenizer.parseArgs(ls.body)._2)
-    emitTokens(st)
+    emitTokens(st, sink)
   }
 
   /** the 2 per-document ontology header triples (RDFWriter.java:121-122);
     * subject tag Base = the baseURI itself after prefix restoration */
-  private def headerTriples(doc: String): Seq[TripleRow] = {
+  private def headerTriplesInto(doc: String, sink: Emitter.TripleSink): Unit = {
     val bt = TripleRow.tag(TripleRow.Base, TripleRow.Vocab)
-    Seq(
-      TripleRow(doc, "", ids.rdfTypeId, "", bt, -1L, ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1),
-      TripleRow(doc, "", ids.owlImportsId, "", bt, -1L, ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1))
+    sink.add(doc, "", ids.rdfTypeId, "", bt, -1L, ids.owlOntologyVid, graft.schema.PredIds.IriKd, -1L, -1, -1)
+    sink.add(doc, "", ids.owlImportsId, "", bt, -1L, ids.ontNSVid, graft.schema.PredIds.IriKd, -1L, -1, -1)
   }
 
   private final case class EmitStmt(ls: LinkedStmt, args: scala.collection.Seq[Tokenizer.Node]) {
@@ -135,9 +147,8 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     def targets: Seq[RefTarget] = ls.targets
   }
 
-  private def emitTokens(st: EmitStmt): (Seq[TripleRow], Seq[Marker]) = {
-    val triples = ArrayBuffer[TripleRow]()
-    val markers = ArrayBuffer[Marker]()
+  private def emitTokens(st: EmitStmt, sink: Emitter.TripleSink): Seq[Marker] = {
+    var markers: ArrayBuffer[Marker] = null // lazily allocated — most statements mark nothing
     val doc = st.doc_id
     val line = st.line_id
     val IriKd = graft.schema.PredIds.IriKd
@@ -154,7 +165,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     /** append one row; subject and object pre-encoded by the caller */
     def row(stg: Int, sv: Long, sraw: String, predId: Int, otg: Int, ov: Long,
             oraw: String, okd: Int, slot: Int, wcls: Int): Unit =
-      triples += TripleRow(doc, sraw, predId, oraw, TripleRow.tag(stg, otg), sv, ov, okd, line, slot, wcls)
+      sink.add(doc, sraw, predId, oraw, TripleRow.tag(stg, otg), sv, ov, okd, line, slot, wcls)
 
     /** generic fallback for predicates/objects outside the id caches. An
       * ABSOLUTE IRI object outside the compiled VocabIds universe (or a
@@ -214,14 +225,18 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     def mintLink(cell: Long, predId: Int, objH: Long, slot: Int): Unit =
       row(TMint, cell, "", predId, TMint, objH, "", IriKd, slot, -1)
 
-    def mark(kind: String, detail: String): Unit = markers += Marker(doc, kind, line, detail)
+    def mark(kind: String, detail: String): Unit = {
+      if (markers == null) markers = new ArrayBuffer[Marker](4)
+      markers += Marker(doc, kind, line, detail)
+    }
+    def markersOut: Seq[Marker] = if (markers == null) Nil else markers.toSeq
 
     if (st.keyword == Tokenizer.DocSentinel) {
       // per-document ontology header triples (RDFWriter.java:121-122) —
       // emitted before parsing in the reference, so they survive *ERROR 2*
       // truncation but (by default) not the dangling-ref file-sink abort
-      triples ++= headerTriples(doc)
-      return (triples.toSeq, markers.toSeq)
+      headerTriplesInto(doc, sink)
+      return markersOut
     }
 
     val kwKey = formatClassName(st.keyword)
@@ -230,7 +245,7 @@ final class Emitter(dict: SchemaDict, baseURI: String,
     if (entOpt.isEmpty && typOpt.isEmpty) {
       // unreachable: Stage A truncates documents at the first unknown keyword
       mark("unknown_entity", st.keyword)
-      return (triples.toSeq, markers.toSeq)
+      return markersOut
     }
     val typeName = entOpt.map(_.name).getOrElse(typOpt.get.name)
     // the statement subject (the reference's typeName_line local), encoded once
@@ -683,11 +698,32 @@ final class Emitter(dict: SchemaDict, baseURI: String,
         }
     }
 
-    (triples.toSeq, markers.toSeq)
+    markersOut
   }
 }
 
 object Emitter {
+
+  /** Candidate-row consumer (round 6): field order mirrors [[TripleRow]].
+    * The fused pipeline's DocDedup implements this directly, so the hot path
+    * never allocates a TripleRow per candidate; [[RowBuffer]] restores the
+    * collected form for the staged path and tests. */
+  trait TripleSink {
+    def add(doc_id: String, subj: String, pred_id: Int, obj: String, so_tag: Int,
+            subj_val: Long, obj_val: Long, kd: Int, src_line: Long, slot: Int,
+            wcls: Int): Unit
+  }
+
+  /** Collecting sink — the emit() compatibility surface. */
+  final class RowBuffer extends TripleSink {
+    val rows = new ArrayBuffer[TripleRow]()
+    def add(doc_id: String, subj: String, pred_id: Int, obj: String, so_tag: Int,
+            subj_val: Long, obj_val: Long, kd: Int, src_line: Long, slot: Int,
+            wcls: Int): Unit =
+      rows += TripleRow(doc_id, subj, pred_id, obj, so_tag, subj_val, obj_val,
+        kd, src_line, slot, wcls)
+  }
+
   val RDF_TYPE: String = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
   val XSD_NS: String = "http://www.w3.org/2001/XMLSchema#"
   val OWL_NS: String = "http://www.w3.org/2002/07/owl#"

@@ -48,16 +48,28 @@ object FusedProbe {
             s.abort, s.bad_line, targets), tree)
         }
         val t2 = System.nanoTime(); linkNs += t2 - t1
+        // sink form mirroring runFused: emit streams fields into DocDedup,
+        // no TripleRow per candidate (emit+dedup merge into the emit column;
+        // the dedup column keeps only the flush)
         val dedup = new Pipeline.DocDedup
+        var nT = 0L
+        val sink = new Emitter.TripleSink {
+          def add(doc_id: String, subj: String, pred_id: Int, obj: String,
+                  so_tag: Int, subj_val: Long, obj_val: Long, kd: Int,
+                  src_line: Long, slot: Int, wcls: Int): Unit = {
+            nT += 1
+            dedup.add(doc_id, subj, pred_id, obj, so_tag, subj_val, obj_val,
+              kd, src_line, slot, wcls)
+          }
+        }
         linked.foreach { case (ls, tree) =>
           val e0 = System.nanoTime()
           val em = emitters.getOrElseUpdate(ls.schema,
             new Emitter(SchemaDict.load(if (ls.schema.isEmpty) "IFC2X3_TC1" else ls.schema), SynthCorpus.BaseURI))
-          val (ts, _) = em.emit(ls, tree)
-          val e1 = System.nanoTime(); emitNs += e1 - e0; nTriples += ts.size
-          ts.foreach(dedup.add)
-          dedupNs += System.nanoTime() - e1
+          em.emitInto(ls, tree, sink)
+          emitNs += System.nanoTime() - e0
         }
+        nTriples += nT
         val d0 = System.nanoTime()
         nDedup += dedup.flush(doc.doc_id).size
         dedupNs += System.nanoTime() - d0

@@ -94,12 +94,16 @@ object Pipeline {
     * decodable predicate (their payload lives in subj/obj) */
   private val MARKER_PRED_ID = -1
 
-  /** Per-statement Stage-C emit, shared by the staged and fused paths:
+  /** Per-statement Stage-C dispatch shared by the staged and fused paths:
     * the marker surface for oversize/unsupported-schema docs, per-schema
-    * Emitter reuse, and the in-band marker encoding. */
-  private def emitOne(emitters: scala.collection.mutable.HashMap[String, Emitter],
-                      base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt,
-                      preArgs: scala.collection.Seq[Tokenizer.Node] = null): Iterator[TripleRow] = {
+    * Emitter reuse. Candidate rows stream into `sink`; the statement's
+    * markers come back as [[Marker]]s — the caller picks its own in-band
+    * encoding (TripleRow sentinel rows on the staged path, marker
+    * DedupedRows on the fused path). */
+  private def emitCore(emitters: scala.collection.mutable.HashMap[String, Emitter],
+                       base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt,
+                       preArgs: scala.collection.Seq[Tokenizer.Node],
+                       sink: Emitter.TripleSink): Seq[Marker] = {
     val ls = if (ls0.targets == null) ls0.copy(targets = Nil) else ls0
     if (ls.schema.isEmpty) {
       // the oversize mega-doc guard fires BEFORE the FILE_SCHEMA sniff,
@@ -109,22 +113,29 @@ object Pipeline {
       // happens to have dangling refs stays silent like the reference
       if (ls.keyword == Tokenizer.DocSentinel && ls.body.startsWith("oversize_doc:")) {
         val parts = ls.body.split(":", 2)
-        Iterator.single(TripleRow(ls.doc_id, parts(0), MARKER_PRED_ID,
-          parts(1), 0, -1L, -1L, PredIds.MarkerKd, -1L, -1, -1))
-      } else Iterator.empty
+        Seq(Marker(ls.doc_id, parts(0), -1L, parts(1)))
+      } else Nil
     }
     else if (!SchemaDict.available(ls.schema)) {
       if (ls.keyword == Tokenizer.DocSentinel)
-        Iterator.single(TripleRow(ls.doc_id, "unsupported_schema", MARKER_PRED_ID,
-          ls.schema, 0, -1L, -1L, PredIds.MarkerKd, ls.line_id, -1, -1))
-      else Iterator.empty
+        Seq(Marker(ls.doc_id, "unsupported_schema", ls.line_id, ls.schema))
+      else Nil
     } else {
       val em = emitters.getOrElseUpdate(ls.schema,
         new Emitter(SchemaDict.load(ls.schema), base, hdrOnAbort))
-      val (ts, ms) = em.emit(ls, preArgs)
-      ts.iterator ++ ms.iterator.map(m =>
-        TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
+      em.emitInto(ls, preArgs, sink)
     }
+  }
+
+  /** Staged-path form: rows collected, markers encoded in-band as sentinel
+    * TripleRows (no decodable predicate; payload in subj/obj). */
+  private def emitOne(emitters: scala.collection.mutable.HashMap[String, Emitter],
+                      base: String, hdrOnAbort: Boolean)(ls0: LinkedStmt,
+                      preArgs: scala.collection.Seq[Tokenizer.Node] = null): Iterator[TripleRow] = {
+    val buf = new Emitter.RowBuffer
+    val ms = emitCore(emitters, base, hdrOnAbort)(ls0, preArgs, buf)
+    buf.rows.iterator ++ ms.iterator.map(m =>
+      TripleRow(m.doc_id, m.kind, MARKER_PRED_ID, m.detail, 0, -1L, -1L, PredIds.MarkerKd, m.line_id, -1, -1))
   }
 
   /** Stage-D finishing pass over the emitted candidate-triple stream
@@ -308,18 +319,25 @@ object Pipeline {
   }
 
   /** One document's dedup/E6 accumulator — the in-memory equivalent of one
-    * [[dedupAgg]] group-set (the doc_id prefix of every key is implicit). */
-  private[operators] final class DocDedup {
+    * [[dedupAgg]] group-set (the doc_id prefix of every key is implicit).
+    * Implements [[Emitter.TripleSink]] (round 6) so the fused emit streams
+    * candidate fields straight into the map — no TripleRow per candidate. */
+  private[operators] final class DocDedup extends Emitter.TripleSink {
     private val acc = new java.util.LinkedHashMap[DKey, DKey]()
-    def add(r: TripleRow): Unit = {
-      val w = r.wcls >= 0
-      val key = new DKey(r.subj, r.so_tag >> 3, r.subj_val, r.pred_id, w,
-        if (w) "" else r.obj, if (w) 0 else r.so_tag % 8,
-        if (w) -1L else r.obj_val, r.kd)
+    def add(r: TripleRow): Unit =
+      add(r.doc_id, r.subj, r.pred_id, r.obj, r.so_tag, r.subj_val, r.obj_val,
+        r.kd, r.src_line, r.slot, r.wcls)
+    def add(doc_id: String, subj: String, pred_id: Int, obj: String, so_tag: Int,
+            subj_val: Long, obj_val: Long, kd: Int, src_line: Long, slot: Int,
+            wcls: Int): Unit = {
+      val w = wcls >= 0
+      val key = new DKey(subj, so_tag >> 3, subj_val, pred_id, w,
+        if (w) "" else obj, if (w) 0 else so_tag % 8,
+        if (w) -1L else obj_val, kd)
       // identical clamps to dedupAgg's `prio` column
-      val lineC = math.min(math.max(r.src_line, -1L) + 2L, (1L << 36) - 1)
-      val slotC = math.min(math.max(r.slot, -1) + 1, 4095).toLong
-      val p = (lineC * 4096L + slotC) * 16384L + (if (w) r.wcls.toLong else 0L)
+      val lineC = math.min(math.max(src_line, -1L) + 2L, (1L << 36) - 1)
+      val slotC = math.min(math.max(slot, -1) + 1, 4095).toLong
+      val p = (lineC * 4096L + slotC) * 16384L + (if (w) wcls.toLong else 0L)
       val prev = acc.putIfAbsent(key, key)
       if (prev == null) key.m = p
       else if (p < prev.m) prev.m = p
@@ -462,6 +480,19 @@ object Pipeline {
         // per doc, nothing per emitted triple beyond what emitOne already does
         var nDocs, nStmts, nKept, nEmit, nMark, nDedupOut = 0L
         var tokNs, linkNs, emitNs = 0L
+        // ONE dedup accumulator + counting sink per partition (flush(doc)
+        // clears between documents): emitted candidates stream field-wise
+        // into the dedup map — no TripleRow object per candidate (round 6)
+        val dedup = new DocDedup
+        val sink = new Emitter.TripleSink {
+          def add(doc_id: String, subj: String, pred_id: Int, obj: String,
+                  so_tag: Int, subj_val: Long, obj_val: Long, kd: Int,
+                  src_line: Long, slot: Int, wcls: Int): Unit = {
+            nEmit += 1
+            dedup.add(doc_id, subj, pred_id, obj, so_tag, subj_val, obj_val,
+              kd, src_line, slot, wcls)
+          }
+        }
         val out = docIt.flatMap { doc =>
           nDocs += 1
           val t0 = System.nanoTime()
@@ -492,7 +523,6 @@ object Pipeline {
             math.max(8, kept.length))
           kept.foreach { case (s, _) => if (s.line_id >= 0) kw.update(s.line_id, s.keyword) }
           val t2 = System.nanoTime(); linkNs += t2 - t1; nKept += kept.length
-          val dedup = new DocDedup
           val markers = Vector.newBuilder[DedupedRow]
           kept.foreach { case (s, tree) =>
             val targets = s.refs.map { r =>
@@ -504,13 +534,11 @@ object Pipeline {
             }
             val ls = LinkedStmt(s.doc_id, s.schema, s.line_id, s.keyword,
               s.body, s.abort, s.bad_line, targets)
-            emitOne(emitters, base, hdrOnAbort)(ls, tree).foreach { tr =>
+            emitCore(emitters, base, hdrOnAbort)(ls, tree, sink).foreach { m =>
               nEmit += 1
-              if (tr.kd == PredIds.MarkerKd) {
-                nMark += 1
-                markers += DedupedRow(tr.doc_id, tr.subj, 0, -1L, MARKER_PRED_ID,
-                  is_wtype = false, tr.obj, 0, -1L, PredIds.MarkerKd, tr.src_line)
-              } else dedup.add(tr)
+              nMark += 1
+              markers += DedupedRow(m.doc_id, m.kind, 0, -1L, MARKER_PRED_ID,
+                is_wtype = false, m.detail, 0, -1L, PredIds.MarkerKd, m.line_id)
             }
           }
           emitNs += System.nanoTime() - t2

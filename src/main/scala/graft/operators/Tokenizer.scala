@@ -244,44 +244,102 @@ object Tokenizer {
 
   /** States 1..3 of the statement automaton (keyword, args with paren/comma
     * structure, quote bodies) over the text AFTER '='. Returns the raw
-    * keyword and the top-level argument nodes. */
+    * keyword and the top-level argument nodes.
+    *
+    * Span-based (round 6, the [[scanRefs]] trick applied to the tree build):
+    * tokens are tracked as [start, end) spans of `body` and materialize as
+    * ONE substring of the trimmed span — no char-by-char StringBuilder copy.
+    * Only quote-bearing tokens rebuild through the collapse rules (opening
+    * quote kept, closing dropped, '' collapses) — byte-identical content to
+    * the former builder path, pinned by the round-trip / scanRefs / parsed-
+    * variant property suites. */
   private[operators] def parseArgs(body: String): (String, ArrayBuffer[Node]) = {
     var keyword = ""
     val root = new LNode()
     var current = root
     val stack = ArrayBuffer[LNode]()
     var state = 1
-    val sb = new java.lang.StringBuilder
+    val n = body.length
+    // keyword accumulator: contiguous fast path + builder fallback for
+    // whitespace-split keywords (the automaton appends every non-ws char)
+    var kwStart = -1
+    var kwEnd = -1
+    var kwSb: java.lang.StringBuilder = null
+    // current token span; hasQuote forces the exact collapse rebuild
+    var tokStart = -1
+    var tokEnd = -1
+    var hasQuote = false
+
+    /** the former builder content of span [from, to): every char except each
+      * quote section's CLOSING quote (opening kept, '' collapses) */
+    def rebuilt(from: Int, to: Int): String = {
+      val sb = new java.lang.StringBuilder(to - from)
+      var i = from
+      var inQ = false
+      while (i < to) {
+        val ch = body.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false else sb.append(ch) }
+        else { sb.append(ch); if (ch == '\'') inQ = true }
+        i += 1
+      }
+      sb.toString
+    }
 
     def flush(): Unit = {
-      // trim inside the builder bounds: ONE substring per token instead of
-      // toString + trim (two copies when padded)
-      var a = 0
-      var b = sb.length
-      while (a < b && sb.charAt(a) <= ' ') a += 1
-      while (b > a && sb.charAt(b - 1) <= ' ') b -= 1
-      if (b > a) {
-        val t = sb.substring(a, b)
-        // refs resolve at depths 0..2 (top-level, list, list-of-list) only
-        if (t.charAt(0) == '#' && stack.length <= 2)
-          current.children += RNode(toLong(t.substring(1)), t)
-        else current.children += SNode(t)
+      if (tokStart >= 0) {
+        val t =
+          if (!hasQuote) {
+            var a = tokStart
+            var b = tokEnd
+            while (a < b && body.charAt(a) <= ' ') a += 1
+            while (b > a && body.charAt(b - 1) <= ' ') b -= 1
+            if (b > a) body.substring(a, b) else null
+          } else {
+            val s0 = rebuilt(tokStart, tokEnd)
+            var a = 0
+            var b = s0.length
+            while (a < b && s0.charAt(a) <= ' ') a += 1
+            while (b > a && s0.charAt(b - 1) <= ' ') b -= 1
+            if (b == 0) null
+            else if (a == 0 && b == s0.length) s0
+            else if (b > a) s0.substring(a, b)
+            else null
+          }
+        if (t != null) {
+          // refs resolve at depths 0..2 (top-level, list, list-of-list) only
+          if (t.charAt(0) == '#' && stack.length <= 2)
+            current.children += RNode(toLong(t.substring(1)), t)
+          else current.children += SNode(t)
+        }
+        tokStart = -1; hasQuote = false
       }
-      sb.setLength(0)
+    }
+    def kwDone(): Unit = {
+      keyword =
+        if (kwSb != null) kwSb.toString
+        else if (kwStart >= 0) body.substring(kwStart, kwEnd)
+        else ""
     }
 
     var i = 0
     var end = false
-    while (i < body.length && !end) {
+    while (i < n && !end) {
       val ch = body.charAt(i)
       state match {
         case 1 =>
-          if (ch == '(') { keyword = sb.toString; sb.setLength(0); state = 2 }
-          else if (ch == ';') { keyword = sb.toString; sb.setLength(0); end = true }
-          else if (!ch.isWhitespace) sb.append(ch)
+          if (ch == '(') { kwDone(); state = 2 }
+          else if (ch == ';') { kwDone(); end = true }
+          else if (!ch.isWhitespace) {
+            if (kwSb != null) kwSb.append(ch)
+            else if (kwStart < 0) { kwStart = i; kwEnd = i + 1 }
+            else if (kwEnd == i) kwEnd = i + 1
+            else { kwSb = new java.lang.StringBuilder(); kwSb.append(body, kwStart, kwEnd); kwSb.append(ch) }
+          }
         case 2 =>
-          if (ch == '\'') { sb.append(ch); state = 3 }
-          else if (ch == '(') {
+          if (ch == '\'') {
+            if (tokStart < 0) tokStart = i
+            tokEnd = i + 1; hasQuote = true; state = 3
+          } else if (ch == '(') {
             flush()
             val tmp = new LNode()
             current.children += tmp
@@ -292,10 +350,11 @@ object Tokenizer {
             if (stack.isEmpty) end = true
             else { current = stack.remove(stack.length - 1) }
           } else if (ch == ',') flush()
-          else sb.append(ch)
-        case _ => // 3: inside quotes
+          else { if (tokStart < 0) tokStart = i; tokEnd = i + 1 }
+        case _ => // 3: inside quotes — closing quote skipped in content,
+          // but the span still covers it (rebuilt() drops it again)
+          tokEnd = i + 1
           if (ch == '\'') state = 2
-          else sb.append(ch)
       }
       i += 1
     }
