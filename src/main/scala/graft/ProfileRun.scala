@@ -60,6 +60,13 @@ object ProfileRun {
     Thread.sleep(500) // let listener drain
     rows.forEach(println)
     println(f"TOTAL triples=$n wall=$secs%.2f tps=${(n / secs).round}")
+    // per-phase lineage (fused: F1..F4): summed wall_ms across partitions —
+    // what fraction of the stage's task time the per-doc loop itself is
+    r.lineage.groupBy("stage")
+      .agg(org.apache.spark.sql.functions.sum("wall_ms").as("ms"),
+        org.apache.spark.sql.functions.sum("rows_out").as("rows_out"))
+      .orderBy("stage").collect()
+      .foreach(x => println(f"lineage ${x.get(0)}%-12s ${x.getLong(1) / 1000.0}%8.2fs rows_out=${x.getLong(2)}"))
     r.unpersist()
     spark.stop()
   }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import scala.collection.mutable.ArrayBuffer
+
 /** End-to-end KG-construction job (SURVEY.md §3.4), two execution forms
   * over the same four-stage semantics:
   *
@@ -278,6 +280,57 @@ object Pipeline {
       subj_val: Long, pred_id: Int, is_wtype: Boolean, og: String, otg: Int,
       ov: Long, kd: Int, m: Long)
 
+  /** The fused stage's row schema — BY CONSTRUCTION the [[DedupedRow]]
+    * product-encoder schema, so the InternalRow form is column-identical to
+    * the former Dataset[DedupedRow] form. */
+  private val FusedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[DedupedRow].schema
+  private val FusedKdOrdinal = FusedSchema.fieldIndex("kd")
+
+  private val EmptyUtf8 = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+
+  /** Write one fused-stage row into the reused writer; null-safe on the
+    * string columns, [[EmptyUtf8]] fast path for the common "" subject. */
+  private[operators] def writeFusedRow(
+      writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
+      doc: org.apache.spark.unsafe.types.UTF8String, subj: String, stg: Int,
+      sv: Long, pid: Int, w: Boolean, og: String, otg: Int, ov: Long, kd: Int,
+      m: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    writer.reset()
+    writer.zeroOutNullBytes()
+    writer.write(0, doc)
+    if (subj == null) writer.setNullAt(1)
+    else writer.write(1, if (subj.isEmpty) EmptyUtf8 else UTF8String.fromString(subj))
+    writer.write(2, stg)
+    writer.write(3, sv)
+    writer.write(4, pid)
+    writer.write(5, w)
+    if (og == null) writer.setNullAt(6)
+    else writer.write(6, if (og.isEmpty) EmptyUtf8 else UTF8String.fromString(og))
+    writer.write(7, otg)
+    writer.write(8, ov)
+    writer.write(9, kd)
+    writer.write(10, m)
+    writer.getRow
+  }
+
+  /** Exact UTF-16 length of a UTF8String without materializing a String:
+    * one unit per 1-3-byte sequence, two (a surrogate pair) per 4-byte
+    * sequence — identical to `s.toString.length` for valid UTF-8. */
+  private def utf16Len(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes
+    var i = 0
+    var len = 0L
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      val cl = if (b < 0xc0) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4
+      len += (if (cl == 4) 2L else 1L)
+      i += cl
+    }
+    len
+  }
+
   /** Doc-local E6+E9: the same dedup/canonicalization as [[dedupAgg]], run
     * inside one task per document over a doc-contiguous candidate stream
     * (Stage C after `repartition(doc_id).sortWithinPartitions(doc_id)`).
@@ -357,6 +410,22 @@ object Pipeline {
       }
       acc.clear()
       rows.iterator
+    }
+
+    /** drain as UnsafeRows through a REUSED per-partition writer (round 6):
+      * zero row objects per surviving group — the scan contract (consumers
+      * that buffer must copy) is upheld by every SQL operator downstream of
+      * the [[GraftBridge.internalCreateDataFrame]] leaf. Keys are copied out
+      * and the map cleared up-front, exactly like [[flush]]. */
+    def flushUnsafe(doc: org.apache.spark.unsafe.types.UTF8String,
+        writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter)
+        : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      val keys = acc.values().toArray(new Array[DKey](acc.size))
+      acc.clear()
+      keys.iterator.map { k =>
+        Pipeline.writeFusedRow(writer, doc, k.subj, k.stg, k.sv, k.pid, k.w,
+          k.og, k.otg, k.ov, k.kd, k.m)
+      }
     }
   }
 
@@ -470,8 +539,30 @@ object Pipeline {
     val base = baseURI
     val hdrOnAbort = opts.headerOnAbort
     val rmDup = opts.removeDuplicates
-    val fused0 = docs.mapPartitions(
-      instrumented[Doc, DedupedRow]("F_fused", lineageAcc, _.kd == PredIds.MarkerKd) { docIt =>
+    // InternalRow form (round 6, guide §1.2 step 2 / §5): the stage consumes
+    // the scan's InternalRows directly (no Doc/Span object per input row)
+    // and emits UnsafeRows from a reused per-partition writer (no DedupedRow
+    // object + product-encoder pass per output row) — at ~13 output rows per
+    // statement the two encoder boundaries were a measured slice of the
+    // stage's task time. Input field offsets are resolved BY NAME so a
+    // reordered parquet schema keeps working; the output schema is the
+    // DedupedRow encoder schema BY CONSTRUCTION (FusedSchema).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val inSchema = docs.schema
+    val docIdIdx = inSchema.fieldIndex("doc_id")
+    val spansIdx = inSchema.fieldIndex("spans")
+    val spanType = inSchema(spansIdx).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val spanN = spanType.length
+    val kindIdx = spanType.fieldIndex("kind")
+    val textIdx = spanType.fieldIndex("text")
+    val offIdx = spanType.fieldIndex("offset")
+    val kdOrd = FusedKdOrdinal
+    val rowRdd = docs.queryExecution.toRdd.mapPartitions(
+      instrumented[InternalRow, InternalRow]("F_fused", lineageAcc,
+          _.getInt(kdOrd) == PredIds.MarkerKd) { rowIt =>
         val emitters = scala.collection.mutable.HashMap[String, Emitter]()
         // per-phase counters: the staged path reports per-stage lineage for
         // free (one instrumented mapPartitions per stage); the fused path
@@ -493,14 +584,64 @@ object Pipeline {
               kd, src_line, slot, wcls)
           }
         }
-        val out = docIt.flatMap { doc =>
+        val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(11)
+        val textKind = UTF8String.fromString("text")
+        val out = rowIt.flatMap { inRow =>
           nDocs += 1
           val t0 = System.nanoTime()
+          val docId = inRow.getUTF8String(docIdIdx).toString
+          val spans = inRow.getArray(spansIdx)
+          // ---- docChars + assembly, replicating Tokenizer.assembleText and
+          // the oversize sum EXACTLY (single-text fast path; media spans
+          // skipped; stable offset order; null text appends "null"; UTF-16
+          // lengths) — but without materializing Span objects
+          val nSp = spans.numElements()
+          var docChars = 0L
+          var nText = 0
+          var onlyText: UTF8String = null
+          var onlyIsNull = false
+          var i = 0
+          while (i < nSp) {
+            val sp = spans.getStruct(i, spanN)
+            val kind = sp.getUTF8String(kindIdx)
+            if (kind != null && kind.equals(textKind)) {
+              nText += 1
+              val t = sp.getUTF8String(textIdx)
+              onlyText = t
+              onlyIsNull = t == null
+              if (t != null) docChars += utf16Len(t)
+            }
+            i += 1
+          }
           // single-parse (round 6): each statement arrives WITH its parse
           // tree, so the emitter never re-tokenizes the body (two automaton
           // passes -> one); trees are null above the tokenizer's memory bound
           // and the emitter re-parses those — identical output either way
-          val stmts = Tokenizer.tokenizeDocParsed(doc, schemaOv, maxChars).toArray
+          val stmts =
+            if (docChars > maxChars)
+              Tokenizer.oversizeEntry(docId, docChars, maxChars).toArray
+            else {
+              val text =
+                if (nText == 1 && !onlyIsNull) onlyText.toString
+                else {
+                  val parts = new ArrayBuffer[(Int, UTF8String)](nText)
+                  var j = 0
+                  while (j < nSp) {
+                    val sp = spans.getStruct(j, spanN)
+                    val kind = sp.getUTF8String(kindIdx)
+                    if (kind != null && kind.equals(textKind))
+                      parts += ((sp.getInt(offIdx), sp.getUTF8String(textIdx)))
+                    j += 1
+                  }
+                  val sb = new java.lang.StringBuilder
+                  parts.sortBy(_._1).foreach { case (_, t) =>
+                    sb.append(if (t == null) "null" else t.toString)
+                  }
+                  sb.toString
+                }
+              Tokenizer.tokenizeText(docId, text, schemaOv,
+                keep = docChars <= Tokenizer.TreeKeepMaxChars).toArray
+            }
           val t1 = System.nanoTime(); tokNs += t1 - t0; nStmts += stmts.length
           // D1 (opt-in): canonical line per body (min line_id; headers always
           // survive), refs to removed duplicates resolve to the canonical
@@ -523,7 +664,7 @@ object Pipeline {
             math.max(8, kept.length))
           kept.foreach { case (s, _) => if (s.line_id >= 0) kw.update(s.line_id, s.keyword) }
           val t2 = System.nanoTime(); linkNs += t2 - t1; nKept += kept.length
-          val markers = Vector.newBuilder[DedupedRow]
+          var markerList: ArrayBuffer[Marker] = null
           kept.foreach { case (s, tree) =>
             val targets = s.refs.map { r =>
               val rr = alias.getOrElse(r, r)
@@ -537,13 +678,19 @@ object Pipeline {
             emitCore(emitters, base, hdrOnAbort)(ls, tree, sink).foreach { m =>
               nEmit += 1
               nMark += 1
-              markers += DedupedRow(m.doc_id, m.kind, 0, -1L, MARKER_PRED_ID,
-                is_wtype = false, m.detail, 0, -1L, PredIds.MarkerKd, m.line_id)
+              if (markerList == null) markerList = new ArrayBuffer[Marker](4)
+              markerList += m
             }
           }
           emitNs += System.nanoTime() - t2
           nDedupOut += dedup.size
-          dedup.flush(doc.doc_id) ++ markers.result().iterator
+          val docUtf = UTF8String.fromString(docId)
+          val markerRows =
+            if (markerList == null) Iterator.empty
+            else markerList.iterator.map(m => writeFusedRow(writer,
+              docUtf, m.kind, 0, -1L, MARKER_PRED_ID, w = false, m.detail, 0,
+              -1L, PredIds.MarkerKd, m.line_id))
+          dedup.flushUnsafe(docUtf, writer) ++ markerRows
         }
         // report the phase rows once the partition's output is exhausted —
         // rows_in/rows_out chain: docs → statements → deduped statements →
@@ -552,7 +699,7 @@ object Pipeline {
         // it reports rows only.
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var reported = false
-        new Iterator[DedupedRow] {
+        new Iterator[InternalRow] {
           def hasNext: Boolean = {
             val h = out.hasNext
             if (!h && !reported) {
@@ -564,17 +711,19 @@ object Pipeline {
             }
             h
           }
-          def next(): DedupedRow = out.next()
+          def next(): InternalRow = out.next()
         }
       })
+    val fused0 = org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
+      spark, rowRdd, FusedSchema)
     val (fused, cached) =
       if (opts.persistEmitted) {
         val c = fused0.persist(StorageLevel.MEMORY_AND_DISK)
         (c, Seq(c))
       } else (fused0, Nil)
     val isMarker = $"kd" === PredIds.MarkerKd
-    val finalTriples = decode(fused.toDF.filter(!isMarker), baseURI)
-    val markers = fused.toDF.filter(isMarker)
+    val finalTriples = decode(fused.filter(!isMarker), baseURI)
+    val markers = fused.filter(isMarker)
       .select($"doc_id", $"subj".as("kind"), $"m".as("line_id"), $"og".as("detail"))
       .as[Marker]
     Result(finalTriples, markers, cached, lineageAcc)

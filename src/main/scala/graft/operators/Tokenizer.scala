@@ -127,6 +127,13 @@ object Tokenizer {
       maxDocChars: Long = DefaultMaxDocChars): Iterator[(Stmt, ArrayBuffer[Node])] =
     tokenizeDocImpl(doc, schemaOverride, maxDocChars, keepTrees = true)
 
+  /** The oversize-doc sentinel entry (shared with the InternalRow fused
+    * path, which computes docChars without building Span objects). */
+  private[operators] def oversizeEntry(docId: String, docChars: Long,
+      maxDocChars: Long): Iterator[(Stmt, ArrayBuffer[Node])] =
+    Iterator.single((Stmt(docId, "", -1L, -1L, DocSentinel,
+      s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L), null))
+
   private def tokenizeDocImpl(doc: Doc, schemaOverride: Option[String],
       maxDocChars: Long, keepTrees: Boolean): Iterator[(Stmt, ArrayBuffer[Node])] = {
     // oversize guard BEFORE text assembly (the span sizes are already known;
@@ -137,10 +144,15 @@ object Tokenizer {
     val docChars = doc.spans.iterator.map(s =>
       (if (s.kind == "text" && s.text != null) s.text.length.toLong else 0L)).sum
     if (docChars > maxDocChars)
-      return Iterator.single((Stmt(doc.doc_id, "", -1L, -1L, DocSentinel,
-        s"oversize_doc:$docChars chars > $maxDocChars", Nil, abort = true, -1L), null))
+      return oversizeEntry(doc.doc_id, docChars, maxDocChars)
     val keep = keepTrees && docChars <= TreeKeepMaxChars
-    val text = assembleText(doc)
+    tokenizeText(doc.doc_id, assembleText(doc), schemaOverride, keep)
+  }
+
+  /** Statement scan over the assembled text — the shared core of the Doc
+    * path and the InternalRow fused path (which assembles text itself). */
+  private[operators] def tokenizeText(docId: String, text: String,
+      schemaOverride: Option[String], keep: Boolean): Iterator[(Stmt, ArrayBuffer[Node])] = {
     val schema = schemaOverride.getOrElse(sniffSchema(text))
     // last-write-wins per line number, locally per doc — the whole document
     // is one input row, so the reference's linemap.put overwrite semantics
@@ -191,8 +203,8 @@ object Tokenizer {
             sb.toString
           }
         val entry =
-          if (keep) parseStatementNodes(doc.doc_id, schema, seq, stmtText)
-          else (scanStatement(doc.doc_id, schema, seq, stmtText), null)
+          if (keep) parseStatementNodes(docId, schema, seq, stmtText)
+          else (scanStatement(docId, schema, seq, stmtText), null)
         linemap(entry._1.line_id) = entry
         seq += 1L
       }
@@ -225,7 +237,7 @@ object Tokenizer {
       if (dangling.isDefined) "dangling_ref:#" + dangling.get
       else if (unsupported) "unsupported_schema:" + schema
       else ""
-    Iterator.single((Stmt(doc.doc_id, schema, -1L, -1L, DocSentinel, detail, Nil, abort, badLine), null: ArrayBuffer[Node])) ++
+    Iterator.single((Stmt(docId, schema, -1L, -1L, DocSentinel, detail, Nil, abort, badLine), null: ArrayBuffer[Node])) ++
       linemap.valuesIterator.map { case (st, tree) =>
         (if (abort || badLine >= 0) st.copy(abort = abort, bad_line = badLine) else st, tree)
       }

@@ -31,6 +31,17 @@ object GraftBridge {
     cds.sparkSession.internalCreateDataFrame(cds.queryExecution.toRdd, cds.schema)
   }
 
+  /** A DataFrame over an RDD of (possibly reused) InternalRows — the data-
+    * source builder's entry point (round 6): lets the fused pipeline emit
+    * UnsafeRows from a per-partition reused writer instead of paying a
+    * product-encoder object per row. Callers must follow the scan contract:
+    * rows may be overwritten after the consumer moves on (every SQL operator
+    * that buffers copies first, exactly as it must for any scan). */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** The persisted RDD backing an (eagerly) checkpointed Dataset, if its plan
     * is a checkpoint leaf. Lets an iterative caller `unpersist` round k-1's
     * block-store copy once round k is materialized — without this a fixpoint
