@@ -52,18 +52,44 @@ object Owl {
     val t = triples.select(col(graphCol).as("g"),
       col("subj"), col("pred"), col("obj")).localCheckpoint(true)
 
-    // schema side (TBox-sized by contract): inverse pairs BOTH ways, and
-    // the declared symmetric / transitive property sets
-    val invDecl = t.filter(col("pred") === InverseOf)
-      .select(col("g"), col("subj").as("p"), col("obj").as("q"))
-    val invPairs = invDecl.unionByName(
-        invDecl.select(col("g"), col("q").as("p"), col("p").as("q")))
-      .distinct()
-    def declaredAs(cls: String): DataFrame =
-      t.filter(col("pred") === KgQuery.RdfType && col("obj") === cls)
-        .select(col("g"), col("subj").as("p")).distinct()
-    val sym = declaredAs(SymmetricProperty)
-    val trans = declaredAs(TransitiveProperty)
+    // schema side (TBox-sized by contract — the composes test below already
+    // collects it): ONE collect feeds both the composition test and, round
+    // 6, the rule frames themselves as LocalRelations — inverse pairs BOTH
+    // ways, declared symmetric / transitive property sets. Local frames
+    // broadcast with no cluster job (the former DataFrame-derived decls
+    // paid a broadcast-build scan of the store per frame).
+    val declRows = t.filter(col("pred") === InverseOf ||
+        (col("pred") === KgQuery.RdfType &&
+          (col("obj") === SymmetricProperty || col("obj") === TransitiveProperty)))
+      .select(col("g"), col("subj"), col("pred"), col("obj")).collect()
+    val invRows = declRows.filter(_.getString(2) == InverseOf)
+    val symRows = declRows.filter(r =>
+      r.getString(2) != InverseOf && r.getString(3) == SymmetricProperty)
+    val transRows = declRows.filter(r =>
+      r.getString(2) != InverseOf && r.getString(3) == TransitiveProperty)
+    val spark = t.sparkSession
+    val gField = t.schema("g")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val invPairs = {
+      val set = scala.collection.mutable.LinkedHashSet[(Any, Any, Any)]()
+      invRows.foreach { r =>
+        set += ((r.get(0), r.get(1), r.get(3)))
+        set += ((r.get(0), r.get(3), r.get(1)))
+      }
+      spark.createDataFrame(set.iterator.map(e => Row(e._1, e._2, e._3)).toSeq.asJava,
+        StructType(Seq(gField.copy(name = "g"),
+          StructField("p", StringType), StructField("q", StringType))))
+    }
+    def declDF(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val set = scala.collection.mutable.LinkedHashSet[(Any, Any)]()
+      rows.foreach(r => set += ((r.get(0), r.get(1))))
+      spark.createDataFrame(set.iterator.map(e => Row(e._1, e._2)).toSeq.asJava,
+        StructType(Seq(gField.copy(name = "g"), StructField("p", StringType))))
+    }
+    val sym = declDF(symRows)
+    val trans = declDF(transRows)
 
     // x p y, p inv q ⇒ y q x ; x p y, p symmetric ⇒ y p x — each ONE
     // broadcast join over the frame it is applied to
@@ -110,20 +136,16 @@ object Owl {
     // closure∘inv = inv∘closure covers d2, sym+transitive chains stay
     // symmetric under closure. The declaration sets are TBox-sized by
     // contract (they already broadcast into every rule join), so the test
-    // is one driver collect; a genuinely composing web keeps the counted
-    // fixpoint loop below. Replaces 2+ full passes + per-round eager
+    // reads the one collect above; a genuinely composing web keeps the
+    // counted fixpoint loop below. Replaces 2+ full passes + per-round eager
     // checkpoint/count with one lazy pass for the common ontology.
-    val declRows = t.filter(col("pred") === InverseOf ||
-        (col("pred") === KgQuery.RdfType && col("obj") === SymmetricProperty))
-      .select(col("g"), col("subj"), col("pred"), col("obj")).collect()
     val partners = scala.collection.mutable.Map[(Any, Any), scala.collection.mutable.Set[Any]]()
-    declRows.iterator.filter(_.getString(2) == InverseOf).foreach { r =>
+    invRows.foreach { r =>
       partners.getOrElseUpdate((r.get(0), r.get(1)), scala.collection.mutable.Set()) += r.get(3)
       partners.getOrElseUpdate((r.get(0), r.get(3)), scala.collection.mutable.Set()) += r.get(1)
     }
     val composes = partners.values.exists(_.size > 1) ||
-      declRows.iterator.filter(_.getString(2) != InverseOf)
-        .exists(r => partners.contains((r.get(0), r.get(1))))
+      symRows.exists(r => partners.contains((r.get(0), r.get(1))))
     if (!composes) return pass(t).withColumnRenamed("g", graphCol)
 
     var cur = t.distinct().localCheckpoint(true)

@@ -90,10 +90,166 @@ object Rdfs {
     * through sc* — all TBox-sized joins among TBox-sized frames. Every
     * instance-side rule is then ONE broadcast join against one scan:
     * 6 bounded scans of the store regardless of schema depth. */
-  def entail(triples: DataFrame, graphCol: String = "doc_id"): DataFrame = {
+  def entail(triples: DataFrame, graphCol: String = "doc_id",
+             tboxCap: Long = 100000L): DataFrame = {
     val t = triples.select(col(graphCol).as("g"),
       col("subj"), col("pred"), col("obj"))
 
+    // Driver TBox composition (round 6, the house measured-count gate): the
+    // schema side is TBox-sized by the ρdf contract, so ONE capped collect
+    // replaces the TBox-side cluster work entirely — the checkpoint job, the
+    // closure gate's probe + collect, and a broadcast-build job per rule
+    // frame (spPlus / scPlus / effDom / effRng were all LogicalRDD-backed
+    // plans; as LocalRelations their broadcasts build driver-side with no
+    // job at all). Over-cap or non-string TBoxes (and a blown closure pair
+    // budget) take the distributed path below, unchanged and spec-pinned
+    // via tboxCap = -1.
+    val (schemaDerived, spPlus, scPlus, effDom, effRng) =
+      driverTBox(t, tboxCap).getOrElse(distributedTBox(t))
+
+    // instance-side rules: ONE broadcast join per rule, one scan each
+    val props = t.filter(col("pred") =!= KgQuery.RdfType)
+    val derived7 = props.join(
+        broadcast(spPlus.select(col("g").as("__g"), col("src").as("__sub"),
+          col("dst").as("__sup"))),
+        col("g") === col("__g") && col("pred") === col("__sub"))
+      .select(col("g"), col("subj"), col("__sup").as("pred"), col("obj"))
+    def ruleTypes(eff: DataFrame, instCol: String): DataFrame =
+      props.join(
+          broadcast(eff.select(col("g").as("__g"), col("src").as("__p"),
+            col("dst").as("__cls"))),
+          col("g") === col("__g") && col("pred") === col("__p"))
+        .select(col("g"), col(instCol).as("subj"),
+          lit(KgQuery.RdfType).as("pred"), col("__cls").as("obj"))
+    val typesFromDom = ruleTypes(effDom, "subj")
+    val typesFromRng = ruleTypes(effRng, "obj")
+    // rdfs9 over the ASSERTED types (derived types are pre-lifted in eff*)
+    val derived9 = t.filter(col("pred") === KgQuery.RdfType).join(
+        broadcast(scPlus.select(col("g").as("__g"), col("src").as("__sub"),
+          col("dst").as("__sup"))),
+        col("g") === col("__g") && col("obj") === col("__sub"))
+      .select(col("g"), col("subj"), col("pred"), col("__sup").as("obj"))
+
+    t.unionByName(schemaDerived).unionByName(derived7)
+      .unionByName(typesFromDom).unionByName(typesFromRng)
+      .unionByName(derived9)
+      .distinct()
+      .withColumnRenamed("g", graphCol)
+  }
+
+  /** Pair budget of the driver TBox closure — beyond this the composition
+    * falls back to the distributed path (a pathological sp/sc web can close
+    * quadratically even off a gate-sized base; same rationale as
+    * KgQuery's driver-closure budget). */
+  private val MaxDriverTBoxPairs = 2000000
+
+  /** The 5 TBox-side rule frames — (schemaDerived, spPlus, scPlus, effDom,
+    * effRng) — composed ON THE DRIVER from one capped collect, as
+    * LocalRelations. None when the gate refuses (over cap, non-string
+    * terms, blown pair budget). Semantics identical to [[distributedTBox]]
+    * (pinned by RdfsSpec / EntailFuzzSpec against tboxCap = -1). */
+  private def driverTBox(t: DataFrame, cap: Long)
+      : Option[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.collection.mutable
+    if (cap < 0 || cap >= Int.MaxValue) return None
+    val sch = t.schema
+    if (sch("subj").dataType != StringType || sch("pred").dataType != StringType ||
+        sch("obj").dataType != StringType) return None
+    val rows = t.filter(col("pred").isin(SubClassOf, SubPropertyOf, Domain, Range))
+      .limit(cap.toInt + 1).collect()
+    if (rows.length > cap) return None
+    val sc = mutable.ArrayBuffer[(Any, String, String)]()
+    val sp = mutable.ArrayBuffer[(Any, String, String)]()
+    val dom = mutable.ArrayBuffer[(Any, String, String)]()
+    val rng = mutable.ArrayBuffer[(Any, String, String)]()
+    rows.foreach { r =>
+      val e = (r.get(0), r.getString(1), r.getString(3))
+      r.getString(2) match {
+        case SubClassOf => sc += e
+        case SubPropertyOf => sp += e
+        case Domain => dom += e
+        case Range => rng += e
+        case _ => ()
+      }
+    }
+    // per-graph BFS with Plus semantics (≥1 edge; cycles close to self) —
+    // the same reachability KgQuery.transitiveClosure computes
+    var budget = MaxDriverTBoxPairs
+    def closePlus(edges: Seq[(Any, String, String)])
+        : Option[mutable.LinkedHashSet[(Any, String, String)]] = {
+      val out = mutable.LinkedHashSet[(Any, String, String)]()
+      val byG = edges.groupBy(_._1)
+      val gIt = byG.iterator
+      while (gIt.hasNext) {
+        val (g, es) = gIt.next()
+        val adj = es.groupMap(_._2)(_._3)
+        val srcIt = adj.keysIterator
+        while (srcIt.hasNext) {
+          val s0 = srcIt.next()
+          val seen = mutable.LinkedHashSet[String]()
+          var frontier: List[String] = List(s0)
+          while (frontier.nonEmpty) {
+            val next = mutable.ListBuffer[String]()
+            frontier.foreach { u =>
+              adj.getOrElse(u, Nil).foreach { v => if (seen.add(v)) next += v }
+            }
+            frontier = next.toList
+          }
+          budget -= seen.size
+          if (budget < 0) return None
+          seen.foreach(v => out += ((g, s0, v)))
+        }
+      }
+      Some(out)
+    }
+    val scP = closePlus(sc.toSeq).getOrElse(return None)
+    val spP = closePlus(sp.toSeq).getOrElse(return None)
+    // effDom/effRng: sp* into the declaring property, then sc+ lift — the
+    // in-memory mirror of the distributed spInto/scLift joins
+    def spInto(m: mutable.LinkedHashSet[(Any, String, String)]) = {
+      val out = m.clone()
+      val mIx = m.toSeq.groupBy(e => (e._1, e._2))
+      spP.foreach { case (g, p, q) =>
+        mIx.getOrElse((g, q), Nil).foreach(e => out += ((g, p, e._3)))
+      }
+      out
+    }
+    def scLift(m: mutable.LinkedHashSet[(Any, String, String)]) = {
+      val out = m.clone()
+      val scIx = scP.toSeq.groupBy(e => (e._1, e._2))
+      m.foreach { case (g, p, c) =>
+        scIx.getOrElse((g, c), Nil).foreach(e => out += ((g, p, e._3)))
+      }
+      out
+    }
+    val effD = scLift(spInto(mutable.LinkedHashSet(dom.toSeq: _*)))
+    val effR = scLift(spInto(mutable.LinkedHashSet(rng.toSeq: _*)))
+
+    val spark = t.sparkSession
+    val gField = sch("g")
+    import scala.jdk.CollectionConverters._
+    def pairDF(s: Iterable[(Any, String, String)]): DataFrame =
+      spark.createDataFrame(
+        s.iterator.map(e => Row(e._1, e._2, e._3)).toSeq.asJava,
+        StructType(Seq(gField.copy(name = "g"),
+          StructField("src", StringType), StructField("dst", StringType))))
+    val derivedSchema = StructType(Seq(gField.copy(name = "g"),
+      StructField("subj", StringType), StructField("pred", StringType),
+      StructField("obj", StringType)))
+    val schemaDerived = spark.createDataFrame(
+      (scP.iterator.map(e => Row(e._1, e._2, SubClassOf, e._3)) ++
+        spP.iterator.map(e => Row(e._1, e._2, SubPropertyOf, e._3))).toSeq.asJava,
+      derivedSchema)
+    Some((schemaDerived, pairDF(spP), pairDF(scP), pairDF(effD), pairDF(effR)))
+  }
+
+  /** The distributed TBox-side composition (the pre-round-6 shape): closure
+    * on the cluster, map compositions as broadcast joins. Runs when the
+    * driver gate refuses; 100-TB posture unchanged. */
+  private def distributedTBox(t: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     // one scan extracts the whole schema side; eagerly cut (TBox-sized by
     // the ρdf contract) so the map compositions below never re-derive it
     val schemaEdges = t.filter(col("pred").isin(
@@ -142,34 +298,6 @@ object Rdfs {
         .select(col("g"), col("src"), col("__d").as("dst")))
     val effDom = scLift(spInto(edgesOf(Domain))).distinct()
     val effRng = scLift(spInto(edgesOf(Range))).distinct()
-
-    // instance-side rules: ONE broadcast join per rule, one scan each
-    val props = t.filter(col("pred") =!= KgQuery.RdfType)
-    val derived7 = props.join(
-        broadcast(spPlus.select(col("g").as("__g"), col("src").as("__sub"),
-          col("dst").as("__sup"))),
-        col("g") === col("__g") && col("pred") === col("__sub"))
-      .select(col("g"), col("subj"), col("__sup").as("pred"), col("obj"))
-    def ruleTypes(eff: DataFrame, instCol: String): DataFrame =
-      props.join(
-          broadcast(eff.select(col("g").as("__g"), col("src").as("__p"),
-            col("dst").as("__cls"))),
-          col("g") === col("__g") && col("pred") === col("__p"))
-        .select(col("g"), col(instCol).as("subj"),
-          lit(KgQuery.RdfType).as("pred"), col("__cls").as("obj"))
-    val typesFromDom = ruleTypes(effDom, "subj")
-    val typesFromRng = ruleTypes(effRng, "obj")
-    // rdfs9 over the ASSERTED types (derived types are pre-lifted in eff*)
-    val derived9 = t.filter(col("pred") === KgQuery.RdfType).join(
-        broadcast(scPlus.select(col("g").as("__g"), col("src").as("__sub"),
-          col("dst").as("__sup"))),
-        col("g") === col("__g") && col("obj") === col("__sub"))
-      .select(col("g"), col("subj"), col("pred"), col("__sup").as("obj"))
-
-    t.unionByName(schemaDerived).unionByName(derived7)
-      .unionByName(typesFromDom).unionByName(typesFromRng)
-      .unionByName(derived9)
-      .distinct()
-      .withColumnRenamed("g", graphCol)
+    (schemaDerived, spPlus, scPlus, effDom, effRng)
   }
 }

@@ -104,6 +104,23 @@ class EntailFuzzSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("Rdfs.entail distributed TBox path (tboxCap = -1) equals the driver gate path") {
+    // round 6: the TBox side composes on the driver under a measured gate;
+    // the distributed composition must stay output-identical (and equal to
+    // the brute fixpoint) — pinned on the same random webs
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rdfsQuad).map(_.toSet)) { in =>
+      val dist = runOp(graft.analytics.Rdfs.entail(_, "doc_id", tboxCap = -1L), in)
+      val drv = runOp(graft.analytics.Rdfs.entail(_), in)
+      val want = bruteRdfs(in)
+      if (dist != drv || drv != want) {
+        println(s"RDFS PATH MISMATCH\nIN: $in\nDIST-ONLY: ${dist -- drv}\nDRV-ONLY: ${drv -- dist}\nWANT-DELTA: ${want -- drv}")
+        false
+      } else true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SameAs.resolve equals a brute-force union-find smush on random graphs") {
     val SA = graft.analytics.SameAs.OwlSameAs
     def brute(in: Set[Quad]): Set[Quad] = {
