@@ -350,16 +350,8 @@ object Pipeline {
     * iteration, identical key equality (null-safe on the string fields). */
   private[operators] final class DKey(val subj: String, val stg: Int, val sv: Long,
       val pid: Int, val w: Boolean, val og: String, val otg: Int, val ov: Long,
-      val kd: Int) {
+      val kd: Int, val h: Int) {
     var m: Long = Long.MaxValue
-    private val h: Int = {
-      var x = if (subj == null) 0 else subj.hashCode
-      x = x * 31 + (if (og == null) 0 else og.hashCode)
-      x = x * 31 + java.lang.Long.hashCode(sv)
-      x = x * 31 + java.lang.Long.hashCode(ov)
-      x = x * 31 + ((stg * 31 + pid) * 31 + otg) * 31 + kd
-      x * 2 + (if (w) 1 else 0)
-    }
     override def hashCode: Int = h
     override def equals(o: Any): Boolean = o match {
       case k: DKey =>
@@ -371,12 +363,35 @@ object Pipeline {
     }
   }
 
+  private[operators] object DKey {
+    /** the group-key hash, computed BEFORE any allocation so duplicate
+      * candidates probe the table without constructing a key object */
+    @inline def hashOf(subj: String, stg: Int, sv: Long, pid: Int, w: Boolean,
+        og: String, otg: Int, ov: Long, kd: Int): Int = {
+      var x = if (subj == null) 0 else subj.hashCode
+      x = x * 31 + (if (og == null) 0 else og.hashCode)
+      x = x * 31 + java.lang.Long.hashCode(sv)
+      x = x * 31 + java.lang.Long.hashCode(ov)
+      x = x * 31 + ((stg * 31 + pid) * 31 + otg) * 31 + kd
+      x * 2 + (if (w) 1 else 0)
+    }
+  }
+
   /** One document's dedup/E6 accumulator — the in-memory equivalent of one
     * [[dedupAgg]] group-set (the doc_id prefix of every key is implicit).
     * Implements [[Emitter.TripleSink]] (round 6) so the fused emit streams
     * candidate fields straight into the map — no TripleRow per candidate. */
   private[operators] final class DocDedup extends Emitter.TripleSink {
-    private val acc = new java.util.LinkedHashMap[DKey, DKey]()
+    // Open-addressed table + insertion-order array (round 6): the former
+    // java.util.LinkedHashMap paid a Node allocation per SURVIVING group
+    // and a second hash computation inside the map; here duplicates probe
+    // with a precomputed hash and allocate nothing, inserts allocate only
+    // the DKey itself. Load factor 1/2; table persists across documents
+    // (cleared, not reallocated, between flushes).
+    private var cap = 1 << 11
+    private var mask = cap - 1
+    private var table = new Array[DKey](cap)
+    private val order = new ArrayBuffer[DKey](1 << 11)
     def add(r: TripleRow): Unit =
       add(r.doc_id, r.subj, r.pred_id, r.obj, r.so_tag, r.subj_val, r.obj_val,
         r.kd, r.src_line, r.slot, r.wcls)
@@ -384,31 +399,69 @@ object Pipeline {
             subj_val: Long, obj_val: Long, kd: Int, src_line: Long, slot: Int,
             wcls: Int): Unit = {
       val w = wcls >= 0
-      val key = new DKey(subj, so_tag >> 3, subj_val, pred_id, w,
-        if (w) "" else obj, if (w) 0 else so_tag % 8,
-        if (w) -1L else obj_val, kd)
+      val stg = so_tag >> 3
+      val og = if (w) "" else obj
+      val otg = if (w) 0 else so_tag % 8
+      val ov = if (w) -1L else obj_val
+      val h = DKey.hashOf(subj, stg, subj_val, pred_id, w, og, otg, ov, kd)
       // identical clamps to dedupAgg's `prio` column
       val lineC = math.min(math.max(src_line, -1L) + 2L, (1L << 36) - 1)
       val slotC = math.min(math.max(slot, -1) + 1, 4095).toLong
       val p = (lineC * 4096L + slotC) * 16384L + (if (w) wcls.toLong else 0L)
-      val prev = acc.putIfAbsent(key, key)
-      if (prev == null) key.m = p
-      else if (p < prev.m) prev.m = p
+      var idx = h & mask
+      while (true) {
+        val k = table(idx)
+        if (k == null) {
+          val nk = new DKey(subj, stg, subj_val, pred_id, w, og, otg, ov, kd, h)
+          nk.m = p
+          table(idx) = nk
+          order += nk
+          if (order.length * 2 > cap) grow()
+          return
+        } else if (k.h == h && k.sv == subj_val && k.ov == ov && k.pid == pred_id &&
+            k.stg == stg && k.otg == otg && k.kd == kd && k.w == w &&
+            (if (subj == null) k.subj == null else subj == k.subj) &&
+            (if (og == null) k.og == null else og == k.og)) {
+          if (p < k.m) k.m = p
+          return
+        }
+        idx = (idx + 1) & mask
+      }
     }
-    def nonEmpty: Boolean = !acc.isEmpty
+    private def grow(): Unit = {
+      cap <<= 1
+      mask = cap - 1
+      table = new Array[DKey](cap)
+      var i = 0
+      while (i < order.length) {
+        val k = order(i)
+        var idx = k.h & mask
+        while (table(idx) != null) idx = (idx + 1) & mask
+        table(idx) = k
+        i += 1
+      }
+    }
+    private def clearTable(): Unit = {
+      // unconditional fill: cap is at most 2x the largest group count this
+      // partition has seen, so the per-doc wipe is microseconds even after
+      // a mega-doc growth (selective run-nulling is not provably complete
+      // once probe runs have been split by earlier deletions)
+      java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], null)
+      order.clear()
+    }
+    def nonEmpty: Boolean = order.nonEmpty
     /** surviving (post-dedup) group count accumulated so far */
-    def size: Int = acc.size
+    def size: Int = order.length
     /** drain: one DedupedRow per surviving group, then reset for the next doc */
     def flush(doc: String): Iterator[DedupedRow] = {
-      val rows = new Array[DedupedRow](acc.size)
+      val rows = new Array[DedupedRow](order.length)
       var i = 0
-      val it = acc.values().iterator()
-      while (it.hasNext) {
-        val k = it.next()
+      while (i < order.length) {
+        val k = order(i)
         rows(i) = DedupedRow(doc, k.subj, k.stg, k.sv, k.pid, k.w, k.og, k.otg, k.ov, k.kd, k.m)
         i += 1
       }
-      acc.clear()
+      clearTable()
       rows.iterator
     }
 
@@ -420,8 +473,8 @@ object Pipeline {
     def flushUnsafe(doc: org.apache.spark.unsafe.types.UTF8String,
         writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter)
         : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-      val keys = acc.values().toArray(new Array[DKey](acc.size))
-      acc.clear()
+      val keys = order.toArray
+      clearTable()
       keys.iterator.map { k =>
         Pipeline.writeFusedRow(writer, doc, k.subj, k.stg, k.sv, k.pid, k.w,
           k.og, k.otg, k.ov, k.kd, k.m)
