@@ -249,7 +249,7 @@ object Pipeline {
         concat(lit(baseURI),
           when($"stg" === TR.Named,
             concat($"sl_local", lit("_"), $"subj_val".bitwiseAND(TR.LineMask).cast("string")))
-            .when($"stg" === TR.Mint, concat(lit("n"), lower(hex($"subj_val"))))
+            .when($"stg" === TR.Mint, concat(lit("n"), graft.functions.LowerHex($"subj_val")))
             // Base rows ship subj = "" (the baseURI itself), so the Raw
             // fallthrough covers them too
             .otherwise($"subj")).as("subj"),
@@ -261,7 +261,7 @@ object Pipeline {
               concat(lit(baseURI),
                 when($"otg" === TR.Named,
                   concat($"olm_local", lit("_"), $"ov".bitwiseAND(TR.LineMask).cast("string")))
-                  .when($"otg" === TR.Mint, concat(lit("n"), lower(hex($"ov"))))
+                  .when($"otg" === TR.Mint, concat(lit("n"), graft.functions.LowerHex($"ov")))
                   .otherwise($"og")))
               .otherwise($"og"))).as("obj"),
         when($"kd" === PredIds.IriKd || $"kd" === PredIds.AbsIriKd, "iri")
