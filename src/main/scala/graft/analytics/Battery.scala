@@ -508,12 +508,21 @@ object Battery {
       // (bounded by the LSH banding) as a per-row codegen'd expression.
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"), length(col("text")).as("ln"))
+      // round 6 (100-TB posture): the decision rule dist*5 <= mx admits a
+      // BANDED DP — dist*5 <= mx  ⟺  dist <= mx div 5 (integers), and
+      // LevBanded(ta, tb, k) returns exactly levenshtein(ta, tb) whenever
+      // it is <= k (k+1 otherwise, failing the filter identically) — so
+      // each surviving candidate costs O(n·k) instead of the builtin's
+      // O(n·m) full matrix, with length-gate rejection before any DP.
+      // The builtin chain remains the oracle-mirrored definition;
+      // equivalence pinned by CodegenPinSpec's LevBanded property fuzz.
       minhashPairs(s, d)
         .join(docs.select(col("doc_id").as("a"), col("text").as("ta"), col("ln").as("la")), "a")
         .join(docs.select(col("doc_id").as("b"), col("text").as("tb"), col("ln").as("lb")), "b")
         .filter(abs(col("la") - col("lb")) * 5 <= greatest(col("la"), col("lb")))
-        .withColumn("dist", levenshtein(col("ta"), col("tb")))
-        .filter(col("dist") * 5 <= greatest(col("la"), col("lb")))
+        .withColumn("k", floor(greatest(col("la"), col("lb")) / 5).cast("int"))
+        .withColumn("dist", graft.functions.LevBanded(col("ta"), col("tb"), col("k")))
+        .filter(col("dist") <= col("k"))
         .select(col("a"), col("b"), col("dist"),
           greatest(col("la"), col("lb")).cast("long").as("mx"))
     }),
