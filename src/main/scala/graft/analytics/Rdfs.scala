@@ -160,6 +160,10 @@ object Rdfs {
     val rows = t.filter(col("pred").isin(SubClassOf, SubPropertyOf, Domain, Range))
       .limit(cap.toInt + 1).collect()
     if (rows.length > cap) return None
+    // NULL guard: the distributed path's SQL joins never match NULL keys,
+    // while in-memory maps would — a null graph/term in a schema row must
+    // take the distributed path so the two compose identically
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(3))) return None
     val sc = mutable.ArrayBuffer[(Any, String, String)]()
     val sp = mutable.ArrayBuffer[(Any, String, String)]()
     val dom = mutable.ArrayBuffer[(Any, String, String)]()

@@ -682,8 +682,13 @@ object Pipeline {
                   while (j < nSp) {
                     val sp = spans.getStruct(j, spanN)
                     val kind = sp.getUTF8String(kindIdx)
-                    if (kind != null && kind.equals(textKind))
+                    if (kind != null && kind.equals(textKind)) {
+                      // loud on a null offset, like the typed deserializer's
+                      // non-nullable-field error (getInt would read 0 silently)
+                      if (sp.isNullAt(offIdx))
+                        throw new NullPointerException(s"null span offset in doc $docId")
                       parts += ((sp.getInt(offIdx), sp.getUTF8String(textIdx)))
+                    }
                     j += 1
                   }
                   val sb = new java.lang.StringBuilder

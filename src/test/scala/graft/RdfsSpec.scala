@@ -98,6 +98,16 @@ class RdfsSpec extends SparkTestBase {
       "a sort-merge join means an instance-side shuffle crept into a rule")
   }
 
+  test("null graph/term schema rows: driver gate defers to the distributed path, identically") {
+    // SQL joins never match NULL keys; the driver TBox composition must
+    // refuse such rows so both paths stay output-identical
+    val in = df(Seq(
+      (null, "A", SC, "B"), ("g", "A", SC, "B"), ("g", "B", SC, "C"),
+      ("g", null, SC, "D"), ("g", "x", T, "A")))
+    assert(quads(Rdfs.entail(in)) ==
+      quads(Rdfs.entail(in, "doc_id", tboxCap = -1L)))
+  }
+
   test("withSchema replicates a graph-less TBox into every named graph") {
     import spark.implicits._
     val inst = df(Seq(("g1", "w", T, "Wall"), ("g2", "d", T, "Door")))
